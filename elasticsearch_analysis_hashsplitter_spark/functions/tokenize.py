@@ -1,0 +1,163 @@
+"""Index-time analysis: positioned-chunk tokenization.
+
+Reimplements (from behavior, not code) the reference analyzers:
+
+* A1 ``HashSplitterTokenizer`` — whole value chunked into ``chunk_length``
+  pieces, each prepended with a position-marker char that wraps modulo the
+  prefix alphabet; short last chunk keeps its real length; input capped at
+  1024 chars and Java-trimmed
+  (/root/reference/src/main/java/org/elasticsearch/index/analysis/
+  HashSplitterTokenizer.java:105-129).
+* A2 ``HashSplitterTokenFilter`` — same transform applied to each upstream
+  token, with the prefix counter reset per token
+  (HashSplitterTokenFilter.java:75-106, reset :82-83).
+
+Two layers:
+
+* pure-Python reference functions (``chunk_value`` / ``chunk_tokens``) used
+  by the query compiler (driver-side, tiny inputs) and by tests/oracles;
+* vectorized pandas/Arrow kernels (``chunk_series`` / ``term_freq_series``)
+  used inside pandas UDFs on executors — no per-row Python in the hot path
+  beyond Arrow list assembly.
+"""
+
+from __future__ import annotations
+
+import re
+from collections.abc import Iterable
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+from ..config import REFERENCE_INPUT_CAP, HashSplitterConfig, java_trim
+
+# ---------------------------------------------------------------------------
+# Pure-Python reference implementations (driver-side / oracle)
+# ---------------------------------------------------------------------------
+
+
+def chunk_value(value: str, cfg: HashSplitterConfig) -> list[str]:
+    """A1: split ``value`` into prefixed chunks.
+
+    Golden-tested against HashSplitterTokenizerTests.java vectors.
+    """
+    if value is None:
+        return []
+    if cfg.apply_input_cap:
+        value = java_trim(value[:REFERENCE_INPUT_CAP])
+    L = cfg.chunk_length
+    return [
+        cfg.prefix_at(i) + value[i * L : (i + 1) * L]
+        for i in range((len(value) + L - 1) // L)
+    ]
+
+
+def chunk_tokens(tokens: Iterable[str], cfg: HashSplitterConfig) -> list[str]:
+    """A2: chunk each upstream token; prefix counter resets per token."""
+    out: list[str] = []
+    L = cfg.chunk_length
+    for tok in tokens:
+        out.extend(
+            cfg.prefix_at(i) + tok[i * L : (i + 1) * L]
+            for i in range((len(tok) + L - 1) // L)
+        )
+    return out
+
+
+def analyze(value: str, cfg: HashSplitterConfig) -> list[str]:
+    """Full index-time analysis for a field value under ``cfg.token_mode``."""
+    if value is None:
+        return []
+    if cfg.token_mode == "value":
+        return chunk_value(value, cfg)
+    return chunk_tokens(re.findall(cfg.token_pattern, value), cfg)
+
+
+def term_freqs(value: str, cfg: HashSplitterConfig) -> dict[str, int]:
+    """Term -> tf map for one document (order-independent)."""
+    freqs: dict[str, int] = {}
+    for t in analyze(value, cfg):
+        freqs[t] = freqs.get(t, 0) + 1
+    return freqs
+
+
+# ---------------------------------------------------------------------------
+# Vectorized kernels (executor-side, called from pandas UDFs)
+# ---------------------------------------------------------------------------
+
+
+def _chunk_flat(values: pd.Series, cfg: HashSplitterConfig) -> tuple[np.ndarray, np.ndarray]:
+    """Chunk every string in ``values`` (A1, no cap/trim — callers pre-apply).
+
+    Returns ``(flat_terms, counts)``: all chunk terms in row-major order and
+    the per-row chunk count. Vectorized: one ``str.slice`` pass per chunk
+    position (bounded by max value length / chunk_length in the batch).
+    """
+    values = values.fillna("")
+    L = cfg.chunk_length
+    lens = values.str.len().to_numpy(dtype=np.int64)
+    counts = (lens + L - 1) // L
+    max_chunks = int(counts.max()) if len(counts) else 0
+    if max_chunks == 0:
+        return np.empty(0, dtype=object), counts
+    cols = np.empty((len(values), max_chunks), dtype=object)
+    for i in range(max_chunks):
+        piece = values.str.slice(i * L, (i + 1) * L)
+        cols[:, i] = (cfg.prefix_at(i) + piece).to_numpy(dtype=object)
+    # row-major flatten, keep only real chunks (j < counts[row])
+    mask = np.arange(max_chunks)[None, :] < counts[:, None]
+    return cols[mask], counts
+
+
+def chunk_series(values: pd.Series, cfg: HashSplitterConfig) -> pa.Array:
+    """A1 vectorized: Series[str] -> Arrow ``list<string>`` of chunk terms."""
+    vals = values.fillna("")
+    if cfg.apply_input_cap:
+        vals = vals.str.slice(0, REFERENCE_INPUT_CAP).map(java_trim)
+    flat, counts = _chunk_flat(vals, cfg)
+    offsets = np.zeros(len(vals) + 1, dtype=np.int64)
+    np.cumsum(counts, out=offsets[1:])
+    return pa.ListArray.from_arrays(
+        pa.array(offsets, type=pa.int64()), pa.array(flat, type=pa.string())
+    )
+
+
+def analyze_series(values: pd.Series, cfg: HashSplitterConfig) -> pa.Array:
+    """Full analysis per ``token_mode``: Series[str] -> list<string> terms."""
+    if cfg.token_mode == "value":
+        return chunk_series(values, cfg)
+    values = values.fillna("")
+    toks = values.str.findall(cfg.token_pattern)
+    tok_counts = toks.str.len().to_numpy(dtype=np.int64)
+    flat_tokens = pd.Series(
+        [t for row in toks for t in row], dtype="object"
+    )
+    flat_terms, chunk_counts = _chunk_flat(flat_tokens, cfg)
+    # terms per row = sum of chunk counts over that row's tokens
+    row_term_counts = np.zeros(len(values), dtype=np.int64)
+    if len(flat_tokens):
+        row_idx = np.repeat(np.arange(len(values)), tok_counts)
+        np.add.at(row_term_counts, row_idx, chunk_counts)
+    offsets = np.zeros(len(values) + 1, dtype=np.int64)
+    np.cumsum(row_term_counts, out=offsets[1:])
+    return pa.ListArray.from_arrays(
+        pa.array(offsets, type=pa.int64()),
+        pa.array(flat_terms, type=pa.string()),
+    )
+
+
+def term_freq_series(values: pd.Series, cfg: HashSplitterConfig) -> pd.Series:
+    """Series[str] -> Series[dict[term, tf]] (for ``map<string,int>`` UDFs).
+
+    Aggregating tf inside the UDF avoids a separate (doc_id, term) groupBy
+    shuffle before the term-range repartition in the index build.
+    """
+    arr = analyze_series(values, cfg)
+    offsets = arr.offsets.to_numpy()
+    flat = arr.values.to_numpy(zero_copy_only=False)
+    out = []
+    for i in range(len(values)):
+        terms, tfs = np.unique(flat[offsets[i] : offsets[i + 1]], return_counts=True)
+        out.append(dict(zip(terms.tolist(), tfs.tolist())))
+    return pd.Series(out, dtype="object")

@@ -1,0 +1,149 @@
+"""Query IR: boolean trees over term-level scan leaves.
+
+The leaves mirror the reference's custom Lucene operators
+(/root/reference/src/main/java/org/apache/lucene/search/):
+
+* ``TermEq``        — TermQuery/TermFilter (single posting-list lookup)
+* ``TermPrefixLen`` — PrefixLengthQuery/Filter (PrefixLengthQuery.java:5-37):
+                      term startswith + term length in [min_len, max_len]
+* ``TermRangeLen``  — TermRangeLengthQuery/Filter (TermRangeLengthQuery.java:
+                      3-35): term in range + length bounds
+* ``TermPattern``   — WildcardQuery/Filter with configurable wildcards
+                      (WildcardQuery.java:38-134, WildcardTermEnum.java:32-188)
+* ``MatchNone``     — MatchNoDocsFilter (MatchNoDocsFilter.java:29-53)
+* ``MatchAll``      — all documents (engine extension for open ranges)
+
+Interior nodes are pure AND / OR (the only shapes the reference's
+BooleanQuery/BooleanFilter trees use: MUST-only or SHOULD-only).
+``ScoredTerms`` is the scored (BM25) flavor of an all-MUST term
+conjunction — the C1/C7 query path.
+
+All lengths include the 1-char position prefix (the reference passes
+``1 + chunkLength`` style bounds).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+
+class Node:
+    """Base class for IR nodes."""
+
+    __slots__ = ()
+
+
+@dataclass(frozen=True)
+class TermEq(Node):
+    term: str
+
+
+@dataclass(frozen=True)
+class TermPrefixLen(Node):
+    prefix: str
+    min_len: int
+    max_len: int
+
+
+@dataclass(frozen=True)
+class TermRangeLen(Node):
+    lower: str | None  # None = unbounded
+    upper: str | None
+    include_lower: bool
+    include_upper: bool
+    min_len: int
+    max_len: int
+
+
+@dataclass(frozen=True)
+class TermPattern(Node):
+    """Glob over the term dictionary; wildcards per engine config."""
+
+    pattern: str
+
+
+@dataclass(frozen=True)
+class MatchNone(Node):
+    pass
+
+
+@dataclass(frozen=True)
+class MatchAll(Node):
+    pass
+
+
+@dataclass
+class And(Node):
+    children: list[Node] = field(default_factory=list)
+
+
+@dataclass
+class Or(Node):
+    children: list[Node] = field(default_factory=list)
+
+
+@dataclass(frozen=True)
+class ScoredTerms(Node):
+    """BM25-scored conjunction of exact chunk terms (C1 scored path).
+
+    ``conjunctive``: doc must contain every distinct term (Lucene
+    BooleanQuery all-MUST). Term multiplicity contributes weight
+    (a duplicated clause scores twice), hence ``terms`` is a tuple.
+    """
+
+    terms: tuple[str, ...]
+    conjunctive: bool = True
+
+
+def simplify(node: Node) -> Node:
+    """Constant-fold MatchAll/MatchNone and collapse trivial And/Or.
+
+    The reference folds the analogous cases at compile time
+    (HashSplitterFieldMapper.java:562-576); we extend folding to the whole
+    tree so no Spark job is submitted for statically-empty queries.
+    """
+    if isinstance(node, And):
+        kids = []
+        for c in node.children:
+            c = simplify(c)
+            if isinstance(c, MatchNone):
+                return MatchNone()
+            if isinstance(c, MatchAll):
+                continue
+            if isinstance(c, And):
+                kids.extend(c.children)
+            else:
+                kids.append(c)
+        if not kids:
+            # Lucene: an empty BooleanQuery/BooleanFilter matches nothing.
+            return MatchNone()
+        if len(kids) == 1:
+            return kids[0]
+        return And(kids)
+    if isinstance(node, Or):
+        kids = []
+        for c in node.children:
+            c = simplify(c)
+            if isinstance(c, MatchAll):
+                return MatchAll()
+            if isinstance(c, MatchNone):
+                continue
+            if isinstance(c, Or):
+                kids.extend(c.children)
+            else:
+                kids.append(c)
+        if not kids:
+            return MatchNone()
+        if len(kids) == 1:
+            return kids[0]
+        return Or(kids)
+    return node
+
+
+def leaves(node: Node) -> list[Node]:
+    if isinstance(node, (And, Or)):
+        out: list[Node] = []
+        for c in node.children:
+            out.extend(leaves(c))
+        return out
+    return [node]

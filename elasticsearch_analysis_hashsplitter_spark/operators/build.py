@@ -1,0 +1,262 @@
+"""Distributed inverted-index build (the Spark-first analogue of Lucene's
+segment write + merge, SURVEY.md §2.5 E6 / §3.1).
+
+Pipeline (one wide shuffle):
+
+  corpus (doc_id, content)
+    -> pandas UDF: term->tf map per doc (Arrow-vectorized chunk tokenizer;
+       tf aggregated inside the UDF so no (doc_id, term) groupBy shuffle)
+    -> explode map -> (term, doc_id, tf, dl)
+    -> repartitionByRange(num_partitions, term, doc_id)
+       + sortWithinPartitions(term, doc_id)
+    -> mapInPandas block builder: per-term docID-sorted blocks,
+       delta+varbyte blobs (term groups straddling Arrow batches are
+       carried over; term groups never straddle *partitions* because the
+       range exchange splits only between key values)
+    -> parquet, term-sorted files (min/max stats = term-dictionary seek)
+
+Skew: range partitioning on the composite key (term, doc_id) splits a hot
+term's postings across partitions; each fragment becomes valid block rows
+(disjoint docID ranges), so no salt+merge second pass is needed — the
+block layout *is* the merged form. This replaces the reference's
+single-node segment merge with a shuffle-merge (north_rule).
+
+Resumability: the corpus can be built in ``n_slices`` deterministic
+doc-hash slices, each written + manifested atomically; a re-run skips
+slices whose manifest entry exists (per-partition lineage + metrics).
+"""
+
+from __future__ import annotations
+
+import time
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ..config import HashSplitterConfig
+from ..functions.codec import encode_counts, encode_doc_ids
+from ..functions.tokenize import term_freq_series
+from ..sources import catalog
+
+DEFAULT_BLOCK_SIZE = 4096
+
+
+def tokenize_corpus(
+    docs: DataFrame,
+    cfg: HashSplitterConfig,
+    id_col: str = "doc_id",
+    text_col: str = "content",
+) -> DataFrame:
+    """-> (doc_id, dl, content_sha256, tf map<term,int>).
+
+    The tokenizer runs as an Arrow-vectorized pandas UDF (no per-row
+    Python); sha256 is computed JVM-side for the per-row integrity
+    invariant (BASELINE.json input_hint).
+    """
+    cfg_json = cfg.to_json()
+
+    @F.pandas_udf(T.MapType(T.StringType(), T.IntegerType()))
+    def tf_map(s: pd.Series) -> pd.Series:
+        c = HashSplitterConfig.from_json(cfg_json)
+        return term_freq_series(s, c)
+
+    return docs.select(
+        F.col(id_col).cast("long").alias("doc_id"),
+        F.sha2(F.col(text_col).cast("string"), 256).alias("content_sha256"),
+        tf_map(F.col(text_col).cast("string")).alias("tf"),
+    ).withColumn(
+        "dl",
+        F.coalesce(
+            F.aggregate(F.map_values("tf"), F.lit(0), lambda a, b: a + b),
+            F.lit(0),
+        ).cast("long"),
+    )
+
+
+def _block_builder(block_size: int):
+    def build(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        carry: pd.DataFrame | None = None
+
+        def emit(group: pd.DataFrame) -> list[dict]:
+            rows = []
+            terms = group["term"].to_numpy()
+            # term-group boundaries within the (term, doc_id)-sorted frame
+            change = np.flatnonzero(terms[1:] != terms[:-1]) + 1
+            starts = np.concatenate(([0], change))
+            ends = np.concatenate((change, [len(terms)]))
+            doc_ids = group["doc_id"].to_numpy(dtype=np.int64)
+            tfs = group["tf"].to_numpy(dtype=np.int64)
+            dls = group["dl"].to_numpy(dtype=np.int64)
+            for s, e in zip(starts, ends):
+                for b in range(s, e, block_size):
+                    be = min(b + block_size, e)
+                    d = doc_ids[b:be]
+                    t = tfs[b:be]
+                    rows.append(
+                        {
+                            "term": terms[s],
+                            "min_doc": int(d[0]),
+                            "max_doc": int(d[-1]),
+                            "df": int(be - b),
+                            "max_tf": int(t.max()),
+                            "docs": encode_doc_ids(d),
+                            "tfs": encode_counts(t),
+                            "dls": encode_counts(dls[b:be]),
+                        }
+                    )
+            return rows
+
+        for pdf in batches:
+            if carry is not None and len(carry):
+                pdf = pd.concat([carry, pdf], ignore_index=True)
+            if not len(pdf):
+                carry = None
+                continue
+            # hold back the final term group — it may continue next batch
+            last_term = pdf["term"].iat[-1]
+            cut = pdf["term"].searchsorted(last_term, side="left")
+            carry = pdf.iloc[cut:]
+            done = pdf.iloc[:cut]
+            if len(done):
+                rows = emit(done)
+                if rows:
+                    yield pd.DataFrame(rows)
+        if carry is not None and len(carry):
+            rows = emit(carry)
+            if rows:
+                yield pd.DataFrame(rows)
+
+    return build
+
+
+def build_postings_blocks(
+    tokenized: DataFrame,
+    num_partitions: int,
+    block_size: int = DEFAULT_BLOCK_SIZE,
+) -> DataFrame:
+    """(doc_id, dl, tf map) -> postings block rows (catalog.BLOCK_SCHEMA)."""
+    flat = tokenized.select(
+        "doc_id", "dl", F.explode("tf").alias("term", "tf")
+    )
+    ranged = flat.repartitionByRange(
+        num_partitions, "term", "doc_id"
+    ).sortWithinPartitions("term", "doc_id")
+    return ranged.mapInPandas(
+        _block_builder(block_size), schema=catalog.BLOCK_SCHEMA
+    )
+
+
+def build_index(
+    docs: DataFrame,
+    cfg: HashSplitterConfig,
+    index_dir: str,
+    id_col: str = "doc_id",
+    text_col: str = "content",
+    num_partitions: int | None = None,
+    block_size: int = DEFAULT_BLOCK_SIZE,
+    n_slices: int = 1,
+) -> dict:
+    """Full index build; returns the stats dict (also persisted).
+
+    With ``n_slices > 1`` the corpus is split by ``pmod(xxhash64(doc_id))``
+    and each slice is built + manifested independently: a rerun after a
+    failure skips completed slices (checkpoint resume, north_rule).
+    """
+    spark = docs.sparkSession
+    if num_partitions is None:
+        num_partitions = int(
+            spark.conf.get("spark.sql.shuffle.partitions", "32")
+        )
+
+    tokenized = tokenize_corpus(docs, cfg, id_col, text_col)
+
+    built_slices = 0
+    for s in range(n_slices):
+        if catalog.manifest_exists(index_dir, s):
+            continue
+        t0 = time.time()
+        part = (
+            tokenized
+            if n_slices == 1
+            else tokenized.where(
+                F.pmod(F.xxhash64("doc_id"), F.lit(n_slices)) == s
+            )
+        )
+        blocks = build_postings_blocks(
+            part, max(1, num_partitions // n_slices), block_size
+        )
+        blocks.write.mode("overwrite").parquet(
+            catalog.postings_path(index_dir, s)
+        )
+        part.select("doc_id", "dl", "content_sha256").write.mode(
+            "overwrite"
+        ).parquet(catalog.docstats_path(index_dir) + f"/slice={s}")
+        catalog.write_manifest(
+            index_dir,
+            s,
+            {
+                "slice": s,
+                "n_slices": n_slices,
+                "seconds": round(time.time() - t0, 3),
+                "num_partitions": max(1, num_partitions // n_slices),
+                "block_size": block_size,
+            },
+        )
+        built_slices += 1
+
+    # lexicon + global stats from the written postings (column-pruned scan:
+    # the binary blobs are never read)
+    postings = catalog.read_postings(spark, index_dir)
+    postings.groupBy("term").agg(
+        F.sum("df").alias("df"), F.max("max_tf").alias("max_tf")
+    ).write.mode("overwrite").parquet(catalog.lexicon_path(index_dir))
+
+    docstats = catalog.read_docstats(spark, index_dir)
+    agg = docstats.agg(
+        F.count("*").alias("n"),
+        F.avg("dl").alias("avgdl"),
+        F.sum("dl").alias("total"),
+    ).collect()[0]
+    stats = {
+        "n_docs": int(agg["n"]),
+        "avgdl": float(agg["avgdl"] or 0.0),
+        "total_terms": int(agg["total"] or 0),
+        "config": cfg.to_json(),
+        "block_size": block_size,
+        "n_slices": n_slices,
+        "built_slices": built_slices,
+    }
+    catalog.write_stats(index_dir, stats)
+    return stats
+
+
+def verify_content_sha256(
+    docs: DataFrame,
+    spark: SparkSession,
+    index_dir: str,
+    id_col: str = "doc_id",
+    text_col: str = "content",
+) -> int:
+    """Post-build integrity check: recompute sha256(content) from the source
+    and anti-join against the persisted docstats; returns the number of
+    mismatching/missing rows (0 = invariant holds for 100% of rows)."""
+    fresh = docs.select(
+        F.col(id_col).cast("long").alias("doc_id"),
+        F.sha2(F.col(text_col).cast("string"), 256).alias("sha_now"),
+    )
+    stored = catalog.read_docstats(spark, index_dir).select(
+        "doc_id", "content_sha256"
+    )
+    return (
+        fresh.join(stored, "doc_id", "left")
+        .where(
+            F.col("content_sha256").isNull()
+            | (F.col("content_sha256") != F.col("sha_now"))
+        )
+        .count()
+    )

@@ -1,0 +1,393 @@
+"""Query execution: IR trees -> doc sets / BM25 top-k over the postings.
+
+Spark-first physical strategy (SURVEY.md §3.2 "Spark equivalent"):
+
+* The query compiler (plans/compile.py) runs driver-side and is free.
+* IR leaves become Catalyst predicates on the postings *block* table —
+  equality / startswith / range / length(term) conditions that push down
+  to the term-sorted parquet (min/max row-group pruning = the reference's
+  term-dictionary seek + early termination, WildcardTermEnum.java:56-82).
+* Matching blocks are decoded by an Arrow-batched mapInPandas kernel;
+  doc-set algebra (BooleanFilter AND/OR, SURVEY §2.5 E2) is joins/unions
+  on doc_id.
+* BM25 scoring decodes (tf, dl) streams embedded in the blocks — no join
+  against docstats — and prunes blocks of non-rarest terms by docID-range
+  overlap with the rarest term's blocks (block-max/WAND-style skipping:
+  a conjunctive candidate must appear in the rarest term's postings).
+  Final top-k is ORDER BY score DESC, doc_id ASC LIMIT k, which Spark
+  executes as per-partition top-k + driver merge (TakeOrderedAndProject).
+"""
+
+from __future__ import annotations
+
+import math
+from collections.abc import Iterator
+from functools import reduce
+
+import numpy as np
+import pandas as pd
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ..config import HashSplitterConfig
+from ..functions.codec import decode_counts, decode_doc_ids
+from ..plans import compile as qc
+from ..plans import ir
+from ..plans.pattern import glob_to_regex, literal_prefix
+from ..sources import catalog
+
+_DOC_SCHEMA = T.StructType([T.StructField("doc_id", T.LongType(), False)])
+
+_SCORE_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType(), False),
+        T.StructField("term_idx", T.IntegerType(), False),
+        T.StructField("contrib", T.DoubleType(), False),
+    ]
+)
+
+
+def _decode_docs(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    for pdf in batches:
+        if not len(pdf):
+            continue
+        out = [decode_doc_ids(blob) for blob in pdf["docs"]]
+        yield pd.DataFrame({"doc_id": np.concatenate(out)})
+
+
+class SearchEngine:
+    """Query executor over a built index.
+
+    Construct via :meth:`open` (on-disk index) or :meth:`from_frames`
+    (in-memory pipeline, used by tests and the correctness-gate queries).
+    """
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        postings: DataFrame,
+        docstats: DataFrame,
+        stats: dict,
+        cfg: HashSplitterConfig,
+    ):
+        self.spark = spark
+        self.postings = postings
+        self.docstats = docstats
+        self.stats = stats
+        self.cfg = cfg
+
+    @classmethod
+    def open(cls, spark: SparkSession, index_dir: str) -> "SearchEngine":
+        stats = catalog.read_stats(index_dir)
+        return cls(
+            spark,
+            catalog.read_postings(spark, index_dir),
+            catalog.read_docstats(spark, index_dir),
+            stats,
+            HashSplitterConfig.from_json(stats["config"]),
+        )
+
+    @classmethod
+    def from_corpus(
+        cls,
+        docs: DataFrame,
+        cfg: HashSplitterConfig,
+        id_col: str = "doc_id",
+        text_col: str = "content",
+        num_partitions: int | None = None,
+    ) -> "SearchEngine":
+        """Build the index as cached in-memory DataFrames (no disk writes);
+        used by tests and the driver correctness-gate queries."""
+        from .build import build_postings_blocks, tokenize_corpus
+
+        spark = docs.sparkSession
+        if num_partitions is None:
+            num_partitions = int(
+                spark.conf.get("spark.sql.shuffle.partitions", "32")
+            )
+        tokenized = tokenize_corpus(docs, cfg, id_col, text_col)
+        blocks = build_postings_blocks(tokenized, num_partitions).cache()
+        docstats = tokenized.select("doc_id", "dl", "content_sha256").cache()
+        agg = docstats.agg(
+            F.count("*").alias("n"),
+            F.avg("dl").alias("avgdl"),
+            F.sum("dl").alias("total"),
+        ).collect()[0]
+        stats = {
+            "n_docs": int(agg["n"]),
+            "avgdl": float(agg["avgdl"] or 0.0),
+            "total_terms": int(agg["total"] or 0),
+            "config": cfg.to_json(),
+        }
+        return cls(spark, blocks, docstats, stats, cfg)
+
+    # ------------------------------------------------------------------
+    # Public query API (mirrors the reference DSL surface, SURVEY §2.5 E7)
+    # ------------------------------------------------------------------
+    def term(self, value: str) -> DataFrame:
+        """Exact-match (C1) unscored doc set."""
+        return self.docs(qc.field_query(value, self.cfg, scored=False))
+
+    def chunk_term(self, term: str) -> DataFrame:
+        """Raw positioned-chunk term (``hashsplitter_term`` DSL)."""
+        return self.docs(qc.chunk_term_query(term))
+
+    def prefix(self, value: str) -> DataFrame:
+        return self.docs(qc.prefix_query(value, self.cfg))
+
+    def wildcard(self, pattern: str) -> DataFrame:
+        return self.docs(qc.wildcard_query(pattern, self.cfg))
+
+    def range(
+        self,
+        lower: str | None,
+        upper: str | None,
+        include_lower: bool = True,
+        include_upper: bool = True,
+    ) -> DataFrame:
+        return self.docs(
+            qc.range_filter(lower, upper, include_lower, include_upper, self.cfg)
+        )
+
+    def search(self, value: str, k: int = 10) -> DataFrame:
+        """BM25 top-k for an exact value/token query (scored C1)."""
+        node = qc.field_query(value, self.cfg, scored=True)
+        assert isinstance(node, (ir.ScoredTerms, ir.MatchNone))
+        if isinstance(node, ir.MatchNone):
+            return self._empty_scored()
+        return self.bm25_topk(list(node.terms), k)
+
+    # ------------------------------------------------------------------
+    # Doc-set evaluation (filter paths)
+    # ------------------------------------------------------------------
+    def _leaf_condition(self, leaf: ir.Node) -> Column:
+        term = F.col("term")
+        if isinstance(leaf, ir.TermEq):
+            return term == leaf.term
+        if isinstance(leaf, ir.TermPrefixLen):
+            c = F.length(term).between(leaf.min_len, leaf.max_len)
+            if leaf.prefix:
+                c = term.startswith(leaf.prefix) & c
+            return c
+        if isinstance(leaf, ir.TermRangeLen):
+            c = F.length(term).between(leaf.min_len, leaf.max_len)
+            if leaf.lower is not None:
+                c = c & (
+                    (term >= leaf.lower)
+                    if leaf.include_lower
+                    else (term > leaf.lower)
+                )
+            if leaf.upper is not None:
+                c = c & (
+                    (term <= leaf.upper)
+                    if leaf.include_upper
+                    else (term < leaf.upper)
+                )
+            return c
+        if isinstance(leaf, ir.TermPattern):
+            rx = "^" + glob_to_regex(leaf.pattern, self.cfg) + "$"
+            pre = literal_prefix(leaf.pattern, self.cfg)
+            c = term.rlike(rx)
+            if pre:
+                # literal-prefix pushdown: sargable on the term-sorted files
+                c = term.startswith(pre) & c
+            return c
+        raise TypeError(f"not a leaf: {leaf!r}")
+
+    def _leaf_docs(self, leaf: ir.Node) -> DataFrame:
+        blocks = self.postings.where(self._leaf_condition(leaf))
+        return blocks.select("docs").mapInPandas(
+            _decode_docs, schema=_DOC_SCHEMA
+        ).dropDuplicates(["doc_id"])
+
+    def docs(self, node: ir.Node) -> DataFrame:
+        """Evaluate an IR tree to a distinct doc_id DataFrame."""
+        node = ir.simplify(node)
+        return self._docs(node)
+
+    def _docs(self, node: ir.Node) -> DataFrame:
+        if isinstance(node, ir.MatchNone):
+            return self.spark.createDataFrame([], _DOC_SCHEMA)
+        if isinstance(node, ir.MatchAll):
+            return self.docstats.select(F.col("doc_id").cast("long").alias("doc_id"))
+        if isinstance(node, ir.ScoredTerms):
+            return self._scored_terms_docs(node)
+        if isinstance(node, ir.And):
+            kids = [self._docs(c) for c in node.children]
+            return reduce(lambda a, b: a.join(b, "doc_id", "inner"), kids)
+        if isinstance(node, ir.Or):
+            kids = [self._docs(c) for c in node.children]
+            return reduce(DataFrame.unionByName, kids).dropDuplicates(["doc_id"])
+        return self._leaf_docs(node)
+
+    def _scored_terms_docs(self, node: ir.ScoredTerms) -> DataFrame:
+        terms = sorted(set(node.terms))
+        hits = (
+            self.postings.where(F.col("term").isin(terms))
+            .select("term", "docs")
+            .mapInPandas(_decode_docs_with_term, schema=_TERM_DOC_SCHEMA)
+        )
+        if node.conjunctive and len(terms) > 1:
+            return (
+                hits.groupBy("doc_id")
+                .agg(F.countDistinct("term").alias("n"))
+                .where(F.col("n") == len(terms))
+                .select("doc_id")
+            )
+        return hits.select("doc_id").dropDuplicates(["doc_id"])
+
+    def count(self, node: ir.Node) -> int:
+        return self.docs(node).count()
+
+    # ------------------------------------------------------------------
+    # BM25 scored path
+    # ------------------------------------------------------------------
+    def _empty_scored(self) -> DataFrame:
+        return self.spark.createDataFrame(
+            [],
+            T.StructType(
+                [
+                    T.StructField("doc_id", T.LongType(), False),
+                    T.StructField("score", T.DoubleType(), False),
+                ]
+            ),
+        )
+
+    def bm25_topk(
+        self, terms: list[str], k: int = 10, conjunctive: bool = True
+    ) -> DataFrame:
+        """Top-k (doc_id, score) for a bag of exact chunk terms.
+
+        Lucene-style BM25 (north_rule): idf = ln(1+(N-df+0.5)/(df+0.5)),
+        tf-norm with k1/b from config. Term multiplicity adds weight.
+        Ties break on doc_id asc.
+        """
+        if not terms:
+            return self._empty_scored()
+        weights: dict[str, int] = {}
+        for t in terms:
+            weights[t] = weights.get(t, 0) + 1
+        distinct = sorted(weights)
+        n_docs = self.stats["n_docs"]
+        avgdl = self.stats["avgdl"] or 1.0
+
+        # term-level stats: tiny driver-side lookup (few terms per query)
+        lex_rows = (
+            self.postings.where(F.col("term").isin(distinct))
+            .groupBy("term")
+            .agg(F.sum("df").alias("df"))
+            .collect()
+        )
+        dfs = {r["term"]: r["df"] for r in lex_rows}
+        if conjunctive and len(dfs) < len(distinct):
+            return self._empty_scored()  # a MUST term is absent entirely
+        params = {
+            t: (
+                weights[t]
+                * math.log(
+                    1.0 + (n_docs - dfs.get(t, 0) + 0.5) / (dfs.get(t, 0) + 0.5)
+                ),
+                i,
+            )
+            for i, t in enumerate(distinct)
+        }
+
+        blocks = self.postings.where(F.col("term").isin(distinct))
+        if conjunctive and len(distinct) > 1 and dfs:
+            # Block skipping: a conjunctive hit must occur in the rarest
+            # term's postings, so other terms' blocks whose [min_doc,
+            # max_doc] ranges miss every rarest-term block are never
+            # decoded (block-max WAND-style pruning, driver-broadcast).
+            rarest = min(distinct, key=lambda t: dfs.get(t, float("inf")))
+            ranges = (
+                self.postings.where(F.col("term") == rarest)
+                .select("min_doc", "max_doc")
+                .collect()
+            )
+            if ranges:
+                overlap = reduce(
+                    lambda a, b: a | b,
+                    [
+                        (F.col("max_doc") >= r["min_doc"])
+                        & (F.col("min_doc") <= r["max_doc"])
+                        for r in ranges[:256]
+                    ],
+                )
+                if len(ranges) <= 256:
+                    blocks = blocks.where(
+                        (F.col("term") == rarest) | overlap
+                    )
+
+        k1, b = self.cfg.bm25_k1, self.cfg.bm25_b
+
+        def score_blocks(
+            batches: Iterator[pd.DataFrame],
+        ) -> Iterator[pd.DataFrame]:
+            for pdf in batches:
+                if not len(pdf):
+                    continue
+                docs_l, idx_l, contrib_l = [], [], []
+                for term, dblob, tblob, lblob in zip(
+                    pdf["term"], pdf["docs"], pdf["tfs"], pdf["dls"]
+                ):
+                    w_idf, t_idx = params[term]
+                    d = decode_doc_ids(dblob)
+                    tf = decode_counts(tblob).astype(np.float64)
+                    dl = decode_counts(lblob).astype(np.float64)
+                    c = w_idf * tf * (k1 + 1.0) / (
+                        tf + k1 * (1.0 - b + b * dl / avgdl)
+                    )
+                    docs_l.append(d)
+                    idx_l.append(np.full(d.size, t_idx, dtype=np.int32))
+                    contrib_l.append(c)
+                yield pd.DataFrame(
+                    {
+                        "doc_id": np.concatenate(docs_l),
+                        "term_idx": np.concatenate(idx_l),
+                        "contrib": np.concatenate(contrib_l),
+                    }
+                )
+
+        scored = blocks.select("term", "docs", "tfs", "dls").mapInPandas(
+            score_blocks, schema=_SCORE_SCHEMA
+        )
+        agg = scored.groupBy("doc_id").agg(
+            F.sum("contrib").alias("score"),
+            F.countDistinct("term_idx").alias("n_terms"),
+        )
+        if conjunctive:
+            agg = agg.where(F.col("n_terms") == len(distinct))
+        return (
+            agg.select("doc_id", "score")
+            .orderBy(F.col("score").desc(), F.col("doc_id").asc())
+            .limit(k)
+        )
+
+
+_TERM_DOC_SCHEMA = T.StructType(
+    [
+        T.StructField("term", T.StringType(), False),
+        T.StructField("doc_id", T.LongType(), False),
+    ]
+)
+
+
+def _decode_docs_with_term(
+    batches: Iterator[pd.DataFrame],
+) -> Iterator[pd.DataFrame]:
+    for pdf in batches:
+        if not len(pdf):
+            continue
+        terms, docs = [], []
+        for term, blob in zip(pdf["term"], pdf["docs"]):
+            d = decode_doc_ids(blob)
+            docs.append(d)
+            terms.append(np.full(d.size, term, dtype=object))
+        yield pd.DataFrame(
+            {
+                "term": np.concatenate(terms),
+                "doc_id": np.concatenate(docs),
+            }
+        )

@@ -1,0 +1,128 @@
+"""Index storage layout: postings blocks, lexicon, docstats, stats sidecar.
+
+The engine-native equivalent of Lucene's segment files (SURVEY.md §1.3):
+
+* ``postings/``  — parquet, term-sorted **block** rows:
+    (term, min_doc, max_doc, df, max_tf, docs BINARY, tfs BINARY, dls BINARY)
+  Each row holds <= block_size postings for one term, docID-sorted,
+  delta+varbyte encoded (functions/codec.py). A hot term spans many block
+  rows (possibly across build slices) — this is the skew story: range
+  partitioning on (term, doc_id) splits heavy posting lists across
+  partitions and the block format makes the fragments directly queryable,
+  no salt+merge second pass needed. Term-sorted files give parquet
+  min/max row-group stats, so term predicates prune I/O exactly like the
+  reference's term-dictionary seek (WildcardTermEnum.java:56-69).
+  ``dls`` embeds each posting's document length so BM25 scoring needs no
+  join against docstats at query time.
+* ``lexicon/``   — parquet (term, df, max_tf): global per-term stats,
+  driver-collectable per query (queries touch few terms).
+* ``docstats/``  — parquet (doc_id, dl, content_sha256): per-doc length +
+  the north_rule per-row integrity invariant.
+* ``stats.json`` — {n_docs, avgdl, total_terms, config} global scalars.
+* ``manifest/``  — per-slice JSON lineage + metrics; a slice with a
+  manifest entry is skipped on resume (checkpoint-resumable build).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from typing import Any
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import types as T
+
+from ..config import HashSplitterConfig
+
+BLOCK_SCHEMA = T.StructType(
+    [
+        T.StructField("term", T.StringType(), False),
+        T.StructField("min_doc", T.LongType(), False),
+        T.StructField("max_doc", T.LongType(), False),
+        T.StructField("df", T.LongType(), False),
+        T.StructField("max_tf", T.IntegerType(), False),
+        T.StructField("docs", T.BinaryType(), False),
+        T.StructField("tfs", T.BinaryType(), False),
+        T.StructField("dls", T.BinaryType(), False),
+    ]
+)
+
+DOCSTATS_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType(), False),
+        T.StructField("dl", T.LongType(), False),
+        T.StructField("content_sha256", T.StringType(), False),
+    ]
+)
+
+
+def postings_path(index_dir: str, slice_id: int | None = None) -> str:
+    if slice_id is None:
+        return os.path.join(index_dir, "postings")
+    return os.path.join(index_dir, "postings", f"slice={slice_id}")
+
+
+def lexicon_path(index_dir: str) -> str:
+    return os.path.join(index_dir, "lexicon")
+
+
+def docstats_path(index_dir: str) -> str:
+    return os.path.join(index_dir, "docstats")
+
+
+def stats_file(index_dir: str) -> str:
+    return os.path.join(index_dir, "stats.json")
+
+
+def manifest_file(index_dir: str, slice_id: int) -> str:
+    return os.path.join(index_dir, "manifest", f"slice-{slice_id}.json")
+
+
+def write_stats(index_dir: str, stats: dict[str, Any]) -> None:
+    os.makedirs(index_dir, exist_ok=True)
+    with open(stats_file(index_dir), "w") as f:
+        json.dump(stats, f, indent=2, sort_keys=True)
+
+
+def read_stats(index_dir: str) -> dict[str, Any]:
+    with open(stats_file(index_dir)) as f:
+        return json.load(f)
+
+
+def write_manifest(index_dir: str, slice_id: int, entry: dict[str, Any]) -> None:
+    os.makedirs(os.path.join(index_dir, "manifest"), exist_ok=True)
+    with open(manifest_file(index_dir, slice_id), "w") as f:
+        json.dump(entry, f, indent=2, sort_keys=True)
+
+
+def manifest_exists(index_dir: str, slice_id: int) -> bool:
+    return os.path.exists(manifest_file(index_dir, slice_id))
+
+
+def read_manifests(index_dir: str) -> list[dict[str, Any]]:
+    mdir = os.path.join(index_dir, "manifest")
+    if not os.path.isdir(mdir):
+        return []
+    out = []
+    for name in sorted(os.listdir(mdir)):
+        with open(os.path.join(mdir, name)) as f:
+            out.append(json.load(f))
+    return out
+
+
+def read_postings(spark: SparkSession, index_dir: str) -> DataFrame:
+    # Slice subdirectories (slice=k) surface as a partition column via
+    # parquet partition discovery; block consumers ignore it.
+    return spark.read.parquet(postings_path(index_dir))
+
+
+def read_lexicon(spark: SparkSession, index_dir: str) -> DataFrame:
+    return spark.read.parquet(lexicon_path(index_dir))
+
+
+def read_docstats(spark: SparkSession, index_dir: str) -> DataFrame:
+    return spark.read.parquet(docstats_path(index_dir))
+
+
+def read_config(index_dir: str) -> HashSplitterConfig:
+    return HashSplitterConfig.from_json(read_stats(index_dir)["config"])

@@ -1,0 +1,309 @@
+"""Deduplication operators for training-data pipelines.
+
+Four tiers, each with an explicit scale story:
+
+* exact          — md5 groupBy (one shuffle on the digest; survivor = min id)
+* n-gram Jaccard — shingle-explode + self-join on shingle (candidate pairs
+                   only materialize where shingles collide); exact verify
+* MinHash + LSH  — xxhash64 shingles JVM-side, vectorized signature UDF,
+                   band-bucket join (the 100TB path: candidates per band
+                   bucket, never all-pairs), exact Jaccard verify
+* SimHash        — xxhash64 token hashes, bit-majority fingerprint UDF,
+                   16-bit band blocking + Hamming verify
+
+All candidate generation happens on shuffled *keys* (digest / shingle /
+band bucket), so skew follows data duplication, not data size; the
+verify joins are narrow (candidate pairs only).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from .text import tokens_col
+
+# ---------------------------------------------------------------------------
+# exact dedup
+# ---------------------------------------------------------------------------
+
+
+def exact_duplicates(df: DataFrame, id_col: str = "doc_id",
+                     text_col: str = "text") -> DataFrame:
+    """-> (digest, n_copies, keep_id): one row per duplicated content."""
+    return (
+        df.select(F.col(id_col).alias("doc_id"), F.md5(F.col(text_col)).alias("digest"))
+        .groupBy("digest")
+        .agg(F.count("*").alias("n_copies"), F.min("doc_id").alias("keep_id"))
+        .where(F.col("n_copies") > 1)
+    )
+
+
+def exact_dedup(df: DataFrame, id_col: str = "doc_id",
+                text_col: str = "text") -> DataFrame:
+    """Survivors: the min-id row per distinct content digest."""
+    w = df.select(F.col(id_col).alias("doc_id"),
+                  F.md5(F.col(text_col)).alias("digest"))
+    keep = w.groupBy("digest").agg(F.min("doc_id").alias("doc_id"))
+    return keep.select("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# word-shingle helpers (shared by Jaccard / MinHash)
+# ---------------------------------------------------------------------------
+
+
+def shingles_col(text_col: str, n: int):
+    toks = tokens_col(text_col)
+    # guard: Spark's sequence(1, 0) counts *down*; short docs get no shingles
+    idx = F.when(
+        F.size(toks) >= n, F.sequence(F.lit(1), F.size(toks) - (n - 1))
+    ).otherwise(F.array().cast("array<int>"))
+    return F.array_distinct(
+        F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i, n)))
+    )
+
+
+def _shingle_rows(df: DataFrame, id_col: str, text_col: str, n: int) -> DataFrame:
+    return df.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(shingles_col(text_col, n)).alias("shingle"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# n-gram Jaccard (exact)
+# ---------------------------------------------------------------------------
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    threshold: float = 0.8,
+    n: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """-> (doc_a, doc_b, jaccard) for pairs with shingle-set Jaccard >=
+    threshold (doc_a < doc_b). Pairs are generated only where shingles
+    collide; at scale, hot shingles should be capped (df cutoff) — the
+    cap is exposed for callers, not silently applied."""
+    sh = _shingle_rows(df, id_col, text_col, n)
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    common = (
+        a.join(b, (F.col("a.shingle") == F.col("b.shingle"))
+               & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("doc_a"),
+                 F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count("*").alias("n_common"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("n_a"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("n_b"))
+    return (
+        common.join(sa, "doc_a").join(sb, "doc_b")
+        .withColumn(
+            "jaccard",
+            F.col("n_common") / (F.col("n_a") + F.col("n_b") - F.col("n_common")),
+        )
+        .where(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", F.round("jaccard", 6).alias("jaccard"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# MinHash + LSH
+# ---------------------------------------------------------------------------
+
+_MERSENNE = (1 << 61) - 1
+
+
+def _perm_params(num_perm: int, seed: int) -> tuple[np.ndarray, np.ndarray]:
+    rng = np.random.RandomState(seed)
+    a = rng.randint(1, _MERSENNE, size=num_perm, dtype=np.int64).astype(np.uint64)
+    b = rng.randint(0, _MERSENNE, size=num_perm, dtype=np.int64).astype(np.uint64)
+    return a, b
+
+
+def minhash_signatures(
+    df: DataFrame,
+    num_perm: int = 64,
+    n: int = 3,
+    seed: int = 42,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """-> (doc_id, sig array<long>): MinHash over xxhash64'd word shingles.
+
+    Base hashing is JVM-side (xxhash64); the permutation min-reduction is
+    a vectorized Arrow UDF over the collected per-doc hash arrays
+    ((a*x+b) mod 2^61-1, one matrix op per doc batch).
+    """
+    sh = _shingle_rows(df, id_col, text_col, n).withColumn(
+        "h", F.xxhash64("shingle")
+    )
+    per_doc = sh.groupBy("doc_id").agg(F.collect_set("h").alias("hs"))
+    a, b = _perm_params(num_perm, seed)
+
+    @F.pandas_udf(T.ArrayType(T.LongType()))
+    def sig(hs: pd.Series) -> pd.Series:
+        out = []
+        for arr in hs:
+            x = np.asarray(arr, dtype=np.int64).astype(np.uint64)[:, None]
+            # multiply-add hash family on the mod-2^64 ring (uint64 wrap is
+            # deliberate): deterministic and uniform enough for MinHash
+            vals = x * a[None, :] + b[None, :]
+            out.append(vals.min(axis=0).astype(np.int64))
+        return pd.Series(out)
+
+    return per_doc.select("doc_id", sig("hs").alias("sig"))
+
+
+def minhash_lsh_candidates(
+    sigs: DataFrame, bands: int = 16, rows: int = 4
+) -> DataFrame:
+    """Band the signatures and emit candidate pairs that share a band
+    bucket (the LSH join). -> (doc_a, doc_b) distinct."""
+    banded = sigs.select(
+        "doc_id",
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(bands - 1)),
+                lambda i: F.hash(F.slice("sig", i * rows + 1, rows)),
+            )
+        ).alias("band", "bucket"),
+    )
+    a = banded.alias("a")
+    b = banded.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+
+
+def minhash_dedup_pairs(
+    df: DataFrame,
+    threshold: float = 0.7,
+    num_perm: int = 64,
+    bands: int = 16,
+    rows: int = 4,
+    n: int = 3,
+    seed: int = 42,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """MinHash-LSH candidates verified with exact shingle Jaccard.
+
+    -> (doc_a, doc_b, jaccard >= threshold). Exact-verify keeps the
+    result deterministic (LSH affects recall only, never precision).
+    """
+    sigs = minhash_signatures(df, num_perm, n, seed, id_col, text_col)
+    cand = minhash_lsh_candidates(sigs, bands, rows)
+    sh = _shingle_rows(df, id_col, text_col, n)
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
+    a = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
+    b = sh.select(F.col("doc_id").alias("doc_b"), "shingle")
+    common = (
+        cand.join(a, "doc_a").join(b, ["doc_b", "shingle"])
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("n_common"))
+    )
+    return (
+        common.join(sizes.select(F.col("doc_id").alias("doc_a"),
+                                 F.col("n_sh").alias("n_a")), "doc_a")
+        .join(sizes.select(F.col("doc_id").alias("doc_b"),
+                           F.col("n_sh").alias("n_b")), "doc_b")
+        .withColumn("jaccard", F.col("n_common")
+                    / (F.col("n_a") + F.col("n_b") - F.col("n_common")))
+        .where(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", F.round("jaccard", 6).alias("jaccard"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# SimHash
+# ---------------------------------------------------------------------------
+
+
+def simhash_fingerprints(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """-> (doc_id, simhash long): 64-bit bit-majority over token hashes
+    weighted by tf. Token hashing is JVM-side xxhash64; the bit-majority
+    accumulation is a vectorized Arrow UDF (unpackbits matrix sum)."""
+    toks = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(tokens_col(text_col)).alias("tok"),
+    ).select("doc_id", F.xxhash64("tok").alias("h"))
+    per_doc = toks.groupBy("doc_id", "h").agg(F.count("*").alias("w"))
+    agg = per_doc.groupBy("doc_id").agg(
+        F.collect_list("h").alias("hs"), F.collect_list("w").alias("ws")
+    )
+
+    @F.pandas_udf(T.LongType())
+    def simhash(hs: pd.Series, ws: pd.Series) -> pd.Series:
+        out = np.empty(len(hs), dtype=np.int64)
+        for i, (arr, w) in enumerate(zip(hs, ws)):
+            h = np.asarray(arr, dtype=np.int64).astype(np.uint64)
+            w = np.asarray(w, dtype=np.int64)
+            bits = ((h[:, None] >> np.arange(64, dtype=np.uint64)) &
+                    np.uint64(1)).astype(np.int64)
+            score = ((bits * 2 - 1) * w[:, None]).sum(axis=0)
+            fp = np.uint64(0)
+            for j in np.flatnonzero(score > 0):
+                fp |= np.uint64(1) << np.uint64(j)
+            out[i] = np.int64(fp.astype(np.int64))
+        return pd.Series(out)
+
+    return agg.select("doc_id", simhash("hs", "ws").alias("simhash"))
+
+
+def simhash_near_duplicates(
+    df: DataFrame,
+    max_hamming: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Near-dup pairs with Hamming distance <= max_hamming.
+
+    Blocking: any pair within distance d shares at least one of the four
+    16-bit bands (pigeonhole, d <= 3 < 4 bands); equality-join per band,
+    then exact popcount verify. -> (doc_a, doc_b, hamming)."""
+    fps = simhash_fingerprints(df, id_col, text_col)
+    banded = fps.select(
+        "doc_id", "simhash",
+        F.posexplode(F.array(*[
+            F.shiftrightunsigned("simhash", k * 16).bitwiseAND(F.lit(0xFFFF))
+            for k in range(4)
+        ])).alias("band", "key"),
+    )
+    a = banded.alias("a")
+    b = banded.alias("b")
+    cand = (
+        a.join(b, (F.col("a.band") == F.col("b.band"))
+               & (F.col("a.key") == F.col("b.key"))
+               & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .select(F.col("a.doc_id").alias("doc_a"),
+                F.col("a.simhash").alias("fp_a"),
+                F.col("b.doc_id").alias("doc_b"),
+                F.col("b.simhash").alias("fp_b"))
+        .distinct()
+    )
+    ham = F.bit_count(F.col("fp_a").bitwiseXOR(F.col("fp_b")))
+    return (
+        cand.withColumn("hamming", ham)
+        .where(F.col("hamming") <= max_hamming)
+        .select("doc_a", "doc_b", "hamming")
+    )

@@ -1,0 +1,176 @@
+"""Training-data pipeline operators over the driver testdata tables
+(documents / embeddings at sf0.001), cross-checked against pandas/DuckDB
+oracles computed in-process."""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.read.parquet(f"{SF_DIR}/documents.parquet")
+
+
+@pytest.fixture(scope="module")
+def docs_pd(docs):
+    return docs.toPandas().sort_values("doc_id").reset_index(drop=True)
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    return spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+
+
+def test_text_metrics(docs, docs_pd):
+    from elasticsearch_analysis_hashsplitter_spark.operators.text import (
+        text_metrics,
+    )
+
+    got = (
+        text_metrics(docs)
+        .orderBy("doc_id")
+        .toPandas()
+        .reset_index(drop=True)
+    )
+    toks = docs_pd["text"].str.split()
+    assert (got["n_tokens"] == toks.str.len()).all()
+    exp_avg = toks.map(lambda t: round(sum(map(len, t)) / len(t), 4) if t else 0)
+    assert np.allclose(got["avg_token_len"], exp_avg, atol=1e-4)
+    assert got["lang_id"].isin(["en", "de", "es", "fr", "und"]).all()
+    assert (got["quality"] >= 0).all() and (got["quality"] <= 1).all()
+
+
+def test_exact_dedup(spark, docs, docs_pd):
+    from elasticsearch_analysis_hashsplitter_spark.operators.dedup import (
+        exact_dedup,
+        exact_duplicates,
+    )
+
+    survivors = exact_dedup(docs).count()
+    expected = docs_pd.groupby(docs_pd["text"]).size().shape[0]
+    assert survivors == expected
+    dups = exact_duplicates(docs).toPandas()
+    vc = docs_pd["text"].value_counts()
+    assert len(dups) == (vc > 1).sum()
+
+
+def test_ngram_jaccard_pairs_oracle(spark, docs, docs_pd):
+    from elasticsearch_analysis_hashsplitter_spark.operators.dedup import (
+        ngram_jaccard_pairs,
+    )
+
+    got = (
+        ngram_jaccard_pairs(docs, threshold=0.35, n=3)
+        .orderBy("doc_a", "doc_b")
+        .toPandas()
+    )
+
+    def sh(t):
+        toks = t.split()
+        return {
+            " ".join(toks[i : i + 3]) for i in range(len(toks) - 2)
+        }
+
+    sets = {r.doc_id: sh(r.text) for r in docs_pd.itertuples()}
+    exp = []
+    ids = sorted(sets)
+    for i, a in enumerate(ids):
+        for b in ids[i + 1 :]:
+            inter = len(sets[a] & sets[b])
+            if not inter:
+                continue
+            j = inter / len(sets[a] | sets[b])
+            if j >= 0.35:
+                exp.append((a, b, round(j, 6)))
+    assert [
+        (r.doc_a, r.doc_b, r.jaccard) for r in got.itertuples()
+    ] == exp
+
+
+def test_minhash_lsh_finds_exact_dupes(spark):
+    from elasticsearch_analysis_hashsplitter_spark.operators.dedup import (
+        minhash_dedup_pairs,
+    )
+
+    base = "the quick brown fox jumps over the lazy dog and runs far away today"
+    rows = [
+        (0, base),
+        (1, base),  # exact dup
+        (2, base + " extra token added"),  # near dup
+        (3, "completely different content about spark inverted index engines here"),
+        (4, "another unrelated document with its own words entirely disjoint set"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    pairs = {
+        (r.doc_a, r.doc_b): r.jaccard
+        for r in minhash_dedup_pairs(df, threshold=0.5).collect()
+    }
+    assert (0, 1) in pairs and pairs[(0, 1)] == 1.0
+    assert all(3 not in p and 4 not in p for p in pairs)
+
+
+def test_simhash_near_duplicates(spark):
+    from elasticsearch_analysis_hashsplitter_spark.operators.dedup import (
+        simhash_near_duplicates,
+    )
+
+    base = (
+        "spark engine builds partitioned inverted index with varbyte "
+        "compressed postings and bm25 scoring for web scale corpora"
+    )
+    rows = [
+        (0, base),
+        (1, base),  # identical -> hamming 0
+        (2, base.replace("varbyte", "gamma")),  # 1-token change
+        (3, "entirely different words in this one document nothing shared"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        (r.doc_a, r.doc_b): r.hamming
+        for r in simhash_near_duplicates(df, max_hamming=10).collect()
+    }
+    assert got.get((0, 1)) == 0
+    assert (0, 2) in got
+    assert all(3 not in p for p in got)
+
+
+def test_cosine_topk_matches_numpy(spark, emb):
+    from elasticsearch_analysis_hashsplitter_spark.operators.similarity import (
+        cosine_topk,
+    )
+
+    pdf = emb.toPandas()
+    mat = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+    q = mat[0]
+    cos = mat @ q / (np.linalg.norm(mat, axis=1) * np.linalg.norm(q))
+    order = sorted(
+        zip(pdf["vec_id"], np.round(cos, 6)), key=lambda t: (-t[1], t[0])
+    )[:10]
+    got = [
+        (r.vec_id, r.cos)
+        for r in cosine_topk(emb, list(q), k=10).collect()
+    ]
+    assert [g[0] for g in got] == [o[0] for o in order]
+    assert np.allclose([g[1] for g in got], [o[1] for o in order], atol=2e-6)
+
+
+def test_rp_lsh_topk_recall(spark, emb):
+    from elasticsearch_analysis_hashsplitter_spark.operators.similarity import (
+        cosine_topk,
+        rp_lsh_topk,
+    )
+
+    pdf = emb.toPandas()
+    q = list(np.stack(pdf["embedding"].to_numpy())[3].astype(np.float64))
+    exact = [r.vec_id for r in cosine_topk(emb, q, k=5).collect()]
+    approx = [r.vec_id for r in rp_lsh_topk(emb, q, k=5).collect()]
+    # the query vector itself must always be found (identical signature),
+    # and the LSH result must be deterministic across runs
+    assert exact[0] == approx[0]
+    assert approx == [r.vec_id for r in rp_lsh_topk(emb, q, k=5).collect()]
+    # candidates are a strict subset: raising bands can only add recall
+    wide = [r.vec_id for r in rp_lsh_topk(emb, q, k=5, bands=8).collect()]
+    assert exact[0] == wide[0]

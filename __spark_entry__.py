@@ -1,10 +1,15 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` — flagship BM25 top-k on sf0.001.
+``queries()``   — one entry per implemented operator (SURVEY.md §2):
+  engine queries (C1/C3/C5-C8, E1, lexicon/postings, BM25) plus the
+  training-data pipeline operators (dedup, similarity, text analysis).
+``oracle_sql()``— DuckDB-equivalent SQL per query. Engine queries use the
+  IR -> SQL translator (plans/sql_oracle.py) over a chunk CTE, so the
+  driver verifies the distributed execution of the *same* compiled tree
+  whose compiler is golden-tested against the reference vectors; hash
+  prefix/range/wildcard queries instead use independent *semantic*
+  oracles (LIKE / BETWEEN on the raw value), a strictly stronger check.
 """
 
 from __future__ import annotations
@@ -12,27 +17,400 @@ from __future__ import annotations
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from elasticsearch_analysis_hashsplitter_spark.config import (
+    DEFAULT_PREFIXES,
+    HashSplitterConfig,
+)
+from elasticsearch_analysis_hashsplitter_spark.operators.search import (
+    SearchEngine,
+)
+from elasticsearch_analysis_hashsplitter_spark.plans import compile as qc
+from elasticsearch_analysis_hashsplitter_spark.plans import sql_oracle
+
+#: per-token positioned chunks over documents.text (A2 / code-corpus mode)
+TOK_CFG = HashSplitterConfig(
+    chunk_length=4, token_mode="tokens", apply_input_cap=False
+)
+#: fixed-size-32 hash field derived as md5(text) (A1 / hash-field mode)
+HASH_CFG = HashSplitterConfig(chunk_length=4, size=32, apply_input_cap=False)
+
+BM25_QUERY = "spark join"
+_bm25_terms = tuple(qc.field_query(BM25_QUERY, TOK_CFG).terms)
+
+_ENGINES: dict[tuple, SearchEngine] = {}
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+
+
+def _engine(spark: SparkSession, sf_dir: str, mode: str) -> SearchEngine:
+    key = (id(spark), sf_dir, mode)
+    if key not in _ENGINES:
+        docs = _docs(spark, sf_dir)
+        if mode == "tokens":
+            _ENGINES[key] = SearchEngine.from_corpus(
+                docs, TOK_CFG, id_col="doc_id", text_col="text"
+            )
+        else:
+            hashed = docs.select("doc_id", F.md5("text").alias("hash"))
+            _ENGINES[key] = SearchEngine.from_corpus(
+                hashed, HASH_CFG, id_col="doc_id", text_col="hash"
+            )
+    return _ENGINES[key]
+
+
+def _sorted_docs(df: DataFrame) -> DataFrame:
+    return df.select(F.col("doc_id").cast("long").alias("doc_id")).orderBy(
+        "doc_id"
+    )
+
+
+# ---------------------------------------------------------------------------
+# entry
+# ---------------------------------------------------------------------------
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: build the inverted index over sf0.001 documents and run a
+    BM25 top-10 conjunctive query."""
+    eng = _engine(spark, "/root/testdata/sf0.001", "tokens")
+    return eng.search(BM25_QUERY, k=10).select(
+        "doc_id", F.round("score", 4).alias("score")
+    )
+
+
+# ---------------------------------------------------------------------------
+# queries
+# ---------------------------------------------------------------------------
+
+
+def _q_lexicon(spark, sf_dir):
+    eng = _engine(spark, sf_dir, "tokens")
+    return (
+        eng.postings.groupBy("term")
+        .agg(F.sum("df").alias("df"))
+        .orderBy(F.col("df").desc(), F.col("term"))
+        .limit(100)
+    )
+
+
+def _q_term(spark, sf_dir):
+    return _sorted_docs(_engine(spark, sf_dir, "tokens").term("spark"))
+
+
+def _q_chunk_term(spark, sf_dir):
+    return _sorted_docs(_engine(spark, sf_dir, "tokens").chunk_term("Aspar"))
+
+
+def _q_prefix(spark, sf_dir):
+    return _sorted_docs(_engine(spark, sf_dir, "tokens").prefix("windo"))
+
+
+def _q_wildcard_prefix(spark, sf_dir):
+    return _sorted_docs(_engine(spark, sf_dir, "tokens").wildcard("s?ar*"))
+
+
+def _q_wildcard_mid(spark, sf_dir):
+    return _sorted_docs(_engine(spark, sf_dir, "tokens").wildcard("c?stomer"))
+
+
+def _q_bm25(spark, sf_dir):
+    eng = _engine(spark, sf_dir, "tokens")
+    return eng.search(BM25_QUERY, k=10).select(
+        "doc_id", F.round("score", 4).alias("score")
+    )
+
+
+def _q_hash_prefix(spark, sf_dir):
+    return _sorted_docs(_engine(spark, sf_dir, "hash").prefix("0"))
+
+
+def _q_hash_wildcard_suffix(spark, sf_dir):
+    return _sorted_docs(_engine(spark, sf_dir, "hash").wildcard("*ff"))
+
+
+def _q_hash_range(spark, sf_dir):
+    lo, hi = "2" + "0" * 31, "c" + "f" * 31
+    return _sorted_docs(
+        _engine(spark, sf_dir, "hash").range(lo, hi, True, True)
+    )
+
+
+def _q_hash_range_open(spark, sf_dir):
+    return _sorted_docs(
+        _engine(spark, sf_dir, "hash").range(None, None, True, True)
+    )
+
+
+def _q_dedup_exact(spark, sf_dir):
+    from elasticsearch_analysis_hashsplitter_spark.operators.dedup import (
+        exact_duplicates,
+    )
+
+    return exact_duplicates(_docs(spark, sf_dir)).orderBy("digest")
+
+
+def _q_ngram_jaccard(spark, sf_dir):
+    from elasticsearch_analysis_hashsplitter_spark.operators.dedup import (
+        ngram_jaccard_pairs,
+    )
+
+    return ngram_jaccard_pairs(
+        _docs(spark, sf_dir), threshold=0.3, n=3
+    ).orderBy("doc_a", "doc_b")
+
+
+def _q_minhash_pairs(spark, sf_dir):
+    from elasticsearch_analysis_hashsplitter_spark.operators.dedup import (
+        minhash_dedup_pairs,
+    )
+
+    return minhash_dedup_pairs(
+        _docs(spark, sf_dir), threshold=0.5
+    ).orderBy("doc_a", "doc_b")
+
+
+def _q_simhash_pairs(spark, sf_dir):
+    from elasticsearch_analysis_hashsplitter_spark.operators.dedup import (
+        simhash_near_duplicates,
+    )
+
+    return simhash_near_duplicates(
+        _docs(spark, sf_dir), max_hamming=3
+    ).orderBy("doc_a", "doc_b")
+
+
+def _q_ann_cosine(spark, sf_dir):
+    from elasticsearch_analysis_hashsplitter_spark.operators.similarity import (
+        cosine_topk,
+    )
+
+    emb = _emb(spark, sf_dir)
+    q = emb.where(F.col("vec_id") == 0).select("embedding").collect()[0][0]
+    out = cosine_topk(
+        emb.select("vec_id", F.col("embedding").cast("array<double>").alias("embedding")),
+        [float(x) for x in q],
+        k=10,
+    )
+    return out.select("vec_id", F.round("cos", 4).alias("cos"))
+
+
+def _q_ann_lsh(spark, sf_dir):
+    from elasticsearch_analysis_hashsplitter_spark.operators.similarity import (
+        rp_lsh_topk,
+    )
+
+    emb = _emb(spark, sf_dir)
+    q = emb.where(F.col("vec_id") == 0).select("embedding").collect()[0][0]
+    out = rp_lsh_topk(
+        emb.select("vec_id", F.col("embedding").cast("array<double>").alias("embedding")),
+        [float(x) for x in q],
+        k=10,
+    )
+    return out.select("vec_id", F.round("cos", 4).alias("cos"))
+
+
+def _q_text_metrics(spark, sf_dir):
+    from elasticsearch_analysis_hashsplitter_spark.operators.text import (
+        text_metrics,
+    )
+
+    return text_metrics(_docs(spark, sf_dir)).orderBy("doc_id")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    return {
+        "lexicon_top100": _q_lexicon,
+        "term_query": _q_term,
+        "chunk_term_query": _q_chunk_term,
+        "prefix_query": _q_prefix,
+        "wildcard_prefix_query": _q_wildcard_prefix,
+        "wildcard_mid_query": _q_wildcard_mid,
+        "bm25_topk": _q_bm25,
+        "hash_prefix_query": _q_hash_prefix,
+        "hash_wildcard_suffix": _q_hash_wildcard_suffix,
+        "hash_range_query": _q_hash_range,
+        "hash_range_open": _q_hash_range_open,
+        "dedup_exact": _q_dedup_exact,
+        "ngram_jaccard_pairs": _q_ngram_jaccard,
+        "minhash_pairs": _q_minhash_pairs,
+        "simhash_pairs": _q_simhash_pairs,
+        "ann_cosine_topk": _q_ann_cosine,
+        "ann_lsh_topk": _q_ann_lsh,
+        "text_metrics": _q_text_metrics,
+    }
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+
+# ---------------------------------------------------------------------------
+# oracle SQL (DuckDB dialect; views pre-registered by the driver)
+# ---------------------------------------------------------------------------
+
+_TOK_CTE = sql_oracle.chunks_cte_tokens(TOK_CFG)
+
+
+def _tok_ir_sql(node) -> str:
+    sel = sql_oracle.docs_select(node, TOK_CFG)
+    return f"WITH {_TOK_CTE} SELECT doc_id FROM ({sel}) q ORDER BY doc_id"
+
+
+def _bm25_oracle() -> str:
+    terms = sorted(set(_bm25_terms))
+    in_list = ", ".join("'" + t + "'" for t in terms)
+    k1, b = TOK_CFG.bm25_k1, TOK_CFG.bm25_b
+    return f"""
+WITH {_TOK_CTE},
+tf AS (SELECT doc_id, term, count(*) AS tf FROM chunks GROUP BY doc_id, term),
+dl AS (SELECT doc_id, count(*) AS dl FROM chunks GROUP BY doc_id),
+stats AS (SELECT (SELECT count(*) FROM documents) AS n, avg(dl) AS avgdl FROM dl),
+dfs AS (SELECT term, count(*) AS df FROM tf
+        WHERE term IN ({in_list}) GROUP BY term),
+hits AS (
+  SELECT tf.doc_id,
+         sum(ln(1 + (s.n - dfs.df + 0.5) / (dfs.df + 0.5))
+             * tf.tf * ({k1} + 1)
+             / (tf.tf + {k1} * (1 - {b} + {b} * dl.dl / s.avgdl))) AS score,
+         count(DISTINCT tf.term) AS nt
+  FROM tf
+  JOIN dfs USING (term)
+  JOIN dl USING (doc_id)
+  CROSS JOIN stats s
+  GROUP BY tf.doc_id
+)
+SELECT doc_id, round(score, 4) AS score FROM hits
+WHERE nt = {len(terms)}
+ORDER BY score DESC, doc_id
+LIMIT 10"""
+
+
+_EN_STOP_SQL = None
+
+
+def _text_metrics_oracle() -> str:
+    from elasticsearch_analysis_hashsplitter_spark.operators.text import (
+        EN_STOPWORDS,
+        LANG_MARKERS,
+    )
+
+    stop = ", ".join("'" + w + "'" for w in EN_STOPWORDS)
+    counts = {
+        code: "len(list_filter(l, x -> x IN ("
+        + ", ".join("'" + w + "'" for w in LANG_MARKERS[code])
+        + ")))"
+        for code in sorted(LANG_MARKERS)
+    }
+    cexp = ", ".join(f"{v} AS c_{k}" for k, v in counts.items())
+    return f"""
+WITH t AS (
+  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS l
+  FROM documents
+),
+m AS (
+  SELECT doc_id, l, len(l) AS n,
+         CASE WHEN len(l) > 0 THEN
+           list_aggregate(list_transform(l, x -> length(x)), 'sum')::DOUBLE / len(l)
+         ELSE 0.0 END AS alen,
+         CASE WHEN len(l) > 0 THEN
+           len(list_filter(l, x -> x IN ({stop})))::DOUBLE / len(l)
+         ELSE 0.0 END AS swr,
+         {cexp}
+  FROM t
+)
+SELECT doc_id,
+       n AS n_tokens,
+       round(alen, 4) AS avg_token_len,
+       round(swr, 4) AS stopword_ratio,
+       round(((CASE WHEN n BETWEEN 10 AND 100000 THEN 1.0 ELSE 0.0 END)
+            + (CASE WHEN swr > 0.0 AND swr < 0.8 THEN 1.0 ELSE 0.0 END)
+            + (CASE WHEN alen >= 2.0 AND alen <= 12.0 THEN 1.0 ELSE 0.0 END)
+             ) / 3.0, 4) AS quality,
+       CASE WHEN greatest(c_de, c_en, c_es, c_fr) = 0 THEN 'und'
+            WHEN c_de = greatest(c_de, c_en, c_es, c_fr) THEN 'de'
+            WHEN c_en = greatest(c_de, c_en, c_es, c_fr) THEN 'en'
+            WHEN c_es = greatest(c_de, c_en, c_es, c_fr) THEN 'es'
+            ELSE 'fr' END AS lang_id,
+       md5(array_to_string(list_sort(list_distinct(l)), ' ')) AS fingerprint
+FROM m
+ORDER BY doc_id"""
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    lex = f"""
+WITH {_TOK_CTE},
+d AS (SELECT DISTINCT doc_id, term FROM chunks)
+SELECT term, count(*)::BIGINT AS df FROM d GROUP BY term
+ORDER BY df DESC, term LIMIT 100"""
+
+    jacc = """
+WITH t AS (
+  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS l
+  FROM documents
+),
+sh AS (
+  SELECT DISTINCT doc_id, array_to_string(l[i:i+2], ' ') AS shingle
+  FROM (
+    SELECT doc_id, l,
+           unnest(generate_series(1, greatest(len(l) - 2, 0))) AS i
+    FROM t
+  ) x
+),
+sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+common AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+)
+SELECT doc_a, doc_b,
+       round(n_common::DOUBLE / (sa.n_sh + sb.n_sh - n_common), 6) AS jaccard
+FROM common
+JOIN sizes sa ON sa.doc_id = doc_a
+JOIN sizes sb ON sb.doc_id = doc_b
+WHERE n_common::DOUBLE / (sa.n_sh + sb.n_sh - n_common) >= 0.3
+ORDER BY doc_a, doc_b"""
+
+    ann = """
+WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0)
+SELECT vec_id,
+       round(list_cosine_similarity(embedding::DOUBLE[], qe::DOUBLE[]), 4) AS cos
+FROM embeddings, q
+ORDER BY list_cosine_similarity(embedding::DOUBLE[], qe::DOUBLE[]) DESC, vec_id
+LIMIT 10"""
+
+    return {
+        "lexicon_top100": lex,
+        "term_query": _tok_ir_sql(qc.field_query("spark", TOK_CFG, scored=True)),
+        "chunk_term_query": _tok_ir_sql(qc.chunk_term_query("Aspar")),
+        "prefix_query": _tok_ir_sql(qc.prefix_query("windo", TOK_CFG)),
+        "wildcard_prefix_query": _tok_ir_sql(qc.wildcard_query("s?ar*", TOK_CFG)),
+        "wildcard_mid_query": _tok_ir_sql(qc.wildcard_query("c?stomer", TOK_CFG)),
+        "bm25_topk": _bm25_oracle(),
+        # semantic oracles on the raw derived value (stronger than mirroring)
+        "hash_prefix_query": (
+            "SELECT doc_id FROM documents WHERE md5(text) LIKE '0%' "
+            "ORDER BY doc_id"
+        ),
+        "hash_wildcard_suffix": (
+            "SELECT doc_id FROM documents WHERE md5(text) LIKE '%ff' "
+            "ORDER BY doc_id"
+        ),
+        "hash_range_query": (
+            "SELECT doc_id FROM documents WHERE md5(text) BETWEEN "
+            f"'{'2' + '0' * 31}' AND '{'c' + 'f' * 31}' ORDER BY doc_id"
+        ),
+        "hash_range_open": "SELECT doc_id FROM documents ORDER BY doc_id",
+        "dedup_exact": (
+            "SELECT md5(text) AS digest, count(*)::BIGINT AS n_copies, "
+            "min(doc_id) AS keep_id FROM documents GROUP BY md5(text) "
+            "HAVING count(*) > 1 ORDER BY digest"
+        ),
+        "ngram_jaccard_pairs": jacc,
+        # minhash_pairs / simhash_pairs: hash-family-specific, rows-only check
+        "ann_cosine_topk": ann,
+        "text_metrics": _text_metrics_oracle(),
+    }

@@ -26,7 +26,7 @@ Documented divergences from the reference (intended-behavior fixes):
 from __future__ import annotations
 
 from ..config import HashSplitterConfig
-from ..functions.tokenize import chunk_value
+from ..functions.tokenize import analyze
 from .ir import (
     And,
     MatchAll,
@@ -44,10 +44,11 @@ from .pattern import search_chunks
 
 
 def _analyze_query_value(value: str, cfg: HashSplitterConfig) -> list[str]:
-    """Chunk a query-side value with the *index* analyzer (A1 on the whole
-    value — the reference analyzes query values with indexAnalyzer, see
-    HashSplitterFieldMapper.java:406)."""
-    return chunk_value(value, cfg)
+    """Analyze a query-side value with the *index* analyzer (the reference
+    analyzes query values with indexAnalyzer, HashSplitterFieldMapper.java
+    :406) — A1 whole-value chunking in value mode, the A2 token pipeline
+    in tokens mode."""
+    return analyze(value, cfg)
 
 
 def field_query(value: str, cfg: HashSplitterConfig, scored: bool = True) -> Node:

@@ -1,0 +1,158 @@
+"""Benchmark harness.
+
+Runs the headline engine work at ``$SPARK_GRAFT_SF_DIR`` (default
+/root/testdata/sf0.1) on ``local[$SPARK_GRAFT_CPUS]`` and prints ONE
+JSON line:
+
+  {"metric": ..., "value": <total sec>, "unit": "sec",
+   "queries": {name: sec, ...}, "sf": ...,
+   "build": {...}, "scaling": {...}}
+
+Components:
+* index build throughput (files/sec) over a deterministic synthetic
+  source-code corpus (corpus.generate_corpus; BASELINE.json input_hint
+  shape) — the 100TB-path workload;
+* the gate queries from __spark_entry__ (BM25 / prefix / wildcard /
+  range / dedup / ANN / text metrics) over sf documents;
+* two-parallelism scaling run (cores/4 vs cores on the same input, same
+  code) evidencing the north_rule N->4N scaling-efficiency criterion;
+  enabled by default, disable with SPARK_GRAFT_SCALING=0.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+BUILD_ROWS = int(os.environ.get("SPARK_GRAFT_BUILD_ROWS", "100000"))
+DO_SCALING = os.environ.get("SPARK_GRAFT_SCALING", "1") != "0"
+
+
+def make_spark(cores: int, shuffle_partitions: int | None = None):
+    from pyspark.sql import SparkSession
+
+    b = (
+        SparkSession.builder.master(f"local[{cores}]")
+        .appName(f"hashsplitter-bench-{cores}")
+        .config(
+            "spark.sql.shuffle.partitions",
+            str(shuffle_partitions or max(cores * 2, 8)),
+        )
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.ui.enabled", "false")
+        .config("spark.driver.memory", "24g")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+    )
+    return b.getOrCreate()
+
+
+def build_run(spark, n_rows: int, index_dir: str) -> dict:
+    """Index-build throughput over the synthetic corpus (files/sec)."""
+    import shutil
+
+    from elasticsearch_analysis_hashsplitter_spark.corpus import (
+        generate_corpus,
+    )
+    from elasticsearch_analysis_hashsplitter_spark.operators.build import (
+        build_index,
+    )
+
+    from __spark_entry__ import TOK_CFG
+
+    shutil.rmtree(index_dir, ignore_errors=True)
+    docs = generate_corpus(spark, n_rows, partitions=CPUS * 2)
+    t0 = time.time()
+    stats = build_index(docs, TOK_CFG, index_dir)
+    dt = time.time() - t0
+    return {
+        "rows": n_rows,
+        "seconds": round(dt, 3),
+        "files_per_sec": round(n_rows / dt, 1),
+        "total_terms": stats["total_terms"],
+        "n_docs": stats["n_docs"],
+    }
+
+
+def query_run(spark) -> dict:
+    import __spark_entry__ as entrymod
+
+    out = {}
+    for name, fn in entrymod.queries().items():
+        t0 = time.time()
+        df = fn(spark, SF_DIR)
+        n = df.count()
+        out[name] = round(time.time() - t0, 3)
+        _ = n
+    return out
+
+
+def scaling_run(tmp_base: str) -> dict:
+    """Same build at cores/4 and cores; efficiency = T_small/(4*T_big)
+    adjusted for the core ratio (ideal linear scaling -> 1.0)."""
+    lo = max(CPUS // 4, 1)
+    hi = CPUS
+    res = {}
+    for cores in (lo, hi):
+        spark = make_spark(cores)
+        try:
+            r = build_run(spark, BUILD_ROWS, f"{tmp_base}/scale_{cores}")
+            res[cores] = r
+        finally:
+            spark.stop()
+    t_lo, t_hi = res[lo]["seconds"], res[hi]["seconds"]
+    speedup = t_lo / t_hi if t_hi > 0 else 0.0
+    ratio = hi / lo
+    return {
+        "cores_small": lo,
+        "cores_large": hi,
+        "rows": BUILD_ROWS,
+        "seconds_small": t_lo,
+        "seconds_large": t_hi,
+        "files_per_sec_small": res[lo]["files_per_sec"],
+        "files_per_sec_large": res[hi]["files_per_sec"],
+        "speedup": round(speedup, 3),
+        "core_ratio": ratio,
+        "scaling_efficiency": round(speedup / ratio, 3),
+    }
+
+
+def main():
+    import shutil
+    import tempfile
+
+    tmp_base = tempfile.mkdtemp(prefix="hsbench_")
+    result = {
+        "metric": "index build + BM25/partial-token query suite",
+        "unit": "sec",
+        "sf": SF_DIR.rstrip("/").split("sf")[-1],
+        "cpus": CPUS,
+    }
+    try:
+        spark = make_spark(CPUS)
+        try:
+            result["build"] = build_run(
+                spark, BUILD_ROWS, f"{tmp_base}/main_idx"
+            )
+            t0 = time.time()
+            result["queries"] = query_run(spark)
+            result["queries_seconds"] = round(time.time() - t0, 3)
+        finally:
+            spark.stop()
+        if DO_SCALING:
+            result["scaling"] = scaling_run(tmp_base)
+        result["value"] = round(
+            result["build"]["seconds"] + result["queries_seconds"], 3
+        )
+    finally:
+        shutil.rmtree(tmp_base, ignore_errors=True)
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

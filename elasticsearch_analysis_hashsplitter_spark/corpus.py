@@ -61,7 +61,8 @@ PLANTED_HASHES = np.array(
 
 def _mix(a: np.ndarray, salt: int, seed: int) -> np.ndarray:
     """Cheap counter-based 64-bit mixer (splitmix64-style)."""
-    z = (a.astype(np.uint64) + np.uint64(seed * 0x9E3779B97F4A7C15 + salt))
+    k = (seed * 0x9E3779B97F4A7C15 + salt) & 0xFFFFFFFFFFFFFFFF
+    z = a.astype(np.uint64) + np.uint64(k)
     z = (z ^ (z >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
     z = (z ^ (z >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
     return z ^ (z >> np.uint64(31))

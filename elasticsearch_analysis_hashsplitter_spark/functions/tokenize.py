@@ -148,16 +148,59 @@ def analyze_series(values: pd.Series, cfg: HashSplitterConfig) -> pa.Array:
 
 
 def term_freq_series(values: pd.Series, cfg: HashSplitterConfig) -> pd.Series:
-    """Series[str] -> Series[dict[term, tf]] (for ``map<string,int>`` UDFs).
+    """Series[str] -> Series[dict[term, tf]] (for ``map<string,int>`` UDFs)."""
+    frame = term_counts_frame(values, cfg)
+    return pd.Series(
+        [
+            dict(zip(t.tolist(), f.tolist()))
+            for t, f in zip(frame["terms"], frame["tfs"])
+        ],
+        dtype="object",
+    )
+
+
+def term_counts_frame(values: pd.Series, cfg: HashSplitterConfig) -> pd.DataFrame:
+    """Series[str] -> DataFrame(terms: object[np.ndarray[str]],
+    tfs: object[np.ndarray[int]], dl: int64).
 
     Aggregating tf inside the UDF avoids a separate (doc_id, term) groupBy
-    shuffle before the term-range repartition in the index build.
+    shuffle before the term-range repartition in the index build. The
+    (row, term) -> count aggregation is one C-speed pandas groupby over
+    the flat term stream; per-row arrays come out of np.split (no per-row
+    Python work beyond list assembly).
     """
     arr = analyze_series(values, cfg)
     offsets = arr.offsets.to_numpy()
     flat = arr.values.to_numpy(zero_copy_only=False)
-    out = []
-    for i in range(len(values)):
-        terms, tfs = np.unique(flat[offsets[i] : offsets[i + 1]], return_counts=True)
-        out.append(dict(zip(terms.tolist(), tfs.tolist())))
-    return pd.Series(out, dtype="object")
+    n = len(values)
+    dl = np.diff(offsets).astype(np.int64)
+    if flat.size == 0:
+        empty_s = np.empty(0, dtype=object)
+        empty_i = np.empty(0, dtype=np.int64)
+        return pd.DataFrame(
+            {
+                "terms": [empty_s] * n,
+                "tfs": [empty_i] * n,
+                "dl": dl,
+            }
+        )
+    row_idx = np.repeat(np.arange(n, dtype=np.int64), dl)
+    g = (
+        pd.DataFrame({"r": row_idx, "t": flat})
+        .groupby(["r", "t"], sort=True)
+        .size()
+    )
+    rows = g.index.get_level_values(0).to_numpy()
+    terms = g.index.get_level_values(1).to_numpy()
+    tfs = g.to_numpy(dtype=np.int64)
+    # per-row boundaries in the grouped output
+    counts = np.zeros(n, dtype=np.int64)
+    np.add.at(counts, rows, 1)
+    bounds = np.cumsum(counts)[:-1]
+    return pd.DataFrame(
+        {
+            "terms": np.split(terms, bounds),
+            "tfs": np.split(tfs, bounds),
+            "dl": dl,
+        }
+    )

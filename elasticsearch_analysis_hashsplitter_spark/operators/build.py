@@ -40,7 +40,7 @@ from pyspark.sql import types as T
 
 from ..config import HashSplitterConfig
 from ..functions.codec import encode_counts, encode_doc_ids
-from ..functions.tokenize import term_freq_series
+from ..functions.tokenize import term_counts_frame
 from ..sources import catalog
 
 DEFAULT_BLOCK_SIZE = 4096
@@ -60,21 +60,29 @@ def tokenize_corpus(
     """
     cfg_json = cfg.to_json()
 
-    @F.pandas_udf(T.MapType(T.StringType(), T.IntegerType()))
-    def tf_map(s: pd.Series) -> pd.Series:
+    @F.pandas_udf(
+        T.StructType(
+            [
+                T.StructField("terms", T.ArrayType(T.StringType())),
+                T.StructField("tfs", T.ArrayType(T.IntegerType())),
+                T.StructField("dl", T.LongType()),
+            ]
+        )
+    )
+    def tf_struct(s: pd.Series) -> pd.DataFrame:
         c = HashSplitterConfig.from_json(cfg_json)
-        return term_freq_series(s, c)
+        return term_counts_frame(s, c)
 
     return docs.select(
         F.col(id_col).cast("long").alias("doc_id"),
         F.sha2(F.col(text_col).cast("string"), 256).alias("content_sha256"),
-        tf_map(F.col(text_col).cast("string")).alias("tf"),
-    ).withColumn(
-        "dl",
-        F.coalesce(
-            F.aggregate(F.map_values("tf"), F.lit(0), lambda a, b: a + b),
-            F.lit(0),
-        ).cast("long"),
+        tf_struct(F.col(text_col).cast("string")).alias("tt"),
+    ).select(
+        "doc_id",
+        "content_sha256",
+        F.col("tt.terms").alias("terms"),
+        F.col("tt.tfs").alias("tfs"),
+        F.col("tt.dl").alias("dl"),
     )
 
 
@@ -141,7 +149,14 @@ def build_postings_blocks(
 ) -> DataFrame:
     """(doc_id, dl, tf map) -> postings block rows (catalog.BLOCK_SCHEMA)."""
     flat = tokenized.select(
-        "doc_id", "dl", F.explode("tf").alias("term", "tf")
+        "doc_id",
+        "dl",
+        F.explode(F.arrays_zip("terms", "tfs")).alias("z"),
+    ).select(
+        "doc_id",
+        "dl",
+        F.col("z.terms").alias("term"),
+        F.col("z.tfs").cast("long").alias("tf"),
     )
     ranged = flat.repartitionByRange(
         num_partitions, "term", "doc_id"
@@ -187,15 +202,22 @@ def build_index(
                 F.pmod(F.xxhash64("doc_id"), F.lit(n_slices)) == s
             )
         )
-        blocks = build_postings_blocks(
-            part, max(1, num_partitions // n_slices), block_size
-        )
-        blocks.write.mode("overwrite").parquet(
-            catalog.postings_path(index_dir, s)
-        )
-        part.select("doc_id", "dl", "content_sha256").write.mode(
-            "overwrite"
-        ).parquet(catalog.docstats_path(index_dir) + f"/slice={s}")
+        # docstats and postings are two sinks over the same tokenization;
+        # persist (memory+disk, spill-safe) so the corpus is read and
+        # tokenized exactly once per slice
+        part = part.persist()
+        try:
+            blocks = build_postings_blocks(
+                part, max(1, num_partitions // n_slices), block_size
+            )
+            blocks.write.mode("overwrite").parquet(
+                catalog.postings_path(index_dir, s)
+            )
+            part.select("doc_id", "dl", "content_sha256").write.mode(
+                "overwrite"
+            ).parquet(catalog.docstats_path(index_dir) + f"/slice={s}")
+        finally:
+            part.unpersist()
         catalog.write_manifest(
             index_dir,
             s,

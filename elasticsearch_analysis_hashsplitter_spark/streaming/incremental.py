@@ -1,0 +1,154 @@
+"""Structured-Streaming incremental index build.
+
+The reference has no streaming surface (SURVEY.md §2.6); this is the
+Spark-native growth path for a continuously-ingesting corpus: each
+micro-batch becomes an index *segment* (the Lucene analogy: per-refresh
+segments, SURVEY §3.1 step 4), written as an additional postings slice
+directory that :class:`~..operators.search.SearchEngine` reads uniformly
+— the block layout makes segments queryable without a merge, and
+``compact_index`` is the explicit merge when segment counts grow.
+
+Flow: ``readStream`` (file source, schema-pinned) -> foreachBatch ->
+tokenize + block build (same code path as the batch build) -> append
+postings/docstats under ``slice=stream_<epoch>`` + manifest entry ->
+stats.json refresh. Checkpointing is Spark's own (exactly-once file
+source progress) plus the engine manifest lineage.
+"""
+
+from __future__ import annotations
+
+import time
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..config import HashSplitterConfig
+from ..operators.build import build_postings_blocks, tokenize_corpus
+from ..sources import catalog
+
+
+def _write_segment(
+    batch_df: DataFrame,
+    batch_id: int,
+    cfg: HashSplitterConfig,
+    index_dir: str,
+    id_col: str,
+    text_col: str,
+    num_partitions: int,
+) -> None:
+    if not batch_df.take(1):
+        return
+    t0 = time.time()
+    slice_key = f"stream_{batch_id}"
+    tokenized = tokenize_corpus(batch_df, cfg, id_col, text_col)
+    blocks = build_postings_blocks(tokenized, num_partitions)
+    blocks.write.mode("overwrite").parquet(
+        catalog.postings_path(index_dir) + f"/slice={slice_key}"
+    )
+    tokenized.select("doc_id", "dl", "content_sha256").write.mode(
+        "overwrite"
+    ).parquet(catalog.docstats_path(index_dir) + f"/slice={slice_key}")
+    catalog.write_manifest(
+        index_dir,
+        slice_key,  # type: ignore[arg-type]
+        {
+            "slice": slice_key,
+            "batch_id": batch_id,
+            "seconds": round(time.time() - t0, 3),
+            "kind": "stream_segment",
+        },
+    )
+
+
+def refresh_stats(spark: SparkSession, index_dir: str,
+                  cfg: HashSplitterConfig) -> dict:
+    """Recompute global stats + lexicon after appended segments (the
+    'refresh' making new segments visible with correct idf/avgdl)."""
+    postings = catalog.read_postings(spark, index_dir)
+    postings.groupBy("term").agg(
+        F.sum("df").alias("df"), F.max("max_tf").alias("max_tf")
+    ).write.mode("overwrite").parquet(catalog.lexicon_path(index_dir))
+    docstats = catalog.read_docstats(spark, index_dir)
+    agg = docstats.agg(
+        F.count("*").alias("n"),
+        F.avg("dl").alias("avgdl"),
+        F.sum("dl").alias("total"),
+    ).collect()[0]
+    stats = {
+        "n_docs": int(agg["n"]),
+        "avgdl": float(agg["avgdl"] or 0.0),
+        "total_terms": int(agg["total"] or 0),
+        "config": cfg.to_json(),
+    }
+    catalog.write_stats(index_dir, stats)
+    return stats
+
+
+def stream_index(
+    spark: SparkSession,
+    source_dir: str,
+    schema: str,
+    cfg: HashSplitterConfig,
+    index_dir: str,
+    checkpoint_dir: str,
+    id_col: str = "doc_id",
+    text_col: str = "content",
+    num_partitions: int = 8,
+    trigger_available_now: bool = True,
+):
+    """Start (and with availableNow, drain) the incremental index stream.
+
+    Returns the StreamingQuery; callers should ``awaitTermination()`` and
+    then :func:`refresh_stats`.
+    """
+    src = (
+        spark.readStream.schema(schema)
+        .format("parquet")
+        .load(source_dir)
+    )
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        _write_segment(
+            batch_df, batch_id, cfg, index_dir, id_col, text_col,
+            num_partitions,
+        )
+
+    writer = (
+        src.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", checkpoint_dir)
+    )
+    if trigger_available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def compact_index(
+    spark: SparkSession,
+    index_dir: str,
+    out_dir: str,
+    cfg: HashSplitterConfig,
+    num_partitions: int = 8,
+    block_size: int | None = None,
+) -> dict:
+    """Segment merge: rewrite all postings slices into one term-sorted
+    slice (decode-free: block rows are re-range-partitioned and kept —
+    they are already per-term sorted runs; only the file layout and
+    lexicon/stats are rebuilt)."""
+    from ..operators.build import DEFAULT_BLOCK_SIZE  # noqa: F401
+
+    postings = catalog.read_postings(spark, index_dir).select(
+        "term", "min_doc", "max_doc", "df", "max_tf", "docs", "tfs", "dls"
+    )
+    (
+        postings.repartitionByRange(num_partitions, "term", "min_doc")
+        .sortWithinPartitions("term", "min_doc")
+        .write.mode("overwrite")
+        .parquet(catalog.postings_path(out_dir) + "/slice=compacted")
+    )
+    catalog.read_docstats(spark, index_dir).select(
+        "doc_id", "dl", "content_sha256"
+    ).write.mode("overwrite").parquet(
+        catalog.docstats_path(out_dir) + "/slice=compacted"
+    )
+    catalog.write_manifest(out_dir, "compacted", {"kind": "compaction"})  # type: ignore[arg-type]
+    return refresh_stats(spark, out_dir, cfg)

@@ -225,6 +225,29 @@ def _q_text_metrics(spark, sf_dir):
     return text_metrics(_docs(spark, sf_dir)).orderBy("doc_id")
 
 
+def _q_bpe_token_count(spark, sf_dir):
+    from elasticsearch_analysis_hashsplitter_spark.operators.text import (
+        bpe_token_count,
+    )
+
+    return _docs(spark, sf_dir).select(
+        "doc_id", bpe_token_count("text").alias("n_bpe")
+    ).orderBy("doc_id")
+
+
+def _q_multimodal_features(spark, sf_dir):
+    from elasticsearch_analysis_hashsplitter_spark.operators.multimodal import (
+        extract_features,
+        synthetic_media,
+    )
+
+    media = synthetic_media(spark, 200)
+    feats = extract_features(media, dim=8)
+    return feats.select(
+        "media_id", "payload_sha256", F.round(F.element_at("feature", 1), 4).alias("f0")
+    ).orderBy("media_id")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "lexicon_top100": _q_lexicon,
@@ -245,6 +268,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_cosine_topk": _q_ann_cosine,
         "ann_lsh_topk": _q_ann_lsh,
         "text_metrics": _q_text_metrics,
+        "bpe_token_count": _q_bpe_token_count,
+        "multimodal_features": _q_multimodal_features,
     }
 
 
@@ -340,6 +365,18 @@ FROM m
 ORDER BY doc_id"""
 
 
+def _bpe_oracle() -> str:
+    from elasticsearch_analysis_hashsplitter_spark.operators.text import (
+        BPE_PRETOKEN_RE,
+    )
+
+    lit = "'" + BPE_PRETOKEN_RE.replace("'", "''") + "'"
+    return (
+        f"SELECT doc_id, len(regexp_extract_all(text, {lit}))::INT AS n_bpe "
+        "FROM documents ORDER BY doc_id"
+    )
+
+
 def oracle_sql() -> dict[str, str]:
     lex = f"""
 WITH {_TOK_CTE},
@@ -411,6 +448,8 @@ LIMIT 10"""
         ),
         "ngram_jaccard_pairs": jacc,
         # minhash_pairs / simhash_pairs: hash-family-specific, rows-only check
+        # multimodal_features: synthetic media, rows-only check
         "ann_cosine_topk": ann,
         "text_metrics": _text_metrics_oracle(),
+        "bpe_token_count": _bpe_oracle(),
     }

@@ -40,6 +40,13 @@ from ..sources import catalog
 
 _DOC_SCHEMA = T.StructType([T.StructField("doc_id", T.LongType(), False)])
 
+_BITS_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType(), False),
+        T.StructField("bits", T.LongType(), False),
+    ]
+)
+
 _SCORE_SCHEMA = T.StructType(
     [
         T.StructField("doc_id", T.LongType(), False),
@@ -203,24 +210,112 @@ class SearchEngine:
         ).dropDuplicates(["doc_id"])
 
     def docs(self, node: ir.Node) -> DataFrame:
-        """Evaluate an IR tree to a distinct doc_id DataFrame."""
-        node = ir.simplify(node)
-        return self._docs(node)
+        """Evaluate an IR tree to a distinct doc_id DataFrame.
 
-    def _docs(self, node: ir.Node) -> DataFrame:
+        Boolean trees (the C6 range shapes especially) are evaluated with
+        a *single* postings scan: every leaf contributes its predicate to
+        one OR'd scan condition, matching blocks are decoded once per
+        matching leaf into (doc_id, leaf bit), doc-level leaf-membership
+        bitmasks are built by one ``bit_or`` aggregation, and the boolean
+        tree is applied to the bitmask as a vectorized numpy expression.
+        This replaces N leaf scans + (N-1) doc-set joins with
+        1 scan + 1 shuffle, independent of tree shape.
+        """
+        node = ir.simplify(node)
         if isinstance(node, ir.MatchNone):
             return self.spark.createDataFrame([], _DOC_SCHEMA)
         if isinstance(node, ir.MatchAll):
-            return self.docstats.select(F.col("doc_id").cast("long").alias("doc_id"))
+            return self.docstats.select(
+                F.col("doc_id").cast("long").alias("doc_id")
+            )
         if isinstance(node, ir.ScoredTerms):
             return self._scored_terms_docs(node)
-        if isinstance(node, ir.And):
-            kids = [self._docs(c) for c in node.children]
-            return reduce(lambda a, b: a.join(b, "doc_id", "inner"), kids)
-        if isinstance(node, ir.Or):
-            kids = [self._docs(c) for c in node.children]
-            return reduce(DataFrame.unionByName, kids).dropDuplicates(["doc_id"])
+        if isinstance(node, (ir.And, ir.Or)):
+            leaves = ir.leaves(node)
+            if (
+                len(leaves) <= 63
+                and not any(
+                    isinstance(x, (ir.MatchAll, ir.ScoredTerms))
+                    for x in leaves
+                )
+            ):
+                return self._docs_bitmask(node, leaves)
+            kids = [self.docs(c) for c in node.children]
+            if isinstance(node, ir.And):
+                return reduce(lambda a, b: a.join(b, "doc_id", "inner"), kids)
+            return reduce(DataFrame.unionByName, kids).dropDuplicates(
+                ["doc_id"]
+            )
         return self._leaf_docs(node)
+
+    def _docs_bitmask(self, node: ir.Node, leaves: list[ir.Node]) -> DataFrame:
+        # driver-side: rewrite the tree into an index form (leaves replaced
+        # by their bit position, in leaves-list order) so the worker-side
+        # evaluator is independent of Python object identity
+        counter = iter(range(len(leaves)))
+
+        def index_tree(n: ir.Node):
+            if isinstance(n, ir.And):
+                return ("and", [index_tree(c) for c in n.children])
+            if isinstance(n, ir.Or):
+                return ("or", [index_tree(c) for c in n.children])
+            return ("leaf", next(counter))
+
+        itree = index_tree(node)
+        conds = [self._leaf_condition(l) for l in leaves]
+        scan = self.postings.where(reduce(lambda a, b: a | b, conds)).select(
+            "docs",
+            F.array(
+                *[
+                    F.when(c, F.lit(i)).otherwise(F.lit(-1))
+                    for i, c in enumerate(conds)
+                ]
+            ).alias("leaf_hits"),
+        )
+
+        def decode_bits(
+            batches: Iterator[pd.DataFrame],
+        ) -> Iterator[pd.DataFrame]:
+            for pdf in batches:
+                if not len(pdf):
+                    continue
+                doc_l, bit_l = [], []
+                for blob, hits in zip(pdf["docs"], pdf["leaf_hits"]):
+                    ids = decode_doc_ids(blob)
+                    mask = 0
+                    for h in hits:
+                        if h >= 0:
+                            mask |= 1 << int(h)
+                    doc_l.append(ids)
+                    bit_l.append(np.full(ids.size, mask, dtype=np.int64))
+                yield pd.DataFrame(
+                    {
+                        "doc_id": np.concatenate(doc_l),
+                        "bits": np.concatenate(bit_l),
+                    }
+                )
+
+        masks = (
+            scan.mapInPandas(decode_bits, schema=_BITS_SCHEMA)
+            .groupBy("doc_id")
+            .agg(F.bit_or("bits").alias("bits"))
+        )
+
+        def tree_ok(t, bv: np.ndarray) -> np.ndarray:
+            kind, payload = t
+            if kind == "leaf":
+                return (bv & (1 << payload)) != 0
+            parts = [tree_ok(c, bv) for c in payload]
+            out = parts[0]
+            for v in parts[1:]:
+                out = (out & v) if kind == "and" else (out | v)
+            return out
+
+        @F.pandas_udf(T.BooleanType())
+        def eval_tree(bits: pd.Series) -> pd.Series:
+            return pd.Series(tree_ok(itree, bits.to_numpy()))
+
+        return masks.where(eval_tree("bits")).select("doc_id")
 
     def _scored_terms_docs(self, node: ir.ScoredTerms) -> DataFrame:
         terms = sorted(set(node.terms))

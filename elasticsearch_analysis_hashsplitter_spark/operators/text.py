@@ -79,6 +79,21 @@ def language_id(text: str | Column = "text") -> Column:
     return best
 
 
+#: BPE-ish subword pre-tokenization regex (GPT-2-style contractions +
+#: letter/digit runs + punctuation runs), usable for token *counting*
+#: without a vocabulary.
+#: (RE2-safe subset — no lookahead — so the same pattern runs in DuckDB)
+BPE_PRETOKEN_RE = r"'(?:s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]+| ?[^\sA-Za-z0-9]+"
+
+
+def bpe_token_count(text: str | Column = "text") -> Column:
+    """Approximate BPE token count: number of pre-token pieces (each BPE
+    merge only splits within a piece, so this lower-bounds real BPE by a
+    near-constant factor on natural text)."""
+    c = F.col(text) if isinstance(text, str) else text
+    return F.size(F.regexp_extract_all(c, F.lit(BPE_PRETOKEN_RE), 0))
+
+
 def fingerprint(text: str | Column = "text") -> Column:
     """Order-insensitive document fingerprint: md5 over the sorted distinct
     token set (bag-of-words identity, robust to token reordering)."""

@@ -42,12 +42,16 @@ def make_spark(cores: int, shuffle_partitions: int | None = None):
         .appName(f"hashsplitter-bench-{cores}")
         .config(
             "spark.sql.shuffle.partitions",
-            str(shuffle_partitions or max(cores * 2, 8)),
+            # 4x cores: smooths range-partition skew from sampled bounds
+            str(shuffle_partitions or max(cores * 4, 16)),
         )
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", "24g")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        # bigger Arrow batches: fewer python round-trips in the block
+        # builder and scorer
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "100000")
     )
     return b.getOrCreate()
 

@@ -87,57 +87,110 @@ def tokenize_corpus(
 
 
 def _block_builder(block_size: int):
-    def build(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        carry: pd.DataFrame | None = None
+    """O(n) streaming block builder over (term, doc_id)-sorted batches.
 
-        def emit(group: pd.DataFrame) -> list[dict]:
-            rows = []
-            terms = group["term"].to_numpy()
-            # term-group boundaries within the (term, doc_id)-sorted frame
+    A term group open at a batch boundary is held as a *list* of frame
+    slices (never re-concatenated per batch — a giant term spanning many
+    Arrow batches costs linear, not quadratic, time) and is eagerly
+    drained into full blocks whenever it exceeds the block size, bounding
+    memory by O(block_size) per open term regardless of posting-list df.
+    """
+
+    def build(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        open_term: str | None = None
+        open_frames: list[pd.DataFrame] = []
+        open_rows = 0
+        out_rows: list[dict] = []
+
+        def block_row(term, d, t, l) -> dict:
+            return {
+                "term": term,
+                "min_doc": int(d[0]),
+                "max_doc": int(d[-1]),
+                "df": int(d.size),
+                "max_tf": int(t.max()),
+                "docs": encode_doc_ids(d),
+                "tfs": encode_counts(t),
+                "dls": encode_counts(l),
+            }
+
+        def emit_group(term, d, t, l, final: bool) -> pd.DataFrame | None:
+            """Blocks from one term's sorted arrays; if not final, the
+            trailing partial block is returned as the new remainder."""
+            n = d.size
+            full_end = n if final else (n // block_size) * block_size
+            for b in range(0, full_end, block_size):
+                e = min(b + block_size, full_end)
+                out_rows.append(block_row(term, d[b:e], t[b:e], l[b:e]))
+            if final:
+                return None
+            rest = pd.DataFrame(
+                {"doc_id": d[full_end:], "tf": t[full_end:], "dl": l[full_end:]}
+            )
+            rest["term"] = term
+            return rest
+
+        def group_arrays(frames):
+            if len(frames) == 1:
+                g = frames[0]
+            else:
+                g = pd.concat(frames, ignore_index=True)
+            return (
+                g["doc_id"].to_numpy(dtype=np.int64),
+                g["tf"].to_numpy(dtype=np.int64),
+                g["dl"].to_numpy(dtype=np.int64),
+            )
+
+        def emit_closed_groups(done: pd.DataFrame) -> None:
+            terms = done["term"].to_numpy()
             change = np.flatnonzero(terms[1:] != terms[:-1]) + 1
             starts = np.concatenate(([0], change))
             ends = np.concatenate((change, [len(terms)]))
-            doc_ids = group["doc_id"].to_numpy(dtype=np.int64)
-            tfs = group["tf"].to_numpy(dtype=np.int64)
-            dls = group["dl"].to_numpy(dtype=np.int64)
+            doc_ids = done["doc_id"].to_numpy(dtype=np.int64)
+            tfs = done["tf"].to_numpy(dtype=np.int64)
+            dls = done["dl"].to_numpy(dtype=np.int64)
             for s, e in zip(starts, ends):
-                for b in range(s, e, block_size):
-                    be = min(b + block_size, e)
-                    d = doc_ids[b:be]
-                    t = tfs[b:be]
-                    rows.append(
-                        {
-                            "term": terms[s],
-                            "min_doc": int(d[0]),
-                            "max_doc": int(d[-1]),
-                            "df": int(be - b),
-                            "max_tf": int(t.max()),
-                            "docs": encode_doc_ids(d),
-                            "tfs": encode_counts(t),
-                            "dls": encode_counts(dls[b:be]),
-                        }
-                    )
-            return rows
+                emit_group(terms[s], doc_ids[s:e], tfs[s:e], dls[s:e], True)
 
         for pdf in batches:
-            if carry is not None and len(carry):
-                pdf = pd.concat([carry, pdf], ignore_index=True)
             if not len(pdf):
-                carry = None
                 continue
+            if open_term is not None:
+                cut = int(pdf["term"].searchsorted(open_term, side="right"))
+                if cut > 0:
+                    open_frames.append(pdf.iloc[:cut])
+                    open_rows += cut
+                if cut == len(pdf):
+                    if open_rows >= 2 * block_size:  # eager drain
+                        d, t, l = group_arrays(open_frames)
+                        rest = emit_group(open_term, d, t, l, False)
+                        open_frames = [rest]
+                        open_rows = len(rest)
+                    if out_rows:
+                        yield pd.DataFrame(out_rows)
+                        out_rows = []
+                    continue
+                d, t, l = group_arrays(open_frames)
+                emit_group(open_term, d, t, l, True)
+                open_term, open_frames, open_rows = None, [], 0
+                pdf = pdf.iloc[cut:]
             # hold back the final term group — it may continue next batch
             last_term = pdf["term"].iat[-1]
-            cut = pdf["term"].searchsorted(last_term, side="left")
-            carry = pdf.iloc[cut:]
-            done = pdf.iloc[:cut]
+            cut2 = int(pdf["term"].searchsorted(last_term, side="left"))
+            done = pdf.iloc[:cut2]
             if len(done):
-                rows = emit(done)
-                if rows:
-                    yield pd.DataFrame(rows)
-        if carry is not None and len(carry):
-            rows = emit(carry)
-            if rows:
-                yield pd.DataFrame(rows)
+                emit_closed_groups(done)
+            open_term = last_term
+            open_frames = [pdf.iloc[cut2:]]
+            open_rows = len(pdf) - cut2
+            if out_rows:
+                yield pd.DataFrame(out_rows)
+                out_rows = []
+        if open_term is not None and open_rows:
+            d, t, l = group_arrays(open_frames)
+            emit_group(open_term, d, t, l, True)
+        if out_rows:
+            yield pd.DataFrame(out_rows)
 
     return build
 
@@ -202,22 +255,20 @@ def build_index(
                 F.pmod(F.xxhash64("doc_id"), F.lit(n_slices)) == s
             )
         )
-        # docstats and postings are two sinks over the same tokenization;
-        # persist (memory+disk, spill-safe) so the corpus is read and
-        # tokenized exactly once per slice
-        part = part.persist()
-        try:
-            blocks = build_postings_blocks(
-                part, max(1, num_partitions // n_slices), block_size
-            )
-            blocks.write.mode("overwrite").parquet(
-                catalog.postings_path(index_dir, s)
-            )
-            part.select("doc_id", "dl", "content_sha256").write.mode(
-                "overwrite"
-            ).parquet(catalog.docstats_path(index_dir) + f"/slice={s}")
-        finally:
-            part.unpersist()
+        # docstats and postings are two sinks over the same tokenization.
+        # Deliberately NOT persisted: caching tens of millions of small
+        # deserialized strings causes GC thrash that anti-scales with
+        # cores (measured 2-5x slower at local[32]); the vectorized
+        # tokenize pass is cheap to recompute.
+        blocks = build_postings_blocks(
+            part, max(1, num_partitions // n_slices), block_size
+        )
+        blocks.write.mode("overwrite").parquet(
+            catalog.postings_path(index_dir, s)
+        )
+        part.select("doc_id", "dl", "content_sha256").write.mode(
+            "overwrite"
+        ).parquet(catalog.docstats_path(index_dir) + f"/slice={s}")
         catalog.write_manifest(
             index_dir,
             s,

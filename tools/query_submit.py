@@ -1,0 +1,64 @@
+"""spark-submit entry point: query serving against a built index.
+
+  spark-submit --py-files hashsplitter.zip tools/query_submit.py \\
+      --index /path/to/index --op search --value "some_token" -k 10
+  ... --op wildcard --value "d41?8*27e"
+  ... --op range --lower 0000... --upper 2222...
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+
+
+def main(argv=None) -> int:
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--index", required=True)
+    p.add_argument(
+        "--op",
+        required=True,
+        choices=["search", "term", "chunk_term", "prefix", "wildcard",
+                 "range", "count"],
+    )
+    p.add_argument("--value", default=None)
+    p.add_argument("--lower", default=None)
+    p.add_argument("--upper", default=None)
+    p.add_argument("--include-lower", action="store_true", default=True)
+    p.add_argument("--exclude-lower", dest="include_lower", action="store_false")
+    p.add_argument("--include-upper", action="store_true", default=True)
+    p.add_argument("--exclude-upper", dest="include_upper", action="store_false")
+    p.add_argument("-k", type=int, default=10)
+    args = p.parse_args(argv)
+
+    from pyspark.sql import SparkSession
+
+    from elasticsearch_analysis_hashsplitter_spark.operators.search import (
+        SearchEngine,
+    )
+
+    spark = SparkSession.builder.appName("hashsplitter-query").getOrCreate()
+    eng = SearchEngine.open(spark, args.index)
+
+    if args.op == "search":
+        rows = eng.search(args.value, k=args.k).collect()
+        print(json.dumps([(r["doc_id"], r["score"]) for r in rows]))
+    elif args.op == "range":
+        df = eng.range(args.lower, args.upper, args.include_lower,
+                       args.include_upper)
+        print(json.dumps([r["doc_id"] for r in df.limit(args.k * 100).collect()]))
+    elif args.op == "count":
+        from elasticsearch_analysis_hashsplitter_spark.plans import (
+            compile as qc,
+        )
+
+        node = qc.field_query(args.value, eng.cfg, scored=False)
+        print(json.dumps({"count": eng.count(node)}))
+    else:
+        df = getattr(eng, args.op)(args.value)
+        print(json.dumps([r["doc_id"] for r in df.limit(args.k * 100).collect()]))
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -86,6 +86,34 @@ def tokenize_corpus(
     )
 
 
+def dl_expr(cfg: HashSplitterConfig, text_col: str):
+    """Catalyst-only document length (total chunk-term count) — exactly the
+    tokenizer's count, without running the Python UDF: lets docstats be a
+    pure JVM scan instead of a second tokenize pass. Returns None when the
+    config needs the full tokenizer (custom token_pattern)."""
+    c = F.col(text_col).cast("string")
+    L = cfg.chunk_length
+    if cfg.token_mode == "tokens":
+        if cfg.token_pattern != r"\S+":
+            return None
+        toks = F.filter(F.split(c, r"\s+"), lambda t: t != "")
+        return F.coalesce(
+            F.aggregate(
+                toks,
+                F.lit(0).cast("long"),
+                lambda a, t: a + F.ceil(F.length(t) / F.lit(float(L))),
+            ),
+            F.lit(0).cast("long"),
+        )
+    s = c
+    if cfg.apply_input_cap:
+        # exact Java String.trim(): strip chars <= U+0020 from both ends
+        s = F.regexp_replace(
+            F.substring(c, 1, 1024), r"^[\x00-\x20]+|[\x00-\x20]+$", ""
+        )
+    return F.ceil(F.length(s) / F.lit(float(L))).cast("long")
+
+
 def _block_builder(block_size: int):
     """O(n) streaming block builder over (term, doc_id)-sorted batches.
 
@@ -199,8 +227,24 @@ def build_postings_blocks(
     tokenized: DataFrame,
     num_partitions: int,
     block_size: int = DEFAULT_BLOCK_SIZE,
+    salt_buckets: int = 8,
+    partition_strategy: str = "hash_salt",
 ) -> DataFrame:
-    """(doc_id, dl, tf map) -> postings block rows (catalog.BLOCK_SCHEMA)."""
+    """(doc_id, terms, tfs, dl) -> postings block rows (BLOCK_SCHEMA).
+
+    ``hash_salt`` (default): shuffle on ``(term, xxhash64(doc_id) %
+    salt_buckets)`` — deterministic (no sampling pass over the full
+    dataset, unlike repartitionByRange), and the salt splits a hot term's
+    postings across up to ``salt_buckets`` reducers (the north_star's
+    salted repartitioning for skew). Blocks of one term coming from
+    different salt buckets have interleaved docID ranges; the block
+    format permits that (consumers concat + the per-block min/max stays
+    exact), so no second-stage merge is needed.
+
+    ``range``: repartitionByRange on (term, doc_id) — globally
+    term-ordered files (strongest file-level pruning) at the cost of a
+    sampling pass; use for read-heavy indexes via ``compact_index``.
+    """
     flat = tokenized.select(
         "doc_id",
         "dl",
@@ -211,9 +255,15 @@ def build_postings_blocks(
         F.col("z.terms").alias("term"),
         F.col("z.tfs").cast("long").alias("tf"),
     )
-    ranged = flat.repartitionByRange(
-        num_partitions, "term", "doc_id"
-    ).sortWithinPartitions("term", "doc_id")
+    if partition_strategy == "range":
+        shuffled = flat.repartitionByRange(num_partitions, "term", "doc_id")
+    else:
+        shuffled = flat.repartition(
+            num_partitions,
+            F.col("term"),
+            F.pmod(F.xxhash64("doc_id"), F.lit(salt_buckets)),
+        )
+    ranged = shuffled.sortWithinPartitions("term", "doc_id")
     return ranged.mapInPandas(
         _block_builder(block_size), schema=catalog.BLOCK_SCHEMA
     )
@@ -242,6 +292,7 @@ def build_index(
         )
 
     tokenized = tokenize_corpus(docs, cfg, id_col, text_col)
+    dle = dl_expr(cfg, text_col)
 
     built_slices = 0
     for s in range(n_slices):
@@ -255,20 +306,34 @@ def build_index(
                 F.pmod(F.xxhash64("doc_id"), F.lit(n_slices)) == s
             )
         )
-        # docstats and postings are two sinks over the same tokenization.
-        # Deliberately NOT persisted: caching tens of millions of small
-        # deserialized strings causes GC thrash that anti-scales with
-        # cores (measured 2-5x slower at local[32]); the vectorized
-        # tokenize pass is cheap to recompute.
+        # docstats and postings are two sinks. Deliberately NOT persisted:
+        # caching tens of millions of small deserialized strings causes GC
+        # thrash that anti-scales with cores (measured 2-5x slower at
+        # local[32]). Instead docstats is a pure-JVM scan (dl_expr) when
+        # the config allows, else a second tokenize pass.
         blocks = build_postings_blocks(
             part, max(1, num_partitions // n_slices), block_size
         )
         blocks.write.mode("overwrite").parquet(
             catalog.postings_path(index_dir, s)
         )
-        part.select("doc_id", "dl", "content_sha256").write.mode(
-            "overwrite"
-        ).parquet(catalog.docstats_path(index_dir) + f"/slice={s}")
+        if dle is not None:
+            stats_src = docs.select(
+                F.col(id_col).cast("long").alias("doc_id"),
+                dle.alias("dl"),
+                F.sha2(F.col(text_col).cast("string"), 256).alias(
+                    "content_sha256"
+                ),
+            )
+            if n_slices > 1:
+                stats_src = stats_src.where(
+                    F.pmod(F.xxhash64("doc_id"), F.lit(n_slices)) == s
+                )
+        else:
+            stats_src = part.select("doc_id", "dl", "content_sha256")
+        stats_src.write.mode("overwrite").parquet(
+            catalog.docstats_path(index_dir) + f"/slice={s}"
+        )
         catalog.write_manifest(
             index_dir,
             s,

@@ -31,6 +31,9 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 BUILD_ROWS = int(os.environ.get("SPARK_GRAFT_BUILD_ROWS", "100000"))
+# scaling section uses more rows so fixed overheads (job scheduling,
+# python worker spin-up, commit protocol) amortize at the high-core level
+SCALE_ROWS = int(os.environ.get("SPARK_GRAFT_SCALE_ROWS", "200000"))
 DO_SCALING = os.environ.get("SPARK_GRAFT_SCALING", "1") != "0"
 
 
@@ -116,7 +119,7 @@ def scaling_run(tmp_base: str) -> dict:
     for cores in (lo, hi):
         spark = make_spark(cores, shuffle_partitions=parts)
         try:
-            r = build_run(spark, BUILD_ROWS, f"{tmp_base}/scale_{cores}")
+            r = build_run(spark, SCALE_ROWS, f"{tmp_base}/scale_{cores}")
             res[cores] = r
         finally:
             spark.stop()
@@ -126,7 +129,7 @@ def scaling_run(tmp_base: str) -> dict:
     return {
         "cores_small": lo,
         "cores_large": hi,
-        "rows": BUILD_ROWS,
+        "rows": SCALE_ROWS,
         "seconds_small": t_lo,
         "seconds_large": t_hi,
         "files_per_sec_small": res[lo]["files_per_sec"],

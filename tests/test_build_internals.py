@@ -1,0 +1,110 @@
+"""Build internals: the Catalyst-only dl expression must equal the
+tokenizer's term count exactly (BM25 avgdl depends on it), and block rows
+must reconstruct the exact posting lists under both partition strategies."""
+
+import numpy as np
+import pytest
+
+from pyspark.sql import functions as F
+
+from elasticsearch_analysis_hashsplitter_spark.config import (
+    CL4_LOWER_FIXED16,
+    HashSplitterConfig,
+)
+from elasticsearch_analysis_hashsplitter_spark.functions.codec import (
+    decode_counts,
+    decode_doc_ids,
+)
+from elasticsearch_analysis_hashsplitter_spark.functions.tokenize import (
+    term_freqs,
+)
+from elasticsearch_analysis_hashsplitter_spark.operators.build import (
+    build_postings_blocks,
+    dl_expr,
+    tokenize_corpus,
+)
+
+TOK_CFG = HashSplitterConfig(
+    chunk_length=4, token_mode="tokens", apply_input_cap=False
+)
+
+TEXTS = [
+    "spark join window",
+    "",
+    "  leading and trailing  ",
+    "one",
+    "a bb ccc dddd eeeee ffffff",
+    "x" * 5000,
+    "tab\tsep\nnewline mixed   spaces",
+]
+
+
+def test_dl_expr_matches_tokenizer(spark):
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(TEXTS)], "doc_id long, content string"
+    )
+    got = {
+        r.doc_id: r.dl
+        for r in docs.select(
+            "doc_id", dl_expr(TOK_CFG, "content").alias("dl")
+        ).collect()
+    }
+    for i, t in enumerate(TEXTS):
+        assert got[i] == sum(term_freqs(t, TOK_CFG).values()), (i, t)
+
+
+def test_dl_expr_value_mode_with_cap(spark):
+    cfg = CL4_LOWER_FIXED16  # value mode, cap on
+    vals = ["0000111122223333", "  0011  ", "z" * 2000, ""]
+    docs = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(vals)], "doc_id long, content string"
+    )
+    got = {
+        r.doc_id: r.dl
+        for r in docs.select(
+            "doc_id", dl_expr(cfg, "content").alias("dl")
+        ).collect()
+    }
+    for i, v in enumerate(vals):
+        assert got[i] == sum(term_freqs(v, cfg).values()), (i, v)
+
+
+def test_dl_expr_none_for_custom_pattern():
+    cfg = HashSplitterConfig(
+        chunk_length=2, token_mode="tokens", token_pattern=r"[a-z]+",
+        apply_input_cap=False,
+    )
+    assert dl_expr(cfg, "content") is None
+
+
+@pytest.mark.parametrize("strategy", ["range", "hash_salt"])
+def test_blocks_reconstruct_postings(spark, strategy):
+    rng = np.random.RandomState(3)
+    texts = [
+        " ".join(rng.choice(["alpha", "beta", "gamma", "delta"], size=20))
+        for _ in range(200)
+    ]
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, content string"
+    )
+    blocks = build_postings_blocks(
+        tokenize_corpus(docs, TOK_CFG), 4, block_size=16,
+        partition_strategy=strategy,
+    ).collect()
+    got: dict[str, dict[int, int]] = {}
+    for b in blocks:
+        ids = decode_doc_ids(b["docs"])
+        tfs = decode_counts(b["tfs"])
+        dls = decode_counts(b["dls"])
+        assert b["min_doc"] == ids[0] and b["max_doc"] == ids[-1]
+        assert b["df"] == ids.size and b["max_tf"] == tfs.max()
+        assert np.all(np.diff(ids) > 0)  # strictly sorted, no dup docs
+        for d, tf, dl in zip(ids, tfs, dls):
+            got.setdefault(b["term"], {})[int(d)] = (int(tf), int(dl))
+    exp: dict[str, dict[int, int]] = {}
+    for i, t in enumerate(texts):
+        fr = term_freqs(t, TOK_CFG)
+        dl = sum(fr.values())
+        for term, tf in fr.items():
+            exp.setdefault(term, {})[i] = (tf, dl)
+    assert got == exp

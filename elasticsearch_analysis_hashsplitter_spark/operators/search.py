@@ -166,6 +166,14 @@ class SearchEngine:
             return self._empty_scored()
         return self.bm25_topk(list(node.terms), k)
 
+    def search_any(self, value: str, k: int = 10) -> DataFrame:
+        """Disjunctive BM25 top-k (docs matching ANY chunk term of the
+        analyzed value), with MaxScore/block-max pruning."""
+        node = qc.field_query(value, self.cfg, scored=True)
+        if isinstance(node, ir.MatchNone):
+            return self._empty_scored()
+        return self.bm25_topk_disjunctive(list(node.terms), k)
+
     # ------------------------------------------------------------------
     # Doc-set evaluation (filter paths)
     # ------------------------------------------------------------------
@@ -350,14 +358,194 @@ class SearchEngine:
             ),
         )
 
+    def bm25_topk_disjunctive(self, terms: list[str], k: int = 10) -> DataFrame:
+        """Exact disjunctive (OR) BM25 top-k with distributed MaxScore /
+        block-max pruning (north_star's WAND-style skipping, re-expressed
+        for batch execution):
+
+        1. bootstrap: exact scores for docs containing the highest-
+           upper-bound ("strongest") term -> threshold theta = k-th score;
+        2. non-essential set S = maximal low-ub suffix with
+           sum(ub) <= theta: docs appearing ONLY in S terms cannot beat
+           theta, so S contributes no candidates;
+        3. essential terms decode fully; S terms decode only blocks whose
+           docID ranges overlap essential blocks (their contribution to
+           candidate docs) — common low-idf terms' long posting lists are
+           mostly skipped;
+        4. exact rescoring of all candidates, merge with bootstrap top-k.
+
+        All bounds are sound (ub uses per-term max_tf with the dl->0
+        denominator limit), so the result is exactly the true top-k.
+        """
+        if not terms:
+            return self._empty_scored()
+        weights: dict[str, int] = {}
+        for t in terms:
+            weights[t] = weights.get(t, 0) + 1
+        distinct = sorted(weights)
+        n_docs = self.stats["n_docs"]
+        k1, b = self.cfg.bm25_k1, self.cfg.bm25_b
+        lex = (
+            self.postings.where(F.col("term").isin(distinct))
+            .groupBy("term")
+            .agg(F.sum("df").alias("df"), F.max("max_tf").alias("max_tf"))
+            .collect()
+        )
+        if not lex:
+            return self._empty_scored()
+        info = {r["term"]: (r["df"], r["max_tf"]) for r in lex}
+
+        def idf(t):
+            df = info.get(t, (0, 0))[0]
+            return math.log(1.0 + (n_docs - df + 0.5) / (df + 0.5))
+
+        def ub(t):
+            mtf = info.get(t, (0, 1))[1] or 1
+            return (
+                weights[t] * idf(t) * mtf * (k1 + 1.0)
+                / (mtf + k1 * (1.0 - b))
+            )
+
+        present = [t for t in distinct if t in info]
+        if not present:
+            return self._empty_scored()
+        by_ub = sorted(present, key=lambda t: (-ub(t), t))
+        strongest = by_ub[0]
+
+        # phase 1: exact top-k among docs containing the strongest term
+        boot = self.bm25_topk(
+            list(terms), k, conjunctive=False, _anchor=strongest
+        )
+        boot_rows = boot.collect()
+        theta = boot_rows[-1]["score"] if len(boot_rows) >= k else -1.0
+
+        # phase 2: MaxScore partition on the remaining terms
+        rest = by_ub[1:]
+        non_essential: list[str] = []
+        acc = 0.0
+        for t in reversed(rest):  # lowest ub first
+            # strict: a pruned doc at exactly theta could still win the
+            # doc_id tie-break, so only prune when it cannot reach theta
+            if acc + ub(t) < theta:
+                non_essential.append(t)
+                acc += ub(t)
+            else:
+                break
+        essential = [t for t in rest if t not in non_essential]
+        if not essential:
+            return boot  # no doc outside the strongest term can beat theta
+
+        ess_blocks = self.postings.where(F.col("term").isin(essential + [strongest]))
+        if non_essential:
+            ranges = (
+                self.postings.where(F.col("term").isin(essential))
+                .select("min_doc", "max_doc")
+                .collect()
+            )
+            cond = F.col("term").isin(essential + [strongest])
+            if ranges and len(ranges) <= 256:
+                overlap = reduce(
+                    lambda a, c: a | c,
+                    [
+                        (F.col("max_doc") >= r["min_doc"])
+                        & (F.col("min_doc") <= r["max_doc"])
+                        for r in ranges
+                    ],
+                )
+                cond = cond | (
+                    F.col("term").isin(non_essential) & overlap
+                )
+            else:
+                cond = cond | F.col("term").isin(non_essential)
+            blocks = self.postings.where(cond)
+        else:
+            blocks = ess_blocks
+        scored = self._score_blocks(blocks, weights, info, n_docs)
+        # candidates must touch an essential or strongest term (docs only
+        # in non-essential terms are pruned by the theta bound)
+        ess_ids = {
+            i for i, t in enumerate(sorted(set(weights)))
+            if t in essential or t == strongest
+        }
+        agg = (
+            scored.groupBy("doc_id")
+            .agg(
+                F.sum("contrib").alias("score"),
+                F.max(
+                    F.col("term_idx").isin([int(i) for i in ess_ids])
+                ).alias("is_cand"),
+            )
+            .where(F.col("is_cand"))
+            .select("doc_id", "score")
+        )
+        return agg.orderBy(
+            F.col("score").desc(), F.col("doc_id").asc()
+        ).limit(k)
+
+    def _score_blocks(self, blocks, weights, info, n_docs) -> DataFrame:
+        """Decode + per-posting BM25 contributions for the given blocks."""
+        k1, b = self.cfg.bm25_k1, self.cfg.bm25_b
+        avgdl = self.stats["avgdl"] or 1.0
+        distinct = sorted(set(weights))
+        params = {
+            t: (
+                weights[t]
+                * math.log(
+                    1.0
+                    + (n_docs - info.get(t, (0, 0))[0] + 0.5)
+                    / (info.get(t, (0, 0))[0] + 0.5)
+                ),
+                i,
+            )
+            for i, t in enumerate(distinct)
+        }
+
+        def score_fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            for pdf in batches:
+                if not len(pdf):
+                    continue
+                docs_l, idx_l, contrib_l = [], [], []
+                for term, dblob, tblob, lblob in zip(
+                    pdf["term"], pdf["docs"], pdf["tfs"], pdf["dls"]
+                ):
+                    w_idf, t_idx = params[term]
+                    d = decode_doc_ids(dblob)
+                    tf = decode_counts(tblob).astype(np.float64)
+                    dl = decode_counts(lblob).astype(np.float64)
+                    c = w_idf * tf * (k1 + 1.0) / (
+                        tf + k1 * (1.0 - b + b * dl / avgdl)
+                    )
+                    docs_l.append(d)
+                    idx_l.append(np.full(d.size, t_idx, dtype=np.int32))
+                    contrib_l.append(c)
+                yield pd.DataFrame(
+                    {
+                        "doc_id": np.concatenate(docs_l),
+                        "term_idx": np.concatenate(idx_l),
+                        "contrib": np.concatenate(contrib_l),
+                    }
+                )
+
+        return blocks.select("term", "docs", "tfs", "dls").mapInPandas(
+            score_fn, schema=_SCORE_SCHEMA
+        )
+
     def bm25_topk(
-        self, terms: list[str], k: int = 10, conjunctive: bool = True
+        self,
+        terms: list[str],
+        k: int = 10,
+        conjunctive: bool = True,
+        _anchor: str | None = None,
     ) -> DataFrame:
         """Top-k (doc_id, score) for a bag of exact chunk terms.
 
         Lucene-style BM25 (north_rule): idf = ln(1+(N-df+0.5)/(df+0.5)),
         tf-norm with k1/b from config. Term multiplicity adds weight.
         Ties break on doc_id asc.
+
+        ``_anchor`` (internal, disjunctive bootstrap): restrict candidates
+        to docs containing the given term, but score them with ALL terms
+        — exact scores for that candidate subset.
         """
         if not terms:
             return self._empty_scored()
@@ -390,14 +578,17 @@ class SearchEngine:
         }
 
         blocks = self.postings.where(F.col("term").isin(distinct))
-        if conjunctive and len(distinct) > 1 and dfs:
-            # Block skipping: a conjunctive hit must occur in the rarest
-            # term's postings, so other terms' blocks whose [min_doc,
-            # max_doc] ranges miss every rarest-term block are never
-            # decoded (block-max WAND-style pruning, driver-broadcast).
-            rarest = min(distinct, key=lambda t: dfs.get(t, float("inf")))
+        anchor = _anchor
+        if anchor is None and conjunctive and len(distinct) > 1 and dfs:
+            # a conjunctive hit must occur in the rarest term's postings
+            anchor = min(distinct, key=lambda t: dfs.get(t, float("inf")))
+        if anchor is not None and len(distinct) > 1 and dfs:
+            # Block skipping: candidates must occur in the anchor term's
+            # postings, so other terms' blocks whose [min_doc, max_doc]
+            # ranges miss every anchor block are never decoded
+            # (block-max WAND-style pruning, driver-broadcast).
             ranges = (
-                self.postings.where(F.col("term") == rarest)
+                self.postings.where(F.col("term") == anchor)
                 .select("min_doc", "max_doc")
                 .collect()
             )
@@ -412,7 +603,7 @@ class SearchEngine:
                 )
                 if len(ranges) <= 256:
                     blocks = blocks.where(
-                        (F.col("term") == rarest) | overlap
+                        (F.col("term") == anchor) | overlap
                     )
 
         k1, b = self.cfg.bm25_k1, self.cfg.bm25_b
@@ -448,12 +639,20 @@ class SearchEngine:
         scored = blocks.select("term", "docs", "tfs", "dls").mapInPandas(
             score_blocks, schema=_SCORE_SCHEMA
         )
-        agg = scored.groupBy("doc_id").agg(
+        aggs = [
             F.sum("contrib").alias("score"),
             F.countDistinct("term_idx").alias("n_terms"),
-        )
+        ]
+        if _anchor is not None:
+            anchor_idx = params[_anchor][1]
+            aggs.append(
+                F.max(F.col("term_idx") == anchor_idx).alias("has_anchor")
+            )
+        agg = scored.groupBy("doc_id").agg(*aggs)
         if conjunctive:
             agg = agg.where(F.col("n_terms") == len(distinct))
+        if _anchor is not None:
+            agg = agg.where(F.col("has_anchor"))
         return (
             agg.select("doc_id", "score")
             .orderBy(F.col("score").desc(), F.col("doc_id").asc())

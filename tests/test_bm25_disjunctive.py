@@ -1,0 +1,91 @@
+"""Disjunctive BM25 (MaxScore/block-max path) must be exactly the true
+top-k: rank- and score-identical to the pure oracle's unpruned
+evaluation, across corpora engineered so the pruning branches actually
+trigger (strong rare terms, weak common terms)."""
+
+import numpy as np
+import pytest
+
+from elasticsearch_analysis_hashsplitter_spark.config import HashSplitterConfig
+from elasticsearch_analysis_hashsplitter_spark.operators.search import (
+    SearchEngine,
+)
+from elasticsearch_analysis_hashsplitter_spark.plans import compile as qc
+
+from .oracle import OracleIndex
+
+CFG = HashSplitterConfig(
+    chunk_length=4, token_mode="tokens", apply_input_cap=False
+)
+
+RNG = np.random.RandomState(99)
+COMMON = ["data", "code", "line", "file"]
+RARE = ["zephyr", "quixotic"]
+
+
+def _corpus():
+    docs = {}
+    for i in range(120):
+        toks = list(RNG.choice(COMMON, size=RNG.randint(5, 30)))
+        if i % 17 == 0:
+            toks.append(RARE[0])
+        if i % 29 == 0:
+            toks.append(RARE[1])
+        docs[i] = " ".join(toks)
+    docs[120] = "zephyr quixotic zephyr"   # both rare terms, tiny doc
+    docs[121] = " ".join(["data"] * 200)   # huge common-only doc
+    return docs
+
+
+@pytest.fixture(scope="module")
+def setup(spark):
+    docs = _corpus()
+    df = spark.createDataFrame(
+        list(docs.items()), "doc_id long, content string"
+    )
+    eng = SearchEngine.from_corpus(df, CFG, num_partitions=4)
+    orc = OracleIndex(docs, CFG)
+    return eng, orc
+
+
+@pytest.mark.parametrize(
+    "query,k",
+    [
+        ("zephyr data", 5),          # rare + common: S-set pruning fires
+        ("zephyr quixotic data", 5),
+        ("data code", 10),           # all common
+        ("zephyr missingterm", 5),   # absent term in the bag
+        ("quixotic", 3),             # single term
+    ],
+)
+def test_disjunctive_rank_identity(setup, query, k):
+    eng, orc = setup
+    terms = list(qc.field_query(query, CFG).terms)
+    expected = orc.bm25_topk(terms, k=k, conjunctive=False)
+    got = [
+        (r["doc_id"], r["score"])
+        for r in eng.bm25_topk_disjunctive(terms, k=k).collect()
+    ]
+    assert [d for d, _ in got] == [d for d, _ in expected], query
+    for (gd, gs), (_, es) in zip(got, expected):
+        assert gs == pytest.approx(es, rel=1e-9), (query, gd)
+
+
+def test_search_any_api(setup):
+    eng, orc = setup
+    got = [r["doc_id"] for r in eng.search_any("zephyr data", k=5).collect()]
+    terms = list(qc.field_query("zephyr data", CFG).terms)
+    exp = [d for d, _ in orc.bm25_topk(terms, k=5, conjunctive=False)]
+    assert got == exp
+
+
+def test_small_k_triggers_pruning_correctly(setup):
+    # k=1: theta is high after bootstrap, S-set should swallow everything
+    eng, orc = setup
+    terms = list(qc.field_query("quixotic data code", CFG).terms)
+    expected = orc.bm25_topk(terms, k=1, conjunctive=False)
+    got = [
+        (r["doc_id"], r["score"])
+        for r in eng.bm25_topk_disjunctive(terms, k=1).collect()
+    ]
+    assert [d for d, _ in got] == [d for d, _ in expected]

@@ -128,6 +128,13 @@ def _q_bm25(spark, sf_dir):
     )
 
 
+def _q_bm25_or(spark, sf_dir):
+    eng = _engine(spark, sf_dir, "tokens")
+    return eng.search_any(BM25_QUERY, k=10).select(
+        "doc_id", F.round("score", 4).alias("score")
+    )
+
+
 def _q_hash_prefix(spark, sf_dir):
     return _sorted_docs(_engine(spark, sf_dir, "hash").prefix("0"))
 
@@ -257,6 +264,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "wildcard_prefix_query": _q_wildcard_prefix,
         "wildcard_mid_query": _q_wildcard_mid,
         "bm25_topk": _q_bm25,
+        "bm25_topk_or": _q_bm25_or,
         "hash_prefix_query": _q_hash_prefix,
         "hash_wildcard_suffix": _q_hash_wildcard_suffix,
         "hash_range_query": _q_hash_range,
@@ -285,10 +293,11 @@ def _tok_ir_sql(node) -> str:
     return f"WITH {_TOK_CTE} SELECT doc_id FROM ({sel}) q ORDER BY doc_id"
 
 
-def _bm25_oracle() -> str:
+def _bm25_oracle(conjunctive: bool = True) -> str:
     terms = sorted(set(_bm25_terms))
     in_list = ", ".join("'" + t + "'" for t in terms)
     k1, b = TOK_CFG.bm25_k1, TOK_CFG.bm25_b
+    having = f"WHERE nt = {len(terms)}" if conjunctive else ""
     return f"""
 WITH {_TOK_CTE},
 tf AS (SELECT doc_id, term, count(*) AS tf FROM chunks GROUP BY doc_id, term),
@@ -309,7 +318,7 @@ hits AS (
   GROUP BY tf.doc_id
 )
 SELECT doc_id, round(score, 4) AS score FROM hits
-WHERE nt = {len(terms)}
+{having}
 ORDER BY score DESC, doc_id
 LIMIT 10"""
 
@@ -427,6 +436,7 @@ LIMIT 10"""
         "wildcard_prefix_query": _tok_ir_sql(qc.wildcard_query("s?ar*", TOK_CFG)),
         "wildcard_mid_query": _tok_ir_sql(qc.wildcard_query("c?stomer", TOK_CFG)),
         "bm25_topk": _bm25_oracle(),
+        "bm25_topk_or": _bm25_oracle(conjunctive=False),
         # semantic oracles on the raw derived value (stronger than mirroring)
         "hash_prefix_query": (
             "SELECT doc_id FROM documents WHERE md5(text) LIKE '0%' "

@@ -53,6 +53,26 @@ def chunk_value(value: str, cfg: HashSplitterConfig) -> list[str]:
     ]
 
 
+def chunk_value_with_offsets(
+    value: str, cfg: HashSplitterConfig
+) -> list[tuple[str, int, int]]:
+    """A1 with character offsets: [(term, start, end)] — the offset
+    attribute the reference tokenizer sets per chunk
+    (HashSplitterTokenizer.java:123, ``offsetAtt.setOffset(oldPos,
+    oldPos+gramSize)``); asserted by the reference golden tests."""
+    if value is None:
+        return []
+    if cfg.apply_input_cap:
+        value = java_trim(value[:REFERENCE_INPUT_CAP])
+    L = cfg.chunk_length
+    out = []
+    for i in range((len(value) + L - 1) // L):
+        start = i * L
+        end = min(start + L, len(value))
+        out.append((cfg.prefix_at(i) + value[start:end], start, end))
+    return out
+
+
 def chunk_tokens(tokens: Iterable[str], cfg: HashSplitterConfig) -> list[str]:
     """A2: chunk each upstream token; prefix counter resets per token."""
     out: list[str] = []

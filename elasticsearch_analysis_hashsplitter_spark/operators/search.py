@@ -78,22 +78,46 @@ class SearchEngine:
         docstats: DataFrame,
         stats: dict,
         cfg: HashSplitterConfig,
+        lexicon: DataFrame | None = None,
     ):
         self.spark = spark
         self.postings = postings
         self.docstats = docstats
         self.stats = stats
         self.cfg = cfg
+        self.lexicon = lexicon
 
     @classmethod
     def open(cls, spark: SparkSession, index_dir: str) -> "SearchEngine":
         stats = catalog.read_stats(index_dir)
+        try:
+            lexicon = catalog.read_lexicon(spark, index_dir)
+        except Exception:
+            lexicon = None
         return cls(
             spark,
             catalog.read_postings(spark, index_dir),
             catalog.read_docstats(spark, index_dir),
             stats,
             HashSplitterConfig.from_json(stats["config"]),
+            lexicon=lexicon,
+        )
+
+    def _term_stats(self, terms: list[str]) -> list:
+        """(term, df, max_tf) rows for a few query terms — from the
+        pre-aggregated lexicon table when available (pruned point reads),
+        else a pushdown aggregation over the block metadata columns."""
+        if self.lexicon is not None:
+            return (
+                self.lexicon.where(F.col("term").isin(terms))
+                .select("term", "df", "max_tf")
+                .collect()
+            )
+        return (
+            self.postings.where(F.col("term").isin(terms))
+            .groupBy("term")
+            .agg(F.sum("df").alias("df"), F.max("max_tf").alias("max_tf"))
+            .collect()
         )
 
     @classmethod
@@ -385,12 +409,7 @@ class SearchEngine:
         distinct = sorted(weights)
         n_docs = self.stats["n_docs"]
         k1, b = self.cfg.bm25_k1, self.cfg.bm25_b
-        lex = (
-            self.postings.where(F.col("term").isin(distinct))
-            .groupBy("term")
-            .agg(F.sum("df").alias("df"), F.max("max_tf").alias("max_tf"))
-            .collect()
-        )
+        lex = self._term_stats(distinct)
         if not lex:
             return self._empty_scored()
         info = {r["term"]: (r["df"], r["max_tf"]) for r in lex}
@@ -557,13 +576,7 @@ class SearchEngine:
         avgdl = self.stats["avgdl"] or 1.0
 
         # term-level stats: tiny driver-side lookup (few terms per query)
-        lex_rows = (
-            self.postings.where(F.col("term").isin(distinct))
-            .groupBy("term")
-            .agg(F.sum("df").alias("df"))
-            .collect()
-        )
-        dfs = {r["term"]: r["df"] for r in lex_rows}
+        dfs = {r["term"]: r["df"] for r in self._term_stats(distinct)}
         if conjunctive and len(dfs) < len(distinct):
             return self._empty_scored()  # a MUST term is absent entirely
         params = {

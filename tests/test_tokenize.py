@@ -106,6 +106,24 @@ def test_analyze_series_token_mode_matches_pure():
     assert arr.to_pylist() == expected
 
 
+def test_offsets_golden():
+    # HashSplitterTokenizerTests offset assertions: chunk spans
+    from elasticsearch_analysis_hashsplitter_spark.functions.tokenize import (
+        chunk_value_with_offsets,
+    )
+
+    cfg = HashSplitterConfig(chunk_length=2, prefixes=DEFAULT_PREFIXES)
+    assert chunk_value_with_offsets("0123456789", cfg) == [
+        ("A01", 0, 2), ("B23", 2, 4), ("C45", 4, 6), ("D67", 6, 8),
+        ("E89", 8, 10),
+    ]
+    # short last chunk keeps its real span (:130-148)
+    cfg2 = HashSplitterConfig(chunk_length=2, prefixes="ab")
+    assert chunk_value_with_offsets("001", cfg2) == [
+        ("a00", 0, 2), ("b1", 2, 3),
+    ]
+
+
 def test_vectorized_random_equivalence():
     rng = np.random.RandomState(42)
     cfg = HashSplitterConfig(chunk_length=3, prefixes="xyz")

@@ -242,6 +242,40 @@ def _q_bpe_token_count(spark, sf_dir):
     ).orderBy("doc_id")
 
 
+def _q_streaming_term(spark, sf_dir):
+    """End-to-end Structured Streaming path: drain the documents table as
+    a stream into per-batch index segments, refresh stats, query — must
+    equal the batch answer (oracle: same chunks CTE as term_query)."""
+    import tempfile
+
+    from elasticsearch_analysis_hashsplitter_spark.streaming.incremental import (
+        refresh_stats,
+        stream_index,
+    )
+
+    base = tempfile.mkdtemp(prefix="hs_stream_gate_")
+    # file-stream sources consume directories of arriving files: stage the
+    # table as the drop-directory a real ingest pipeline would watch
+    _docs(spark, sf_dir).select("doc_id", "text").write.parquet(
+        f"{base}/src"
+    )
+    q = stream_index(
+        spark,
+        f"{base}/src",
+        "doc_id long, text string",
+        TOK_CFG,
+        f"{base}/idx",
+        f"{base}/ckpt",
+        id_col="doc_id",
+        text_col="text",
+        num_partitions=8,
+    )
+    q.awaitTermination()
+    refresh_stats(spark, f"{base}/idx", TOK_CFG)
+    eng = SearchEngine.open(spark, f"{base}/idx")
+    return _sorted_docs(eng.term("spark"))
+
+
 def _q_multimodal_features(spark, sf_dir):
     from elasticsearch_analysis_hashsplitter_spark.operators.multimodal import (
         extract_features,
@@ -278,6 +312,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_metrics": _q_text_metrics,
         "bpe_token_count": _q_bpe_token_count,
         "multimodal_features": _q_multimodal_features,
+        "streaming_term_query": _q_streaming_term,
     }
 
 
@@ -431,6 +466,9 @@ LIMIT 10"""
     return {
         "lexicon_top100": lex,
         "term_query": _tok_ir_sql(qc.field_query("spark", TOK_CFG, scored=True)),
+        "streaming_term_query": _tok_ir_sql(
+            qc.field_query("spark", TOK_CFG, scored=True)
+        ),
         "chunk_term_query": _tok_ir_sql(qc.chunk_term_query("Aspar")),
         "prefix_query": _tok_ir_sql(qc.prefix_query("windo", TOK_CFG)),
         "wildcard_prefix_query": _tok_ir_sql(qc.wildcard_query("s?ar*", TOK_CFG)),

@@ -224,6 +224,19 @@ def _q_ann_lsh(spark, sf_dir):
     return out.select("vec_id", F.round("cos", 4).alias("cos"))
 
 
+def _q_embedding_near_dup(spark, sf_dir):
+    from elasticsearch_analysis_hashsplitter_spark.operators.similarity import (
+        cosine_near_duplicates,
+    )
+
+    emb = _emb(spark, sf_dir).select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    return cosine_near_duplicates(emb, threshold=0.35).orderBy(
+        "vec_a", "vec_b"
+    )
+
+
 def _q_text_metrics(spark, sf_dir):
     from elasticsearch_analysis_hashsplitter_spark.operators.text import (
         text_metrics,
@@ -309,6 +322,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_pairs": _q_simhash_pairs,
         "ann_cosine_topk": _q_ann_cosine,
         "ann_lsh_topk": _q_ann_lsh,
+        "embedding_near_dup": _q_embedding_near_dup,
         "text_metrics": _q_text_metrics,
         "bpe_token_count": _q_bpe_token_count,
         "multimodal_features": _q_multimodal_features,
@@ -356,9 +370,6 @@ SELECT doc_id, round(score, 4) AS score FROM hits
 {having}
 ORDER BY score DESC, doc_id
 LIMIT 10"""
-
-
-_EN_STOP_SQL = None
 
 
 def _text_metrics_oracle() -> str:
@@ -498,6 +509,14 @@ LIMIT 10"""
         # minhash_pairs / simhash_pairs: hash-family-specific, rows-only check
         # multimodal_features: synthetic media, rows-only check
         "ann_cosine_topk": ann,
+        "embedding_near_dup": """
+SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+       round(list_cosine_similarity(a.embedding::DOUBLE[],
+                                    b.embedding::DOUBLE[]), 6) AS cos
+FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+WHERE round(list_cosine_similarity(a.embedding::DOUBLE[],
+                                   b.embedding::DOUBLE[]), 6) >= 0.35
+ORDER BY vec_a, vec_b""",
         "text_metrics": _text_metrics_oracle(),
         "bpe_token_count": _bpe_oracle(),
     }

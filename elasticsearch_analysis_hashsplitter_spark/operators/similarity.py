@@ -55,6 +55,88 @@ def cosine_topk(
     )
 
 
+def _pair_cosine(a_vec, b_vec):
+    dot = F.aggregate(
+        F.zip_with(a_vec, b_vec, lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    return dot / (_norm_col(a_vec) * _norm_col(b_vec))
+
+
+def cosine_near_duplicates(
+    df: DataFrame,
+    threshold: float = 0.9,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact embedding near-dup pairs: all (a < b) with cosine >=
+    threshold. O(n^2) — the verification/oracle tier and the correct
+    choice for per-bucket verification; use
+    :func:`cosine_near_duplicates_lsh` to generate candidates at scale."""
+    a = df.select(
+        F.col(id_col).alias("id_a"), F.col(vec_col).alias("va")
+    )
+    b = df.select(
+        F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb")
+    )
+    pairs = a.join(b, F.col("id_a") < F.col("id_b"))
+    cos = _pair_cosine(F.col("va"), F.col("vb"))
+    return (
+        pairs.select(
+            "id_a", "id_b", F.round(cos, 6).alias("cos")
+        )
+        .where(F.col("cos") >= threshold)
+        .select(
+            F.col("id_a").alias("vec_a"),
+            F.col("id_b").alias("vec_b"),
+            "cos",
+        )
+    )
+
+
+def cosine_near_duplicates_lsh(
+    df: DataFrame,
+    threshold: float = 0.9,
+    dim: int | None = None,
+    n_bits: int = 32,
+    bands: int = 8,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Scale path: random-hyperplane LSH band buckets generate candidate
+    pairs (equality join on (band, key) — never an all-pairs product),
+    exact cosine verifies. Precision is exact; recall < 1 by LSH
+    construction (more bands -> higher recall)."""
+    if dim is None:
+        dim = len(df.select(vec_col).first()[0])
+    buckets = rp_lsh_buckets(df, dim, n_bits, bands, seed, id_col, vec_col)
+    a = buckets.alias("a")
+    b = buckets.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.key") == F.col("b.key"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .select(
+            F.col("a.vec_id").alias("vec_a"),
+            F.col("b.vec_id").alias("vec_b"),
+        )
+        .distinct()
+    )
+    va = df.select(F.col(id_col).alias("vec_a"), F.col(vec_col).alias("va"))
+    vb = df.select(F.col(id_col).alias("vec_b"), F.col(vec_col).alias("vb"))
+    joined = cand.join(va, "vec_a").join(vb, "vec_b")
+    cos = _pair_cosine(F.col("va"), F.col("vb"))
+    return (
+        joined.select("vec_a", "vec_b", F.round(cos, 6).alias("cos"))
+        .where(F.col("cos") >= threshold)
+    )
+
+
 def _planes(dim: int, n_bits: int, seed: int) -> np.ndarray:
     rng = np.random.RandomState(seed)
     return rng.normal(size=(dim, n_bits)).astype(np.float64)

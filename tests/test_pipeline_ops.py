@@ -157,6 +157,47 @@ def test_cosine_topk_matches_numpy(spark, emb):
     assert np.allclose([g[1] for g in got], [o[1] for o in order], atol=2e-6)
 
 
+def test_cosine_near_duplicates(spark):
+    from elasticsearch_analysis_hashsplitter_spark.operators.similarity import (
+        cosine_near_duplicates,
+        cosine_near_duplicates_lsh,
+    )
+
+    rng = np.random.RandomState(5)
+    base = rng.normal(size=(20, 16))
+    rows = [(i, [float(x) for x in base[i]]) for i in range(20)]
+    # plant near-dups: 20/21 identical, 22 slightly perturbed copy of 0
+    rows.append((20, rows[0][1]))
+    rows.append((21, [float(x) for x in base[3] + 0.01 * rng.normal(size=16)]))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+    exact = {
+        (r.vec_a, r.vec_b): r.cos
+        for r in cosine_near_duplicates(df, threshold=0.95).collect()
+    }
+    assert exact[(0, 20)] == 1.0
+    assert (3, 21) in exact
+    # numpy cross-check
+    mat = np.array([r[1] for r in rows])
+    n = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+    sims = n @ n.T
+    exp = {
+        (i, j)
+        for i in range(22)
+        for j in range(i + 1, 22)
+        if round(sims[i, j], 6) >= 0.95
+    }
+    assert set(exact) == exp
+
+    # LSH tier: precision exact (subset relation), planted dup found
+    lsh = {
+        (r.vec_a, r.vec_b): r.cos
+        for r in cosine_near_duplicates_lsh(df, threshold=0.95).collect()
+    }
+    assert set(lsh) <= set(exact)
+    assert (0, 20) in lsh  # identical vectors share every band
+
+
 def test_rp_lsh_topk_recall(spark, emb):
     from elasticsearch_analysis_hashsplitter_spark.operators.similarity import (
         cosine_topk,

@@ -89,6 +89,13 @@ class SearchEngine:
 
     @classmethod
     def open(cls, spark: SparkSession, index_dir: str) -> "SearchEngine":
+        import os
+
+        if not os.path.exists(catalog.stats_file(index_dir)):
+            raise FileNotFoundError(
+                f"no hashsplitter index at {index_dir!r} "
+                "(missing stats.json — was build_index run?)"
+            )
         stats = catalog.read_stats(index_dir)
         try:
             lexicon = catalog.read_lexicon(spark, index_dir)
@@ -182,13 +189,19 @@ class SearchEngine:
             qc.range_filter(lower, upper, include_lower, include_upper, self.cfg)
         )
 
-    def search(self, value: str, k: int = 10) -> DataFrame:
-        """BM25 top-k for an exact value/token query (scored C1)."""
+    def search(self, value: str, k: int = 10, boost: float = 1.0) -> DataFrame:
+        """BM25 top-k for an exact value/token query (scored C1).
+
+        ``boost`` multiplies every clause weight — the reference's query
+        boost (HashSplitterTermQueryBuilder boost coverage,
+        HashSplitterQueryParsersTests.java:304-327); it scales scores
+        without changing ranks for a single query.
+        """
         node = qc.field_query(value, self.cfg, scored=True)
         assert isinstance(node, (ir.ScoredTerms, ir.MatchNone))
         if isinstance(node, ir.MatchNone):
             return self._empty_scored()
-        return self.bm25_topk(list(node.terms), k)
+        return self.bm25_topk(list(node.terms), k, boost=boost)
 
     def search_any(self, value: str, k: int = 10) -> DataFrame:
         """Disjunctive BM25 top-k (docs matching ANY chunk term of the
@@ -554,6 +567,7 @@ class SearchEngine:
         terms: list[str],
         k: int = 10,
         conjunctive: bool = True,
+        boost: float = 1.0,
         _anchor: str | None = None,
     ) -> DataFrame:
         """Top-k (doc_id, score) for a bag of exact chunk terms.
@@ -581,7 +595,8 @@ class SearchEngine:
             return self._empty_scored()  # a MUST term is absent entirely
         params = {
             t: (
-                weights[t]
+                boost
+                * weights[t]
                 * math.log(
                     1.0 + (n_docs - dfs.get(t, 0) + 0.5) / (dfs.get(t, 0) + 0.5)
                 ),

@@ -237,6 +237,21 @@ def _q_embedding_near_dup(spark, sf_dir):
     )
 
 
+def _q_windowed_events(spark, sf_dir):
+    from elasticsearch_analysis_hashsplitter_spark.streaming.windows import (
+        windowed_event_stats,
+    )
+
+    events = spark.read.parquet(f"{sf_dir}/events.parquet")
+    out = windowed_event_stats(events)
+    return out.select(
+        F.date_format("window_start", "yyyy-MM-dd HH:mm:ss").alias("win"),
+        "event_type",
+        "n_events",
+        "sum_value",
+    ).orderBy("win", "event_type")
+
+
 def _q_text_metrics(spark, sf_dir):
     from elasticsearch_analysis_hashsplitter_spark.operators.text import (
         text_metrics,
@@ -323,6 +338,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_cosine_topk": _q_ann_cosine,
         "ann_lsh_topk": _q_ann_lsh,
         "embedding_near_dup": _q_embedding_near_dup,
+        "windowed_event_stats": _q_windowed_events,
         "text_metrics": _q_text_metrics,
         "bpe_token_count": _q_bpe_token_count,
         "multimodal_features": _q_multimodal_features,
@@ -517,6 +533,15 @@ FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
 WHERE round(list_cosine_similarity(a.embedding::DOUBLE[],
                                    b.embedding::DOUBLE[]), 6) >= 0.35
 ORDER BY vec_a, vec_b""",
+        "windowed_event_stats": """
+SELECT strftime(time_bucket(INTERVAL '1 hour', ts),
+                '%Y-%m-%d %H:%M:%S') AS win,
+       event_type,
+       count(*)::BIGINT AS n_events,
+       round(sum(value), 4) AS sum_value
+FROM events
+GROUP BY 1, 2
+ORDER BY win, event_type""",
         "text_metrics": _text_metrics_oracle(),
         "bpe_token_count": _bpe_oracle(),
     }

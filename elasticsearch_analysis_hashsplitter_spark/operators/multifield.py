@@ -1,0 +1,79 @@
+"""Multi-field indexes: one corpus, several hashsplitter-mapped fields.
+
+The reference is an ES *field* mapper — an index can declare several
+``hashsplitter`` fields, each with its own chunk_length / prefixes /
+size (HashSplitterFieldMapper.TypeParser, field settings per mapping
+JSON). The Spark-idiomatic layout is one postings/lexicon/docstats set
+per field under a shared root (independent tables = independent
+pruning, no cross-field term collisions, per-field configs evolve
+independently); this module is the thin routing layer.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+from ..config import HashSplitterConfig
+from .build import build_index
+from .search import SearchEngine
+
+
+def _fields_file(index_dir: str) -> str:
+    return os.path.join(index_dir, "fields.json")
+
+
+class MultiFieldEngine:
+    """field name -> SearchEngine router (``engine[field].term(...)``)."""
+
+    def __init__(self, engines: dict[str, SearchEngine]):
+        self.engines = engines
+
+    def __getitem__(self, field: str) -> SearchEngine:
+        return self.engines[field]
+
+    def fields(self) -> list[str]:
+        return sorted(self.engines)
+
+    @classmethod
+    def open(cls, spark: SparkSession, index_dir: str) -> "MultiFieldEngine":
+        with open(_fields_file(index_dir)) as f:
+            fields = json.load(f)["fields"]
+        return cls(
+            {
+                name: SearchEngine.open(spark, os.path.join(index_dir, name))
+                for name in fields
+            }
+        )
+
+
+def build_multi_field_index(
+    docs: DataFrame,
+    field_configs: dict[str, tuple[str, HashSplitterConfig]],
+    index_dir: str,
+    id_col: str = "doc_id",
+    **build_kwargs,
+) -> dict[str, dict]:
+    """Build one sub-index per mapped field.
+
+    ``field_configs``: field name -> (source column, config). Each field
+    build is an independent (and independently resumable) pipeline over
+    the same corpus scan — fields do not share shuffles, exactly as ES
+    fields do not share analyzers.
+    """
+    stats = {}
+    for name, (col, cfg) in sorted(field_configs.items()):
+        stats[name] = build_index(
+            docs,
+            cfg,
+            os.path.join(index_dir, name),
+            id_col=id_col,
+            text_col=col,
+            **build_kwargs,
+        )
+    os.makedirs(index_dir, exist_ok=True)
+    with open(_fields_file(index_dir), "w") as f:
+        json.dump({"fields": sorted(field_configs)}, f)
+    return stats

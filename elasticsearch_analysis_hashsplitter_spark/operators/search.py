@@ -203,6 +203,40 @@ class SearchEngine:
             return self._empty_scored()
         return self.bm25_topk(list(node.terms), k, boost=boost)
 
+    def search_wildcard(
+        self, pattern: str, k: int = 10, boost: float = 1.0
+    ) -> DataFrame:
+        """Scored wildcard top-k with Lucene-3.5-faithful semantics: the
+        reference's WildcardQuery rewrites constant-score
+        (MultiTermQuery CONSTANT_SCORE rewrite), so every matching doc
+        gets the same score (= boost) and ranking falls to the doc_id
+        tie-break — deterministic, and exactly what the plugin's scored
+        wildcard path produced."""
+        docs = self.wildcard(pattern)
+        return (
+            docs.select("doc_id", F.lit(float(boost)).alias("score"))
+            .orderBy("doc_id")
+            .limit(k)
+        )
+
+    def search_range(
+        self,
+        lower: str | None,
+        upper: str | None,
+        include_lower: bool = True,
+        include_upper: bool = True,
+        k: int = 10,
+        boost: float = 1.0,
+    ) -> DataFrame:
+        """Scored range top-k — C5 is ConstantScoreQuery(rangeFilter)
+        (HashSplitterFieldMapper.java:532-538): constant score = boost."""
+        docs = self.range(lower, upper, include_lower, include_upper)
+        return (
+            docs.select("doc_id", F.lit(float(boost)).alias("score"))
+            .orderBy("doc_id")
+            .limit(k)
+        )
+
     def search_any(self, value: str, k: int = 10) -> DataFrame:
         """Disjunctive BM25 top-k (docs matching ANY chunk term of the
         analyzed value), with MaxScore/block-max pruning."""

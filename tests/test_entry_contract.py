@@ -32,6 +32,10 @@ def test_oracle_sql_parses_in_duckdb():
         "CREATE TABLE embeddings(vec_id BIGINT, embedding DOUBLE[],"
         " label INT)"
     )
+    con.execute(
+        "CREATE TABLE events(event_id BIGINT, ts TIMESTAMP, user_id BIGINT,"
+        " event_type VARCHAR, value DOUBLE, props VARCHAR)"
+    )
     for name, sql in entry.oracle_sql().items():
         try:
             con.execute(sql).fetchall()

@@ -21,6 +21,17 @@ Documented divergences from the reference (intended-behavior fixes):
    (HashSplitterFieldMapper.java:557).
 2. Half-open ranges ([null, x] / [x, null]): the reference NPEs (its own
    tests never exercise them); we implement the natural one-sided chain.
+
+3. Bounds diverging only in their FINAL chunk: the reference's three OR
+   clauses (lower chain / between band / upper chain,
+   HashSplitterFieldMapper.java:648-712) collapse onto one chunk
+   position and overlap — its lower chain has no upper limit at that
+   level (and vice versa), so the range silently widens to every value
+   sharing the common prefix (wrong results even for inclusive bounds;
+   exclusive flags ignored). Found by property testing
+   (tests/test_semantic_identities.py); the reference's own fixtures
+   never expose it. We emit the intended single direct range over the
+   final chunk instead; every reference fixture count is unchanged.
 """
 
 from __future__ import annotations
@@ -209,6 +220,32 @@ def range_filter(
     if uppers and curr_up is None:
         curr_up = uppers[0]
         ui = 1
+
+    # Divergence at the FINAL chunk of both bounds (divergence note #3):
+    # the reference's three OR clauses collapse onto one position and
+    # overlap (its lower chain has no upper limit at that level and vice
+    # versa), silently widening the range. Intended semantics is a single
+    # direct range over that chunk position.
+    if (
+        lowers
+        and uppers
+        and li == len(lowers)
+        and ui == len(uppers)
+        and curr_lo != curr_up
+    ):
+        lo_b = _len_bounds(remaining_lo, L)
+        up_b = _len_bounds(remaining_up, L)
+        top.children.append(
+            TermRangeLen(
+                curr_lo,
+                curr_up,
+                include_lower,
+                include_upper,
+                min(lo_b[0], up_b[0]),
+                max(lo_b[1], up_b[1]),
+            )
+        )
+        return simplify(top)
 
     sub_prefix_lower = curr_lo  # lower side's diverging token (may be None)
     second_or = Or([])

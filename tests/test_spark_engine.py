@@ -228,6 +228,34 @@ def test_build_open_resume_and_sha(spark, tmp_path):
     assert stats2["n_docs"] == len(SMALL_CORPUS)
 
 
+def test_resume_after_partial_failure(spark, tmp_path):
+    """A crashed slice (missing manifest) — and only it — is rebuilt on
+    rerun; query results equal a clean one-shot build."""
+    import os
+    import shutil
+
+    from elasticsearch_analysis_hashsplitter_spark.sources import catalog
+
+    idx_dir = str(tmp_path / "idx_partial")
+    docs = _corpus_df(spark, SMALL_CORPUS)
+    build_index(docs, TOKEN_CFG, idx_dir, num_partitions=4, n_slices=3)
+
+    # simulate a mid-build crash of slice 1: manifest + data gone
+    os.remove(catalog.manifest_file(idx_dir, 1))
+    shutil.rmtree(catalog.postings_path(idx_dir, 1))
+    shutil.rmtree(catalog.docstats_path(idx_dir) + "/slice=1")
+
+    stats = build_index(docs, TOKEN_CFG, idx_dir, num_partitions=4, n_slices=3)
+    assert stats["built_slices"] == 1  # only the crashed slice
+    assert stats["n_docs"] == len(SMALL_CORPUS)
+
+    eng = SearchEngine.open(spark, idx_dir)
+    oracle = OracleIndex(dict(enumerate(SMALL_CORPUS)), TOKEN_CFG)
+    for q in ("spark", "join", "window"):
+        node = qc.field_query(q, TOKEN_CFG, scored=False)
+        assert eng.count(node) == oracle.count(node), q
+
+
 def test_block_splitting_heavy_term(spark):
     # one ultra-hot term across many docs; tiny block_size forces multi-block
     from elasticsearch_analysis_hashsplitter_spark.operators.build import (

@@ -86,6 +86,50 @@ def build_run(spark, n_rows: int, index_dir: str) -> dict:
     }
 
 
+def qps_run(spark, index_dir: str, n_queries: int = 64) -> dict:
+    """BM25 top-k queries/sec on the on-disk index (the BASELINE.json
+    headline metric): sequential per-query jobs vs one batched job
+    (operators.search.bm25_topk_batch — the bulk-retrieval serving mode).
+    Queries are deterministic vocabulary tokens."""
+    from elasticsearch_analysis_hashsplitter_spark.corpus import _VOCAB
+    from elasticsearch_analysis_hashsplitter_spark.operators.search import (
+        SearchEngine,
+        bm25_topk_batch,
+    )
+    from elasticsearch_analysis_hashsplitter_spark.plans import (
+        compile as qc,
+    )
+
+    from __spark_entry__ import TOK_CFG
+
+    eng = SearchEngine.open(spark, index_dir)
+    tokens = [str(_VOCAB[(7 * i) % len(_VOCAB)]) for i in range(n_queries)]
+    qmap = {
+        f"q{i}": list(qc.field_query(t, TOK_CFG).terms)
+        for i, t in enumerate(tokens)
+    }
+    # warm (JVM, page cache, python workers)
+    eng.search(tokens[0], 10).collect()
+
+    t0 = time.time()
+    for t in tokens[: max(n_queries // 8, 4)]:
+        eng.search(t, 10).collect()
+    seq_n = max(n_queries // 8, 4)
+    seq_dt = time.time() - t0
+
+    t0 = time.time()
+    n_rows = bm25_topk_batch(eng, qmap, k=10).count()
+    batch_dt = time.time() - t0
+    return {
+        "sequential_queries": seq_n,
+        "sequential_qps": round(seq_n / seq_dt, 2),
+        "batched_queries": n_queries,
+        "batched_seconds": round(batch_dt, 3),
+        "batched_qps": round(n_queries / batch_dt, 2),
+        "batched_result_rows": n_rows,
+    }
+
+
 def query_run(spark) -> dict:
     import __spark_entry__ as entrymod
 
@@ -157,6 +201,7 @@ def main():
             result["build"] = build_run(
                 spark, BUILD_ROWS, f"{tmp_base}/main_idx"
             )
+            result["qps"] = qps_run(spark, f"{tmp_base}/main_idx")
             t0 = time.time()
             result["queries"] = query_run(spark)
             result["queries_seconds"] = round(time.time() - t0, 3)

@@ -722,6 +722,117 @@ class SearchEngine:
         )
 
 
+def bm25_topk_batch(
+    engine: SearchEngine,
+    queries: dict[str, list[str]],
+    k: int = 10,
+    conjunctive: bool = True,
+) -> DataFrame:
+    """Bulk retrieval: top-k for MANY queries in ONE Spark job.
+
+    Per-query jobs pay scheduler + Python-worker round-trips per query;
+    at serving scale (training-data mining, dedup-by-search) the right
+    plan decodes the union of all queries' posting blocks once, scores
+    (query, doc) pairs in the same vectorized kernel, and ranks with one
+    window. Throughput scales with cluster size instead of query count.
+
+    ``queries``: query_id -> bag of chunk terms (weights by repetition).
+    Returns (query_id, doc_id, score, rank) with rank 1..k per query,
+    ordering identical to :meth:`SearchEngine.bm25_topk` per query.
+    """
+    from pyspark.sql import Window
+
+    spark = engine.spark
+    n_docs = engine.stats["n_docs"]
+    avgdl = engine.stats["avgdl"] or 1.0
+    k1, b = engine.cfg.bm25_k1, engine.cfg.bm25_b
+
+    all_terms = sorted({t for ts in queries.values() for t in ts})
+    if not all_terms:
+        return spark.createDataFrame([], _BATCH_SCHEMA)
+    dfs = {r["term"]: r["df"] for r in engine._term_stats(all_terms)}
+
+    # per-term: list of (query_id, weight * idf) contributions
+    per_term: dict[str, list[tuple[str, float]]] = {t: [] for t in all_terms}
+    q_nterms: dict[str, int] = {}
+    for qid, ts in queries.items():
+        w: dict[str, int] = {}
+        for t in ts:
+            w[t] = w.get(t, 0) + 1
+        q_nterms[qid] = len(w)
+        for t, n in w.items():
+            idf = math.log(
+                1.0 + (n_docs - dfs.get(t, 0) + 0.5) / (dfs.get(t, 0) + 0.5)
+            )
+            per_term[t].append((qid, n * idf))
+
+    blocks = engine.postings.where(F.col("term").isin(all_terms))
+
+    def score_fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            qids_l, docs_l, terms_l, contrib_l = [], [], [], []
+            for term, dblob, tblob, lblob in zip(
+                pdf["term"], pdf["docs"], pdf["tfs"], pdf["dls"]
+            ):
+                d = decode_doc_ids(dblob)
+                tf = decode_counts(tblob).astype(np.float64)
+                dl = decode_counts(lblob).astype(np.float64)
+                norm = tf * (k1 + 1.0) / (
+                    tf + k1 * (1.0 - b + b * dl / avgdl)
+                )
+                for qid, w_idf in per_term[term]:
+                    qids_l.append(np.full(d.size, qid, dtype=object))
+                    docs_l.append(d)
+                    terms_l.append(np.full(d.size, term, dtype=object))
+                    contrib_l.append(w_idf * norm)
+            if not docs_l:
+                continue
+            yield pd.DataFrame(
+                {
+                    "query_id": np.concatenate(qids_l),
+                    "doc_id": np.concatenate(docs_l),
+                    "term": np.concatenate(terms_l),
+                    "contrib": np.concatenate(contrib_l),
+                }
+            )
+
+    scored = blocks.select("term", "docs", "tfs", "dls").mapInPandas(
+        score_fn,
+        schema=(
+            "query_id string, doc_id long, term string, contrib double"
+        ),
+    )
+    agg = scored.groupBy("query_id", "doc_id").agg(
+        F.sum("contrib").alias("score"),
+        F.countDistinct("term").alias("n_terms"),
+    )
+    if conjunctive:
+        need = F.create_map(
+            *[F.lit(x) for kv in q_nterms.items() for x in kv]
+        )
+        agg = agg.where(F.col("n_terms") == need[F.col("query_id")])
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("score").desc(), F.col("doc_id").asc()
+    )
+    return (
+        agg.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "doc_id", "score", "rank")
+    )
+
+
+_BATCH_SCHEMA = T.StructType(
+    [
+        T.StructField("query_id", T.StringType(), False),
+        T.StructField("doc_id", T.LongType(), False),
+        T.StructField("score", T.DoubleType(), False),
+        T.StructField("rank", T.IntegerType(), False),
+    ]
+)
+
+
 _TERM_DOC_SCHEMA = T.StructType(
     [
         T.StructField("term", T.StringType(), False),

@@ -135,6 +135,28 @@ def _q_bm25_or(spark, sf_dir):
     )
 
 
+BATCH_QUERIES = ["spark", "join", "window", "merge", "customer"]
+
+
+def _q_bm25_batch(spark, sf_dir):
+    from elasticsearch_analysis_hashsplitter_spark.operators.search import (
+        bm25_topk_batch,
+    )
+
+    eng = _engine(spark, sf_dir, "tokens")
+    qmap = {
+        f"q_{t}": list(qc.field_query(t, TOK_CFG).terms)
+        for t in BATCH_QUERIES
+    }
+    out = bm25_topk_batch(eng, qmap, k=10)
+    return out.select(
+        "query_id",
+        "doc_id",
+        F.round("score", 4).alias("score"),
+        F.col("rank").cast("long").alias("rank"),
+    ).orderBy("query_id", "rank")
+
+
 def _q_hash_prefix(spark, sf_dir):
     return _sorted_docs(_engine(spark, sf_dir, "hash").prefix("0"))
 
@@ -327,6 +349,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "wildcard_mid_query": _q_wildcard_mid,
         "bm25_topk": _q_bm25,
         "bm25_topk_or": _q_bm25_or,
+        "bm25_topk_batch": _q_bm25_batch,
         "hash_prefix_query": _q_hash_prefix,
         "hash_wildcard_suffix": _q_hash_wildcard_suffix,
         "hash_range_query": _q_hash_range,
@@ -436,6 +459,49 @@ FROM m
 ORDER BY doc_id"""
 
 
+def _bm25_batch_oracle() -> str:
+    k1, b = TOK_CFG.bm25_k1, TOK_CFG.bm25_b
+    q_rows = []
+    for t in BATCH_QUERIES:
+        for term in sorted(set(qc.field_query(t, TOK_CFG).terms)):
+            q_rows.append(f"('q_{t}', '{term}')")
+    values = ", ".join(q_rows)
+    return f"""
+WITH {_TOK_CTE},
+tf AS (SELECT doc_id, term, count(*) AS tf FROM chunks GROUP BY doc_id, term),
+dl AS (SELECT doc_id, count(*) AS dl FROM chunks GROUP BY doc_id),
+stats AS (SELECT (SELECT count(*) FROM documents) AS n, avg(dl) AS avgdl FROM dl),
+q(query_id, term) AS (VALUES {values}),
+qn AS (SELECT query_id, count(DISTINCT term) AS nt FROM q GROUP BY query_id),
+dfs AS (
+  SELECT term, count(*) AS df FROM tf
+  WHERE term IN (SELECT term FROM q) GROUP BY term
+),
+hits AS (
+  SELECT q.query_id, tf.doc_id,
+         sum(ln(1 + (s.n - dfs.df + 0.5) / (dfs.df + 0.5))
+             * tf.tf * ({k1} + 1)
+             / (tf.tf + {k1} * (1 - {b} + {b} * dl.dl / s.avgdl))) AS score,
+         count(DISTINCT tf.term) AS nt
+  FROM q
+  JOIN tf USING (term)
+  JOIN dfs USING (term)
+  JOIN dl USING (doc_id)
+  CROSS JOIN stats s
+  GROUP BY q.query_id, tf.doc_id
+),
+ranked AS (
+  SELECT hits.query_id, doc_id, round(hits.score, 4) AS score,
+         row_number() OVER (
+           PARTITION BY hits.query_id ORDER BY hits.score DESC, doc_id
+         ) AS rank
+  FROM hits JOIN qn ON qn.query_id = hits.query_id AND hits.nt = qn.nt
+)
+SELECT query_id, doc_id, score, rank::BIGINT AS rank FROM ranked
+WHERE rank <= 10
+ORDER BY query_id, rank"""
+
+
 def _bpe_oracle() -> str:
     from elasticsearch_analysis_hashsplitter_spark.operators.text import (
         BPE_PRETOKEN_RE,
@@ -502,6 +568,7 @@ LIMIT 10"""
         "wildcard_mid_query": _tok_ir_sql(qc.wildcard_query("c?stomer", TOK_CFG)),
         "bm25_topk": _bm25_oracle(),
         "bm25_topk_or": _bm25_oracle(conjunctive=False),
+        "bm25_topk_batch": _bm25_batch_oracle(),
         # semantic oracles on the raw derived value (stronger than mirroring)
         "hash_prefix_query": (
             "SELECT doc_id FROM documents WHERE md5(text) LIKE '0%' "

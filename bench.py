@@ -157,16 +157,23 @@ def scaling_run(tmp_base: str) -> dict:
     with SPARK_GRAFT_SCALE_CORES="8,32".
     """
     pair = os.environ.get("SPARK_GRAFT_SCALE_CORES", "2,8")
+    reps = int(os.environ.get("SPARK_GRAFT_SCALE_REPS", "2"))
     lo, hi = (int(x) for x in pair.split(","))
     parts = hi * 4
     res = {}
     for cores in (lo, hi):
-        spark = make_spark(cores, shuffle_partitions=parts)
-        try:
-            r = build_run(spark, SCALE_ROWS, f"{tmp_base}/scale_{cores}")
-            res[cores] = r
-        finally:
-            spark.stop()
+        best = None
+        # best-of-N: this sandbox shares a host (load-average noise from
+        # neighbors); min time is the least-contended estimate
+        for _ in range(reps):
+            spark = make_spark(cores, shuffle_partitions=parts)
+            try:
+                r = build_run(spark, SCALE_ROWS, f"{tmp_base}/scale_{cores}")
+            finally:
+                spark.stop()
+            if best is None or r["seconds"] < best["seconds"]:
+                best = r
+        res[cores] = best
     t_lo, t_hi = res[lo]["seconds"], res[hi]["seconds"]
     speedup = t_lo / t_hi if t_hi > 0 else 0.0
     ratio = hi / lo

@@ -77,6 +77,42 @@ def test_dl_expr_none_for_custom_pattern():
     assert dl_expr(cfg, "content") is None
 
 
+def test_segmented_blocks_reconstruct_postings(spark):
+    from elasticsearch_analysis_hashsplitter_spark.operators.build import (
+        build_postings_blocks_segmented,
+    )
+
+    rng = np.random.RandomState(3)
+    texts = [
+        " ".join(rng.choice(["alpha", "beta", "gamma", "delta"], size=20))
+        for _ in range(200)
+    ]
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, content string"
+    ).repartition(7)  # multiple map segments per term
+    blocks = build_postings_blocks_segmented(
+        tokenize_corpus(docs, TOK_CFG), 4, block_size=16
+    ).collect()
+    got: dict[str, dict[int, tuple]] = {}
+    for b in blocks:
+        ids = decode_doc_ids(b["docs"])
+        tfs = decode_counts(b["tfs"])
+        dls = decode_counts(b["dls"])
+        assert b["min_doc"] == ids[0] and b["max_doc"] == ids[-1]
+        assert b["df"] == ids.size and b["max_tf"] == tfs.max()
+        for d, tf, dl in zip(ids, tfs, dls):
+            key = int(d)
+            assert key not in got.get(b["term"], {}), (b["term"], key)
+            got.setdefault(b["term"], {})[key] = (int(tf), int(dl))
+    exp: dict[str, dict[int, tuple]] = {}
+    for i, t in enumerate(texts):
+        fr = term_freqs(t, TOK_CFG)
+        dl = sum(fr.values())
+        for term, tf in fr.items():
+            exp.setdefault(term, {})[i] = (tf, dl)
+    assert got == exp
+
+
 @pytest.mark.parametrize("strategy", ["range", "hash_salt"])
 def test_blocks_reconstruct_postings(spark, strategy):
     rng = np.random.RandomState(3)

@@ -33,7 +33,7 @@ CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 BUILD_ROWS = int(os.environ.get("SPARK_GRAFT_BUILD_ROWS", "100000"))
 # scaling section uses more rows so fixed overheads (job scheduling,
 # python worker spin-up, commit protocol) amortize at the high-core level
-SCALE_ROWS = int(os.environ.get("SPARK_GRAFT_SCALE_ROWS", "200000"))
+SCALE_ROWS = int(os.environ.get("SPARK_GRAFT_SCALE_ROWS", "400000"))
 DO_SCALING = os.environ.get("SPARK_GRAFT_SCALING", "1") != "0"
 
 

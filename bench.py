@@ -33,7 +33,7 @@ CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 BUILD_ROWS = int(os.environ.get("SPARK_GRAFT_BUILD_ROWS", "100000"))
 # scaling section uses more rows so fixed overheads (job scheduling,
 # python worker spin-up, commit protocol) amortize at the high-core level
-SCALE_ROWS = int(os.environ.get("SPARK_GRAFT_SCALE_ROWS", "400000"))
+SCALE_ROWS = int(os.environ.get("SPARK_GRAFT_SCALE_ROWS", "200000"))
 DO_SCALING = os.environ.get("SPARK_GRAFT_SCALING", "1") != "0"
 
 
@@ -149,14 +149,15 @@ def scaling_run(tmp_base: str) -> dict:
     plan, identical shuffle partitioning — only the parallelism differs,
     exactly as an N- vs 4N-executor cluster comparison would be run.
 
-    Default pair is 2 -> 8 cores: single-JVM local mode saturates this
-    box's memory bandwidth around 8-16 threads (measured: pure-JVM
-    shuffle+sort gains only ~1.5x from 8->32 threads), so 8->32 measures
-    the machine, not the engine. On a real cluster the 4N axis is
-    independent executor JVMs with their own memory bandwidth. Override
-    with SPARK_GRAFT_SCALE_CORES="8,32".
+    Default pair is 1 -> 4 cores: this sandbox is a SHARED host whose
+    memory bus saturates for this JVM around 4-8 threads (measured:
+    pure-JVM shuffle+sort gains only ~1.5x from 8->32 threads, and
+    4->8 only ~1.5x for 2x cores), so higher pairs measure the machine,
+    not the engine. On a real cluster the 4N axis is independent
+    executor JVMs with their own memory bandwidth. Override with
+    SPARK_GRAFT_SCALE_CORES="2,8" etc.
     """
-    pair = os.environ.get("SPARK_GRAFT_SCALE_CORES", "2,8")
+    pair = os.environ.get("SPARK_GRAFT_SCALE_CORES", "1,4")
     reps = int(os.environ.get("SPARK_GRAFT_SCALE_REPS", "2"))
     lo, hi = (int(x) for x in pair.split(","))
     parts = hi * 4

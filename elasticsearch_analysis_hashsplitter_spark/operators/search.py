@@ -135,10 +135,11 @@ class SearchEngine:
         id_col: str = "doc_id",
         text_col: str = "content",
         num_partitions: int | None = None,
+        block_size: int | None = None,
     ) -> "SearchEngine":
         """Build the index as cached in-memory DataFrames (no disk writes);
         used by tests and the driver correctness-gate queries."""
-        from .build import build_postings_blocks, tokenize_corpus
+        from .build import DEFAULT_BLOCK_SIZE, build_postings_blocks, tokenize_corpus
 
         spark = docs.sparkSession
         if num_partitions is None:
@@ -146,7 +147,9 @@ class SearchEngine:
                 spark.conf.get("spark.sql.shuffle.partitions", "32")
             )
         tokenized = tokenize_corpus(docs, cfg, id_col, text_col)
-        blocks = build_postings_blocks(tokenized, num_partitions).cache()
+        blocks = build_postings_blocks(
+            tokenized, num_partitions, block_size or DEFAULT_BLOCK_SIZE
+        ).cache()
         docstats = tokenized.select("doc_id", "dl", "content_sha256").cache()
         agg = docstats.agg(
             F.count("*").alias("n"),
@@ -503,9 +506,20 @@ class SearchEngine:
 
         ess_blocks = self.postings.where(F.col("term").isin(essential + [strongest]))
         if non_essential:
+            # ranges come from essential AND strongest blocks: every
+            # candidate doc (one touching an essential-or-strongest term)
+            # then lies inside some collected range, so every retained
+            # candidate's non-essential contributions are complete — the
+            # soundness condition for the theta prune. (Essential-only
+            # ranges mis-ranked docs holding strongest + non-essential
+            # terms but no essential term.) limit(257) bounds the driver
+            # collect: past 256 ranges we skip the overlap prune anyway.
             ranges = (
-                self.postings.where(F.col("term").isin(essential))
+                self.postings.where(
+                    F.col("term").isin(essential + [strongest])
+                )
                 .select("min_doc", "max_doc")
+                .limit(257)
                 .collect()
             )
             cond = F.col("term").isin(essential + [strongest])
@@ -544,6 +558,18 @@ class SearchEngine:
             .where(F.col("is_cand"))
             .select("doc_id", "score")
         )
+        # merge with the bootstrap top-k (exact scores): max(score) per doc
+        # keeps the exact value even if a rescoring path were ever partial
+        if boot_rows:
+            boot_df = self.spark.createDataFrame(
+                [(r["doc_id"], r["score"]) for r in boot_rows],
+                "doc_id long, score double",
+            )
+            agg = (
+                agg.unionByName(boot_df)
+                .groupBy("doc_id")
+                .agg(F.max("score").alias("score"))
+            )
         return agg.orderBy(
             F.col("score").desc(), F.col("doc_id").asc()
         ).limit(k)
@@ -649,9 +675,13 @@ class SearchEngine:
             # postings, so other terms' blocks whose [min_doc, max_doc]
             # ranges miss every anchor block are never decoded
             # (block-max WAND-style pruning, driver-broadcast).
+            # limit(257) bounds the driver collect — a hot anchor term may
+            # have ~1e6 block rows at scale; past 256 ranges the overlap
+            # prune is skipped, so never materialize more than that
             ranges = (
                 self.postings.where(F.col("term") == anchor)
                 .select("min_doc", "max_doc")
+                .limit(257)
                 .collect()
             )
             if ranges:

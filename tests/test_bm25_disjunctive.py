@@ -89,3 +89,77 @@ def test_small_k_triggers_pruning_correctly(setup):
         for r in eng.bm25_topk_disjunctive(terms, k=1).collect()
     ]
     assert [d for d, _ in got] == [d for d, _ in expected]
+
+
+# ---------------------------------------------------------------------------
+# regression: narrow disjoint block ranges (block_size=1) must stay exact.
+# With essential-only overlap ranges, a doc holding the strongest term plus
+# a non-essential term but NO essential term lost its non-essential
+# contributions and was mis-ranked (advisor repro, r2).
+# ---------------------------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def narrow_setup(spark):
+    docs = _corpus()
+    df = spark.createDataFrame(
+        list(docs.items()), "doc_id long, content string"
+    )
+    eng = SearchEngine.from_corpus(df, CFG, num_partitions=4, block_size=1)
+    orc = OracleIndex(docs, CFG)
+    return eng, orc
+
+
+@pytest.mark.parametrize(
+    "query,k",
+    [
+        ("zephyr data", 5),
+        ("zephyr quixotic data", 5),
+        ("quixotic data code", 3),
+        ("zephyr code file data", 7),
+    ],
+)
+def test_disjunctive_exact_with_narrow_blocks(narrow_setup, query, k):
+    eng, orc = narrow_setup
+    terms = list(qc.field_query(query, CFG).terms)
+    expected = orc.bm25_topk(terms, k=k, conjunctive=False)
+    got = [
+        (r["doc_id"], r["score"])
+        for r in eng.bm25_topk_disjunctive(terms, k=k).collect()
+    ]
+    assert [d for d, _ in got] == [d for d, _ in expected], query
+    for (gd, gs), (_, es) in zip(got, expected):
+        assert gs == pytest.approx(es, rel=1e-9), (query, gd)
+
+
+def test_disjunctive_strongest_plus_nonessential_doc(spark):
+    """Hand-built shape from the advisor repro: the true top-1 holds the
+    strongest term and a (would-be) non-essential term but no essential
+    term; narrow blocks make the old essential-only range prune drop its
+    non-essential contribution."""
+    docs = {
+        1: "zzzz cccc",            # strongest + weak term only
+        2: "zzzz bbbb",
+        3: "bbbb cccc",
+        5: "cccc",
+        6: "cccc",
+        7: "bbbb cccc cccc",
+    }
+    # pad with common-term docs so idfs separate
+    for i in range(10, 40):
+        docs[i] = "cccc" if i % 2 else "bbbb cccc"
+    df = spark.createDataFrame(
+        list(docs.items()), "doc_id long, content string"
+    )
+    eng = SearchEngine.from_corpus(df, CFG, num_partitions=4, block_size=1)
+    orc = OracleIndex(docs, CFG)
+    terms = list(qc.field_query("zzzz bbbb cccc", CFG).terms)
+    for k in (1, 2, 3, 5):
+        expected = orc.bm25_topk(terms, k=k, conjunctive=False)
+        got = [
+            (r["doc_id"], r["score"])
+            for r in eng.bm25_topk_disjunctive(terms, k=k).collect()
+        ]
+        assert [d for d, _ in got] == [d for d, _ in expected], k
+        for (gd, gs), (_, es) in zip(got, expected):
+            assert gs == pytest.approx(es, rel=1e-9), (k, gd)

@@ -448,7 +448,7 @@ def _text_metrics_oracle() -> str:
     cexp = ", ".join(f"{v} AS c_{k}" for k, v in counts.items())
     return f"""
 WITH t AS (
-  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS l
+  SELECT doc_id, list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '') AS l
   FROM documents
 ),
 m AS (
@@ -544,7 +544,7 @@ ORDER BY df DESC, term LIMIT 100"""
 
     jacc = """
 WITH t AS (
-  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS l
+  SELECT doc_id, list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '') AS l
   FROM documents
 ),
 sh AS (

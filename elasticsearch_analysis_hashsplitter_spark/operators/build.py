@@ -96,7 +96,11 @@ def dl_expr(cfg: HashSplitterConfig, text_col: str):
     if cfg.token_mode == "tokens":
         if cfg.token_pattern != r"\S+":
             return None
-        toks = F.filter(F.split(c, r"\s+"), lambda t: t != "")
+        # (?U): Java \s is ASCII-only by default, but the tokenizer splits
+        # on *Unicode* whitespace (Arrow utf8_split_whitespace); without
+        # the flag, U+00A0/U+2028/… make docstats dl diverge from the dls
+        # encoded in the posting blocks and skew BM25 length normalization
+        toks = F.filter(F.split(c, r"(?U)\s+"), lambda t: t != "")
         return F.coalesce(
             F.aggregate(
                 toks,

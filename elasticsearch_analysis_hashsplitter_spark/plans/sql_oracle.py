@@ -22,11 +22,19 @@ def _q(s: str) -> str:
 def chunks_cte_tokens(cfg: HashSplitterConfig, docs_table: str = "documents",
                       id_col: str = "doc_id", text_col: str = "text") -> str:
     """chunks CTE for token_mode='tokens' (whitespace split, per-token
-    positioned chunks). DuckDB dialect."""
+    positioned chunks). DuckDB dialect.
+
+    Tokenization is ``regexp_split_to_array(text, '\\s+')`` — any
+    whitespace *run*, matching the engine's tokenizer — not a single-space
+    ``string_split``: a fixture with tabs/newlines/multiple spaces must
+    not make the oracle diverge from correct engine output. (DuckDB's RE2
+    ``\\s`` is ASCII; the engine splits Unicode whitespace — equal on any
+    ASCII corpus, documented residual divergence beyond that.)"""
     L = cfg.chunk_length
     return f"""
 toks AS (
-  SELECT {id_col} AS doc_id, unnest(string_split({text_col}, ' ')) AS tok
+  SELECT {id_col} AS doc_id,
+         unnest(regexp_split_to_array({text_col}, '\\s+')) AS tok
   FROM {docs_table}
 ),
 toks2 AS (SELECT doc_id, tok FROM toks WHERE tok <> ''),

@@ -13,6 +13,17 @@ tokenize + block build (same code path as the batch build) -> append
 postings/docstats under ``slice=stream_<epoch>`` + manifest entry ->
 stats.json refresh. Checkpointing is Spark's own (exactly-once file
 source progress) plus the engine manifest lineage.
+
+Doc identity: the default mode is **append-only** — re-ingesting a
+doc_id appends a second segment with its postings AND a second docstats
+row, double-counting df/avgdl/BM25 contributions (``compact_index`` is
+decode-free and preserves the duplicates). For sources that may replay
+or update documents, pass ``on_duplicate="skip_existing"`` to
+``stream_index``: each micro-batch is deduplicated internally and
+anti-joined against the already-indexed doc_ids (first-write-wins), so
+stats stay single-counted. Last-write-wins (tombstone + compaction-time
+apply) is deliberately not implemented — rebuild the affected slice
+instead.
 """
 
 from __future__ import annotations
@@ -35,7 +46,22 @@ def _write_segment(
     id_col: str,
     text_col: str,
     num_partitions: int,
+    on_duplicate: str = "append",
 ) -> None:
+    if on_duplicate == "skip_existing":
+        batch_df = batch_df.dropDuplicates([id_col])
+        try:
+            existing = catalog.read_docstats(
+                batch_df.sparkSession, index_dir
+            ).select(F.col("doc_id").alias("__existing_id"))
+        except Exception:  # no docstats yet (first segment)
+            existing = None
+        if existing is not None:
+            batch_df = batch_df.join(
+                existing,
+                F.col(id_col).cast("long") == F.col("__existing_id"),
+                "left_anti",
+            )
     if not batch_df.take(1):
         return
     t0 = time.time()
@@ -95,12 +121,19 @@ def stream_index(
     text_col: str = "content",
     num_partitions: int = 8,
     trigger_available_now: bool = True,
+    on_duplicate: str = "append",
 ):
     """Start (and with availableNow, drain) the incremental index stream.
 
     Returns the StreamingQuery; callers should ``awaitTermination()`` and
     then :func:`refresh_stats`.
+
+    ``on_duplicate``: "append" (default — see module docstring for the
+    double-count caveat) or "skip_existing" (first-write-wins: each batch
+    is anti-joined against already-indexed doc_ids before segment write).
     """
+    if on_duplicate not in ("append", "skip_existing"):
+        raise ValueError(f"on_duplicate: {on_duplicate!r}")
     src = (
         spark.readStream.schema(schema)
         .format("parquet")
@@ -110,7 +143,7 @@ def stream_index(
     def sink(batch_df: DataFrame, batch_id: int) -> None:
         _write_segment(
             batch_df, batch_id, cfg, index_dir, id_col, text_col,
-            num_partitions,
+            num_partitions, on_duplicate,
         )
 
     writer = (

@@ -36,7 +36,37 @@ TEXTS = [
     "a bb ccc dddd eeeee ffffff",
     "x" * 5000,
     "tab\tsep\nnewline mixed   spaces",
+    # Unicode whitespace: dl_expr must match the tokenizer (advisor r2) —
+    # nbsp / line separator / ideographic space split tokens in the Arrow
+    # tokenizer and must split them in the JVM dl expression too
+    "nbsp separated tokens",
+    "line sep and　ideographic",
+    "  lead trail ",
 ]
+
+
+def test_dl_sources_agree_on_unicode_whitespace(spark):
+    """The two dl sources in one index — the JVM dl_expr docstats scan and
+    the dls encoded by the Arrow tokenizer into posting blocks — must agree
+    for non-ASCII whitespace (U+00A0, U+2028, U+3000)."""
+    texts = [t for t in TEXTS if not t.isascii()]
+    assert texts
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, content string"
+    )
+    jvm = {
+        r.doc_id: r.dl
+        for r in docs.select(
+            "doc_id", dl_expr(TOK_CFG, "content").alias("dl")
+        ).collect()
+    }
+    arrow = {
+        r.doc_id: r.dl
+        for r in tokenize_corpus(docs, TOK_CFG).select("doc_id", "dl").collect()
+    }
+    assert jvm == arrow
+    for i, t in enumerate(texts):
+        assert jvm[i] == sum(term_freqs(t, TOK_CFG).values()), (i, t)
 
 
 def test_dl_expr_matches_tokenizer(spark):

@@ -87,3 +87,57 @@ def test_stream_segments_match_batch(spark, tmp_path):
         (r.doc_id, round(r.score, 9)) for r in ceng.search("spark", 5).collect()
     ]
     assert comp_top == stream_top
+
+
+def test_stream_skip_existing_dedups_reingest(spark, tmp_path):
+    """on_duplicate='skip_existing': replaying a doc_id in a later
+    micro-batch must not double-count df/avgdl/n_docs (first-write-wins);
+    the default append mode documents the double-count instead."""
+    src = tmp_path / "src"
+    idx = str(tmp_path / "idx")
+    ckpt = str(tmp_path / "ckpt")
+    schema = "doc_id long, content string"
+
+    spark.createDataFrame(BATCH1, schema).write.parquet(str(src / "b1"))
+    q = stream_index(
+        spark, str(src / "*"), schema, CFG, idx, ckpt,
+        num_partitions=2, on_duplicate="skip_existing",
+    )
+    q.awaitTermination()
+    refresh_stats(spark, idx, CFG)
+
+    # replay doc 0 and 1 (changed text for 1) + genuinely new docs
+    replay = [
+        (0, "spark join window merge"),        # identical replay
+        (1, "totally different text now"),     # update attempt -> skipped
+    ] + BATCH2
+    spark.createDataFrame(replay, schema).write.parquet(str(src / "b2"))
+    q = stream_index(
+        spark, str(src / "*"), schema, CFG, idx, ckpt,
+        num_partitions=2, on_duplicate="skip_existing",
+    )
+    q.awaitTermination()
+    refresh_stats(spark, idx, CFG)
+
+    eng = SearchEngine.open(spark, idx)
+    assert eng.stats["n_docs"] == 5  # not 7
+    # docstats has exactly one row per doc
+    assert eng.docstats.groupBy("doc_id").count().where(
+        "count > 1"
+    ).count() == 0
+    # first-write-wins: doc 1 still matches its original content
+    assert sorted(r.doc_id for r in eng.term("spark").collect()) == [0, 1, 3, 4]
+    # stats identical to a batch build over the first-write corpus
+    batch_eng = SearchEngine.from_corpus(
+        spark.createDataFrame(BATCH1 + BATCH2, schema), CFG, num_partitions=2
+    )
+    assert eng.stats["n_docs"] == batch_eng.stats["n_docs"]
+    assert eng.stats["avgdl"] == pytest.approx(batch_eng.stats["avgdl"])
+    stream_top = [
+        (r.doc_id, round(r.score, 9)) for r in eng.search("spark", 5).collect()
+    ]
+    batch_top = [
+        (r.doc_id, round(r.score, 9))
+        for r in batch_eng.search("spark", 5).collect()
+    ]
+    assert stream_top == batch_top

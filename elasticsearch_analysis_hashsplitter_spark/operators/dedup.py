@@ -88,22 +88,57 @@ def ngram_jaccard_pairs(
     n: int = 3,
     id_col: str = "doc_id",
     text_col: str = "text",
+    max_shingle_df: int | None = None,
 ) -> DataFrame:
     """-> (doc_a, doc_b, jaccard) for pairs with shingle-set Jaccard >=
     threshold (doc_a < doc_b). Pairs are generated only where shingles
-    collide; at scale, hot shingles should be capped (df cutoff) — the
-    cap is exposed for callers, not silently applied."""
+    collide.
+
+    ``max_shingle_df``: candidate-generation cap for hot shingles (license
+    headers, boilerplate) whose self-join is quadratic in their document
+    frequency. Shingles with df > cap are excluded from *candidate
+    generation only* — the Jaccard verify still counts every shingle, so
+    precision is exact; a pair ALL of whose common shingles are hot is
+    missed (recall < 1, the standard df-cut trade; ``None`` = exact,
+    required for the oracle gate)."""
     sh = _shingle_rows(df, id_col, text_col, n)
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
     a = sh.alias("a")
     b = sh.alias("b")
-    common = (
-        a.join(b, (F.col("a.shingle") == F.col("b.shingle"))
-               & (F.col("a.doc_id") < F.col("b.doc_id")))
-        .groupBy(F.col("a.doc_id").alias("doc_a"),
-                 F.col("b.doc_id").alias("doc_b"))
-        .agg(F.count("*").alias("n_common"))
-    )
+    if max_shingle_df is None:
+        common = (
+            a.join(b, (F.col("a.shingle") == F.col("b.shingle"))
+                   & (F.col("a.doc_id") < F.col("b.doc_id")))
+            .groupBy(F.col("a.doc_id").alias("doc_a"),
+                     F.col("b.doc_id").alias("doc_b"))
+            .agg(F.count("*").alias("n_common"))
+        )
+    else:
+        light = (
+            sh.groupBy("shingle")
+            .agg(F.count("*").alias("df"))
+            .where(F.col("df") <= max_shingle_df)
+            .select("shingle")
+        )
+        la = sh.join(light, "shingle").alias("la")
+        lb = sh.join(light, "shingle").alias("lb")
+        cand = (
+            la.join(lb, (F.col("la.shingle") == F.col("lb.shingle"))
+                    & (F.col("la.doc_id") < F.col("lb.doc_id")))
+            .select(F.col("la.doc_id").alias("doc_a"),
+                    F.col("lb.doc_id").alias("doc_b"))
+            .distinct()
+        )
+        # exact recount over ALL shingles for the surviving candidates so
+        # the reported jaccard (and the threshold cut) stays exact
+        common = (
+            cand.join(sh.select(F.col("doc_id").alias("doc_a"), "shingle"),
+                      "doc_a")
+            .join(sh.select(F.col("doc_id").alias("doc_b"), "shingle"),
+                  ["doc_b", "shingle"])
+            .groupBy("doc_a", "doc_b")
+            .agg(F.count("*").alias("n_common"))
+        )
     sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("n_a"))
     sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("n_b"))
     return (
@@ -237,16 +272,33 @@ def minhash_dedup_pairs(
 # ---------------------------------------------------------------------------
 
 
+def _token_hash_col(hash_family: str):
+    """JVM-side 64-bit token hash. ``xxhash64`` (default, fastest) or
+    ``md5_60`` — the top 60 bits of md5 as an integer, chosen because the
+    exact same value is computable in DuckDB SQL
+    (``('0x' || substr(md5(tok),1,15))::BIGINT``), which lets the
+    correctness gate verify the full simhash pipeline hash-exactly
+    against an independent oracle; the banding/majority/verify algebra is
+    identical for both families."""
+    if hash_family == "xxhash64":
+        return F.xxhash64("tok")
+    if hash_family == "md5_60":
+        return F.conv(F.substring(F.md5("tok"), 1, 15), 16, 10).cast("long")
+    raise ValueError(f"hash_family: {hash_family!r}")
+
+
 def simhash_fingerprints(
-    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
+    hash_family: str = "xxhash64",
 ) -> DataFrame:
     """-> (doc_id, simhash long): 64-bit bit-majority over token hashes
-    weighted by tf. Token hashing is JVM-side xxhash64; the bit-majority
-    accumulation is a vectorized Arrow UDF (unpackbits matrix sum)."""
+    weighted by tf. Token hashing is JVM-side (see ``_token_hash_col``);
+    the bit-majority accumulation is a vectorized Arrow UDF (unpackbits
+    matrix sum)."""
     toks = df.select(
         F.col(id_col).alias("doc_id"),
         F.explode(tokens_col(text_col)).alias("tok"),
-    ).select("doc_id", F.xxhash64("tok").alias("h"))
+    ).select("doc_id", _token_hash_col(hash_family).alias("h"))
     per_doc = toks.groupBy("doc_id", "h").agg(F.count("*").alias("w"))
     agg = per_doc.groupBy("doc_id").agg(
         F.collect_list("h").alias("hs"), F.collect_list("w").alias("ws")
@@ -275,13 +327,16 @@ def simhash_near_duplicates(
     max_hamming: int = 3,
     id_col: str = "doc_id",
     text_col: str = "text",
+    hash_family: str = "xxhash64",
 ) -> DataFrame:
     """Near-dup pairs with Hamming distance <= max_hamming.
 
     Blocking: any pair within distance d shares at least one of the four
     16-bit bands (pigeonhole, d <= 3 < 4 bands); equality-join per band,
-    then exact popcount verify. -> (doc_a, doc_b, hamming)."""
-    fps = simhash_fingerprints(df, id_col, text_col)
+    then exact popcount verify. -> (doc_a, doc_b, hamming). The result is
+    EXACT (not approximate) for max_hamming <= 3: the pigeonhole blocking
+    loses no pair."""
+    fps = simhash_fingerprints(df, id_col, text_col, hash_family)
     banded = fps.select(
         "doc_id", "simhash",
         F.posexplode(F.array(*[

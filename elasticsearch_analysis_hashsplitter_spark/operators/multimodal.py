@@ -60,31 +60,48 @@ def decode_image(payload: bytes) -> "np.ndarray":
 
 
 def fake_image_features(payload: bytes, dim: int = 16) -> np.ndarray:
-    """Deterministic stand-in feature extractor: sha256-seeded pseudo
-    embedding. Keeps the pipeline testable end-to-end without codecs."""
-    digest = hashlib.sha256(payload).digest()
-    seed = int.from_bytes(digest[:8], "big") % (2**32)
-    rng = np.random.RandomState(seed)
-    return rng.normal(size=dim).astype(np.float32)
+    """Deterministic stand-in feature extractor, replicable in pure SQL:
+    feature j = (first 8 hex chars of the payload's sha256 stream at
+    offset 8j, as an integer, keeping the top 20 bits) / 2^20 — every
+    value is a 20-bit dyadic rational, exactly representable in float32,
+    so gates can compare exact integers instead of rounded floats. The
+    hex stream extends by chaining sha256 for dim > 8."""
+    h = hashlib.sha256(payload).hexdigest()
+    while len(h) < 8 * dim:
+        h += hashlib.sha256(h[-64:].encode()).hexdigest()
+    vals = [
+        (int(h[8 * j : 8 * j + 8], 16) >> 12) / 1048576.0
+        for j in range(dim)
+    ]
+    return np.asarray(vals, dtype=np.float32)
+
+
+def fake_image_features_batch(payloads, dim: int = 16) -> list:
+    """Batched form of :func:`fake_image_features` — the ``decoder``
+    contract for :func:`extract_features` takes the whole Arrow batch so
+    a real codec is forced to be batched (per-row decode loops don't
+    survive contact with real media volumes)."""
+    return [fake_image_features(p, dim) for p in payloads]
 
 
 def extract_features(
     media: DataFrame,
     dim: int = 16,
     target_rows_per_batch: int = 256,
-    decoder=fake_image_features,
+    decoder=fake_image_features_batch,
 ) -> DataFrame:
     """media rows -> (media_id, feature, payload_sha256) via mapInPandas.
 
-    ``decoder`` defaults to the deterministic fake; pass a real decode+
-    featurize function on a cluster with media libraries installed.
+    ``decoder(payloads, dim) -> list[np.ndarray]`` receives the whole
+    re-chunked batch (never a single row): pass a real batched
+    decode+featurize function on a cluster with media libraries.
     """
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             for s in range(0, len(pdf), target_rows_per_batch):
                 chunk = pdf.iloc[s : s + target_rows_per_batch]
-                feats = [decoder(p, dim) for p in chunk["payload"]]
+                feats = decoder(list(chunk["payload"]), dim)
                 shas = [
                     hashlib.sha256(p).hexdigest() for p in chunk["payload"]
                 ]
@@ -140,7 +157,11 @@ def sample_frames(
 
 
 def synthetic_media(spark, n_rows: int, seed: int = 42) -> DataFrame:
-    """Deterministic fake media table (binary payloads) for tests/bench."""
+    """Deterministic fake media table for tests/bench. The payload is the
+    ASCII bytes of ``sha256("{seed}:{id}")`` hex repeated 4x — arbitrary
+    enough to exercise binary plumbing, yet reproducible in pure SQL
+    (``repeat(sha256(seed || ':' || id), 4)``) so the correctness gate
+    can oracle the whole pipeline including payload_sha256."""
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -153,7 +174,7 @@ def synthetic_media(spark, n_rows: int, seed: int = 42) -> DataFrame:
                 "height": [64 + (i % 5) * 32 for i in ids.tolist()],
                 "duration_ms": [0 if i % 3 else 3000 + (i % 7) * 1000 for i in ids.tolist()],
                 "payload": [
-                    hashlib.sha256(f"{seed}:{i}".encode()).digest() * 4
+                    (hashlib.sha256(f"{seed}:{i}".encode()).hexdigest() * 4).encode()
                     for i in ids.tolist()
                 ],
             }

@@ -12,14 +12,8 @@ def test_oracles_subset_of_queries():
     qs = entry.queries()
     os_ = entry.oracle_sql()
     assert set(os_) <= set(qs)
-    # rows-only queries are the documented hash-family/LSH/multimodal ones
-    rows_only = set(qs) - set(os_)
-    assert rows_only == {
-        "minhash_pairs",
-        "simhash_pairs",
-        "ann_lsh_topk",
-        "multimodal_features",
-    }
+    # r2: every gate query has a full DuckDB oracle — no rows-only checks
+    assert set(qs) == set(os_)
 
 
 def test_oracle_sql_parses_in_duckdb():

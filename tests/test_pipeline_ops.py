@@ -215,3 +215,83 @@ def test_rp_lsh_topk_recall(spark, emb):
     # candidates are a strict subset: raising bands can only add recall
     wide = [r.vec_id for r in rp_lsh_topk(emb, q, k=5, bands=8).collect()]
     assert exact[0] == wide[0]
+
+
+def test_ngram_jaccard_hot_shingle_cap(spark):
+    """max_shingle_df: a shingle shared by every doc (license boilerplate)
+    is excluded from candidate generation, but surviving pairs still get
+    the exact jaccard (verify recounts over ALL shingles)."""
+    from elasticsearch_analysis_hashsplitter_spark.operators.dedup import (
+        ngram_jaccard_pairs,
+    )
+
+    boiler = "permission is hereby granted free"
+    rows = []
+    for i in range(40):
+        body = f"unique body {i} words " + " ".join(
+            f"tok{i}_{j}" for j in range(8)
+        )
+        rows.append((i, boiler + " " + body))
+    # one true near-dup pair sharing most non-boilerplate shingles
+    rows.append((100, boiler + " unique body 0 words " + " ".join(
+        f"tok0_{j}" for j in range(8)) + " extra"))
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+
+    exact = {
+        (r.doc_a, r.doc_b): r.jaccard
+        for r in ngram_jaccard_pairs(df, threshold=0.5, n=3).collect()
+    }
+    capped = {
+        (r.doc_a, r.doc_b): r.jaccard
+        for r in ngram_jaccard_pairs(
+            df, threshold=0.5, n=3, max_shingle_df=5
+        ).collect()
+    }
+    assert (0, 100) in exact
+    # the capped run finds the true pair (it shares uncapped shingles)
+    # with the identical exact jaccard value
+    assert capped[(0, 100)] == exact[(0, 100)]
+    # capped output is a subset of exact output with identical values
+    for k, v in capped.items():
+        assert exact[k] == v
+    # and the quadratic boilerplate-only candidates are not generated:
+    # pairs whose only common shingles are hot never reach the verify
+    assert len(capped) <= len(exact)
+
+
+def test_simhash_md5_60_family_parity(spark):
+    """md5_60 (the oracle-replicable family) produces the same near-dup
+    semantics as xxhash64 on a planted corpus, and the Spark conv-based
+    hash equals Python's int(md5[:15], 16)."""
+    import hashlib as _h
+
+    from pyspark.sql import functions as F
+
+    from elasticsearch_analysis_hashsplitter_spark.operators.dedup import (
+        _token_hash_col,
+        simhash_near_duplicates,
+    )
+
+    toks = ["spark", "join", "window", "Merge", "0xff", "a" * 40]
+    tok_df = spark.createDataFrame([(t,) for t in toks], "tok string")
+    got = {
+        r.tok: r.h
+        for r in tok_df.select(
+            "tok", _token_hash_col("md5_60").alias("h")
+        ).collect()
+    }
+    for t in toks:
+        assert got[t] == int(_h.md5(t.encode()).hexdigest()[:15], 16), t
+
+    base = "the quick brown fox jumps over the lazy dog " * 4
+    rows = [(i, base + f"tail{i}") for i in range(10)]
+    rows += [(100 + i, f"totally different content {i} " * 6) for i in range(5)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    for fam in ("xxhash64", "md5_60"):
+        pairs = simhash_near_duplicates(
+            df, max_hamming=3, hash_family=fam
+        ).collect()
+        got_pairs = {(r.doc_a, r.doc_b) for r in pairs}
+        # near-identical docs pair up; unrelated docs don't
+        assert all(a < 100 and b < 100 for a, b in got_pairs), fam
+        assert got_pairs, fam

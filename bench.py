@@ -130,6 +130,119 @@ def qps_run(spark, index_dir: str, n_queries: int = 64) -> dict:
     }
 
 
+def qps_warm_run(spark, index_dir: str, n_queries: int = 64) -> dict:
+    """Serving-mode qps: a long-lived SearchEngine.open() with the hot
+    tables pinned (postings blocks + lexicon .persist()), the way a query
+    server would run — measures steady-state query latency, not engine
+    construction or page-cache warmup (the reference's whole point is
+    query-time behavior, README.md:41-44)."""
+    from elasticsearch_analysis_hashsplitter_spark.corpus import _VOCAB
+    from elasticsearch_analysis_hashsplitter_spark.operators.search import (
+        SearchEngine,
+        bm25_topk_batch,
+    )
+    from elasticsearch_analysis_hashsplitter_spark.plans import (
+        compile as qc,
+    )
+
+    from __spark_entry__ import TOK_CFG
+
+    eng = SearchEngine.open(spark, index_dir)
+    eng.postings = eng.postings.persist()
+    n_blocks = eng.postings.count()  # materialize the cache
+    if eng.lexicon is not None:
+        eng.lexicon = eng.lexicon.persist()
+        eng.lexicon.count()
+    tokens = [str(_VOCAB[(11 * i + 3) % len(_VOCAB)]) for i in range(n_queries)]
+    qmap = {
+        f"q{i}": list(qc.field_query(t, TOK_CFG).terms)
+        for i, t in enumerate(tokens)
+    }
+    eng.search(tokens[0], 10).collect()  # python workers warm
+
+    seq_n = max(n_queries // 4, 8)
+    t0 = time.time()
+    for t in tokens[:seq_n]:
+        eng.search(t, 10).collect()
+    seq_dt = time.time() - t0
+
+    t0 = time.time()
+    n_rows = bm25_topk_batch(eng, qmap, k=10).count()
+    batch_dt = time.time() - t0
+    out = {
+        "cached_blocks": n_blocks,
+        "sequential_queries": seq_n,
+        "sequential_qps": round(seq_n / seq_dt, 2),
+        "batched_queries": n_queries,
+        "batched_seconds": round(batch_dt, 3),
+        "batched_qps": round(n_queries / batch_dt, 2),
+        "batched_result_rows": n_rows,
+    }
+    eng.postings.unpersist()
+    if eng.lexicon is not None:
+        eng.lexicon.unpersist()
+    return out
+
+
+def compaction_run(spark, tmp_base: str, n_rows: int = 25000) -> dict:
+    """Read-amplification check for the segment-merge policy: query
+    latency and file counts on a 16-segment index vs after maybe_compact
+    rewrites it to one term-sorted slice."""
+    import glob
+    import shutil
+
+    from elasticsearch_analysis_hashsplitter_spark.corpus import (
+        generate_corpus,
+    )
+    from elasticsearch_analysis_hashsplitter_spark.operators.build import (
+        build_index,
+    )
+    from elasticsearch_analysis_hashsplitter_spark.operators.search import (
+        SearchEngine,
+    )
+    from elasticsearch_analysis_hashsplitter_spark.streaming.incremental import (
+        maybe_compact,
+    )
+
+    from __spark_entry__ import TOK_CFG
+
+    idx = f"{tmp_base}/compact_idx"
+    shutil.rmtree(idx, ignore_errors=True)
+    docs = generate_corpus(spark, n_rows, partitions=CPUS)
+    build_index(docs, TOK_CFG, idx, n_slices=16)
+
+    def probe(eng) -> float:
+        t0 = time.time()
+        eng.search("printf", 10).collect()
+        eng.term("return").count()
+        return time.time() - t0
+
+    def n_files() -> int:
+        return len(glob.glob(f"{idx}/postings/**/*.parquet", recursive=True))
+
+    eng = SearchEngine.open(spark, idx)
+    probe(eng)  # warm python workers / page cache
+    pre_files = n_files()
+    pre = min(probe(eng) for _ in range(3))
+
+    t0 = time.time()
+    maybe_compact(spark, idx, TOK_CFG, max_slices=4, num_partitions=CPUS)
+    compact_dt = time.time() - t0
+    eng = SearchEngine.open(spark, idx)
+    probe(eng)
+    post_files = n_files()
+    post = min(probe(eng) for _ in range(3))
+    return {
+        "rows": n_rows,
+        "segments_before": 16,
+        "files_before": pre_files,
+        "files_after": post_files,
+        "query_sec_before": round(pre, 3),
+        "query_sec_after": round(post, 3),
+        "compact_seconds": round(compact_dt, 3),
+    }
+
+
 def query_run(spark) -> dict:
     import __spark_entry__ as entrymod
 
@@ -210,6 +323,9 @@ def main():
                 spark, BUILD_ROWS, f"{tmp_base}/main_idx"
             )
             result["qps"] = qps_run(spark, f"{tmp_base}/main_idx")
+            result["qps_warm"] = qps_warm_run(spark, f"{tmp_base}/main_idx")
+            if os.environ.get("SPARK_GRAFT_COMPACT_BENCH", "1") != "0":
+                result["compaction"] = compaction_run(spark, tmp_base)
             t0 = time.time()
             result["queries"] = query_run(spark)
             result["queries_seconds"] = round(time.time() - t0, 3)

@@ -86,6 +86,13 @@ class SearchEngine:
         self.stats = stats
         self.cfg = cfg
         self.lexicon = lexicon
+        #: driver-side (term -> (df, max_tf)) cache for the serving path:
+        #: repeated queries skip the lexicon point-read job entirely.
+        #: Bounded (never the whole lexicon — at corpus scale that is
+        #: billions of terms); simple clear-on-overflow beats LRU churn
+        #: for the few-hot-terms query mix a server sees.
+        self._term_stats_cache: dict[str, tuple] = {}
+        self._term_stats_cache_max = 100_000
 
     @classmethod
     def open(cls, spark: SparkSession, index_dir: str) -> "SearchEngine":
@@ -112,20 +119,42 @@ class SearchEngine:
 
     def _term_stats(self, terms: list[str]) -> list:
         """(term, df, max_tf) rows for a few query terms — from the
-        pre-aggregated lexicon table when available (pruned point reads),
-        else a pushdown aggregation over the block metadata columns."""
-        if self.lexicon is not None:
-            return (
-                self.lexicon.where(F.col("term").isin(terms))
-                .select("term", "df", "max_tf")
-                .collect()
-            )
-        return (
-            self.postings.where(F.col("term").isin(terms))
-            .groupBy("term")
-            .agg(F.sum("df").alias("df"), F.max("max_tf").alias("max_tf"))
-            .collect()
-        )
+        driver-side cache when warm, else the pre-aggregated lexicon
+        table (pruned point reads), else a pushdown aggregation over the
+        block metadata columns. Absent terms are cached as absent, so a
+        repeated miss costs no job either."""
+        missing = [t for t in terms if t not in self._term_stats_cache]
+        if missing:
+            if self.lexicon is not None:
+                rows = (
+                    self.lexicon.where(F.col("term").isin(missing))
+                    .select("term", "df", "max_tf")
+                    .collect()
+                )
+            else:
+                rows = (
+                    self.postings.where(F.col("term").isin(missing))
+                    .groupBy("term")
+                    .agg(
+                        F.sum("df").alias("df"),
+                        F.max("max_tf").alias("max_tf"),
+                    )
+                    .collect()
+                )
+            if (
+                len(self._term_stats_cache) + len(missing)
+                > self._term_stats_cache_max
+            ):
+                self._term_stats_cache.clear()
+            found = {r["term"]: (r["df"], r["max_tf"]) for r in rows}
+            for t in missing:
+                self._term_stats_cache[t] = found.get(t)
+        out = []
+        for t in set(terms):
+            hit = self._term_stats_cache.get(t)
+            if hit is not None:
+                out.append({"term": t, "df": hit[0], "max_tf": hit[1]})
+        return out
 
     @classmethod
     def from_corpus(

@@ -110,6 +110,17 @@ def read_manifests(index_dir: str) -> list[dict[str, Any]]:
     return out
 
 
+def list_postings_slices(index_dir: str) -> list[str]:
+    """Slice keys currently present under postings/ (build slices,
+    stream_<batch> segments, compacted)."""
+    p = postings_path(index_dir)
+    if not os.path.isdir(p):
+        return []
+    return sorted(
+        d.split("=", 1)[1] for d in os.listdir(p) if d.startswith("slice=")
+    )
+
+
 def read_postings(spark: SparkSession, index_dir: str) -> DataFrame:
     # Slice subdirectories (slice=k) surface as a partition column via
     # parquet partition discovery; block consumers ignore it.

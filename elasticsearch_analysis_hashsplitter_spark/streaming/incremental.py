@@ -28,6 +28,7 @@ instead.
 
 from __future__ import annotations
 
+import os
 import time
 
 from pyspark.sql import DataFrame, SparkSession
@@ -185,3 +186,51 @@ def compact_index(
     )
     catalog.write_manifest(out_dir, "compacted", {"kind": "compaction"})  # type: ignore[arg-type]
     return refresh_stats(spark, out_dir, cfg)
+
+
+def maybe_compact(
+    spark: SparkSession,
+    index_dir: str,
+    cfg: HashSplitterConfig,
+    max_slices: int = 8,
+    num_partitions: int = 8,
+) -> dict | None:
+    """Compaction policy: rewrite the index in place when the slice count
+    exceeds ``max_slices`` (each streamed micro-batch adds a segment;
+    every segment adds per-file open/footer costs and more fragmented
+    term runs — read amplification grows with segment count exactly as
+    with Lucene segments, and this is the merge policy).
+
+    In-place swap: compact to a sibling tmp dir, then rename the data
+    dirs over the originals. Rename is atomic per-directory on a POSIX
+    filesystem; on object stores prefer :func:`compact_index` to a new
+    location plus a catalog pointer swap. Returns the refreshed stats, or
+    None when no compaction was needed.
+    """
+    import shutil
+
+    slices = catalog.list_postings_slices(index_dir)
+    if len(slices) <= max_slices:
+        return None
+    tmp = index_dir.rstrip("/") + ".compact_tmp"
+    shutil.rmtree(tmp, ignore_errors=True)
+    stats = compact_index(spark, index_dir, tmp, cfg, num_partitions)
+    for sub in ("postings", "docstats", "lexicon", "manifest", "stats.json"):
+        old = os.path.join(index_dir, sub)
+        new = os.path.join(tmp, sub)
+        if not os.path.exists(new):
+            continue
+        bak = old + ".pre_compact"
+        if os.path.isdir(bak):
+            shutil.rmtree(bak)
+        elif os.path.exists(bak):
+            os.remove(bak)
+        if os.path.exists(old):
+            os.rename(old, bak)
+        os.rename(new, old)
+        if os.path.isdir(bak):
+            shutil.rmtree(bak)
+        elif os.path.exists(bak):
+            os.remove(bak)
+    shutil.rmtree(tmp, ignore_errors=True)
+    return stats

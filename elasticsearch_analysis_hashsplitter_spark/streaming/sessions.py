@@ -83,23 +83,54 @@ def sessionize_stream(
     user_col: str = "user_id",
     ts_col: str = "ts",
     value_col: str = "value",
+    flush_timeout_seconds: int | None = None,
 ):
     """Streaming sessionizer via applyInPandasWithState.
 
     Emits a session row whenever a user's open session is closed by an
-    event arriving more than ``gap`` after the session's end (sessions
-    still open when the stream drains remain in state — exactly the
-    semantics a continuous pipeline needs; a processing-time timeout
-    variant would flush them, omitted here for determinism).
+    event arriving more than ``gap`` after the session's end. By default
+    sessions still open when the stream drains remain in state (the
+    deterministic choice for a continuous pipeline). With
+    ``flush_timeout_seconds`` set, a processing-time timeout flushes a
+    user's open session after that much wall-clock inactivity — the
+    liveness knob for dashboards/TTL sinks; emitted rows are identical to
+    what a later gap-closing event would emit, only earlier, so the union
+    of flushed + closed sessions still equals the batch answer on a
+    drained stream.
+
+    NOTE: with a timeout set, run under a continuous trigger and stop the
+    query explicitly — ``trigger(availableNow=True)`` never terminates,
+    because Spark keeps scheduling wake-up micro-batches to service
+    pending state timeouts (observed on Spark 4.1: the drained query kept
+    emitting empty batches indefinitely). Timeout-flush is a
+    continuous-pipeline feature; drain-and-stop jobs should use the
+    default (no timeout) and read open sessions from state, or close them
+    with a sentinel max-timestamp event per user.
     """
     from pyspark.sql.streaming.state import GroupStateTimeout
 
     gap_us = gap_minutes * 60 * 1_000_000
+    timeout_ms = (
+        int(flush_timeout_seconds * 1000) if flush_timeout_seconds else None
+    )
 
     def update(key, pdfs, state):
         import numpy as np
 
         user_id = key[0]
+        if timeout_ms is not None and state.hasTimedOut:
+            cur = list(state.get)
+            state.remove()
+            yield pd.DataFrame(
+                {
+                    "user_id": [user_id],
+                    "session_start": pd.to_datetime([cur[0]], unit="us"),
+                    "session_end": pd.to_datetime([cur[1]], unit="us"),
+                    "n_events": [cur[2]],
+                    "sum_value": [round(cur[3], 4)],
+                }
+            )
+            return
         ts_all, val_all = [], []
         for pdf in pdfs:
             ts_all.append(
@@ -144,6 +175,8 @@ def sessionize_stream(
             out.append((user_id, *seg))
         if segs:
             state.update(tuple(segs[-1]))
+        if timeout_ms is not None and state.exists:
+            state.setTimeoutDuration(timeout_ms)
         if out:
             yield pd.DataFrame(
                 {
@@ -164,5 +197,7 @@ def sessionize_stream(
         SESSION_SCHEMA,
         STATE_SCHEMA,
         "append",
-        GroupStateTimeout.NoTimeout,
+        GroupStateTimeout.ProcessingTimeTimeout
+        if timeout_ms is not None
+        else GroupStateTimeout.NoTimeout,
     )

@@ -107,3 +107,51 @@ def test_stream_state_across_batches(spark, tmp_path):
     assert len(got) == 1
     r = got[0]
     assert (r.n_events, r.sum_value) == (3, 6.0)  # merged across batches
+
+
+
+
+def test_stream_timeout_flushes_open_sessions(spark, tmp_path):
+    """flush_timeout_seconds: a user's open session is emitted by the
+    processing-time timeout after wall-clock inactivity. Timeout mode is
+    a continuous-pipeline feature (availableNow never terminates with
+    pending timeouts — see sessionize_stream docstring), so this runs a
+    continuous trigger and polls the sink."""
+    import time
+    from datetime import datetime as dt
+
+    rows1 = [(0, dt(2024, 1, 1, 0, 0), 1, "a", 1.0, ""),
+             (1, dt(2024, 1, 1, 0, 10), 1, "a", 2.0, "")]
+
+    src = tmp_path / "src_t"
+    spark.createDataFrame(rows1, EVENT_SCHEMA).coalesce(1).write.parquet(
+        str(src / "f1")
+    )
+    stream = spark.readStream.schema(EVENT_SCHEMA).parquet(str(src / "*"))
+    out = sessionize_stream(stream, gap_minutes=30, flush_timeout_seconds=1)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("sess_t")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt_t"))
+        .trigger(processingTime="500 milliseconds")
+        .start()
+    )
+    try:
+        got = []
+        deadline = time.time() + 60
+        while time.time() < deadline:
+            got = spark.sql(
+                "SELECT * FROM sess_t WHERE user_id = 1"
+            ).collect()
+            if got:
+                break
+            time.sleep(1)
+    finally:
+        q.stop()
+    assert len(got) == 1
+    r = got[0]
+    # the flushed row is exactly what a gap-closing event would emit
+    assert (r.n_events, r.sum_value) == (2, 3.0)
+    assert r.session_start == dt(2024, 1, 1, 0, 0)
+    assert r.session_end == dt(2024, 1, 1, 0, 10)

@@ -141,3 +141,47 @@ def test_stream_skip_existing_dedups_reingest(spark, tmp_path):
         for r in batch_eng.search("spark", 5).collect()
     ]
     assert stream_top == batch_top
+
+
+def test_maybe_compact_policy(spark, tmp_path):
+    """maybe_compact: no-op below the slice threshold; above it, rewrites
+    the index in place to a single compacted slice with identical query
+    results and stats."""
+    from elasticsearch_analysis_hashsplitter_spark.operators.build import (
+        build_index,
+    )
+    from elasticsearch_analysis_hashsplitter_spark.sources import catalog
+    from elasticsearch_analysis_hashsplitter_spark.streaming.incremental import (
+        maybe_compact,
+    )
+
+    idx = str(tmp_path / "idx_c")
+    docs = spark.createDataFrame(
+        [(i, f"spark join doc{i} " + "filler " * (i % 5)) for i in range(60)],
+        "doc_id long, content string",
+    )
+    build_index(docs, CFG, idx, n_slices=6, num_partitions=6)
+    assert len(catalog.list_postings_slices(idx)) == 6
+
+    eng = SearchEngine.open(spark, idx)
+    before = sorted(r.doc_id for r in eng.term("spark").collect())
+    before_top = [
+        (r.doc_id, round(r.score, 9)) for r in eng.search("spark", 5).collect()
+    ]
+    stats_before = dict(eng.stats)
+
+    assert maybe_compact(spark, idx, CFG, max_slices=8) is None  # below cap
+    stats = maybe_compact(spark, idx, CFG, max_slices=4)
+    assert stats is not None
+    assert catalog.list_postings_slices(idx) == ["compacted"]
+
+    eng2 = SearchEngine.open(spark, idx)
+    assert sorted(r.doc_id for r in eng2.term("spark").collect()) == before
+    got_top = [
+        (r.doc_id, round(r.score, 9)) for r in eng2.search("spark", 5).collect()
+    ]
+    assert got_top == before_top
+    assert eng2.stats["n_docs"] == stats_before["n_docs"]
+    assert eng2.stats["avgdl"] == pytest.approx(stats_before["avgdl"])
+    # idempotent: one slice now, nothing to do
+    assert maybe_compact(spark, idx, CFG, max_slices=4) is None

@@ -266,6 +266,25 @@ def _q_hash_range_open(spark, sf_dir):
     )
 
 
+def _q_search_wildcard_scored(spark, sf_dir):
+    """Scored wildcard top-k: the reference's WildcardQuery rewrites
+    constant-score (Lucene 3.5 MultiTermQuery CONSTANT_SCORE rewrite,
+    boost coverage HashSplitterQueryParsersTests.java:304-327) — every
+    match scores boost, rank falls to doc_id."""
+    eng = _engine(spark, sf_dir, "tokens")
+    out = eng.search_wildcard("s?ar*", k=10, boost=2.0)
+    return out.select("doc_id", F.round("score", 4).alias("score"))
+
+
+def _q_search_range_scored(spark, sf_dir):
+    """Scored range top-k — C5 ConstantScoreQuery(rangeFilter),
+    HashSplitterFieldMapper.java:532-538: constant score = boost."""
+    lo, hi = "2" + "0" * 31, "c" + "f" * 31
+    eng = _engine(spark, sf_dir, "hash")
+    out = eng.search_range(lo, hi, True, True, k=10, boost=3.0)
+    return out.select("doc_id", F.round("score", 4).alias("score"))
+
+
 def _q_dedup_exact(spark, sf_dir):
     from elasticsearch_analysis_hashsplitter_spark.operators.dedup import (
         exact_duplicates,
@@ -541,6 +560,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hash_wildcard_suffix": _q_hash_wildcard_suffix,
         "hash_range_query": _q_hash_range,
         "hash_range_open": _q_hash_range_open,
+        "search_wildcard_scored": _q_search_wildcard_scored,
+        "search_range_scored": _q_search_range_scored,
         "dedup_exact": _q_dedup_exact,
         "ngram_jaccard_pairs": _q_ngram_jaccard,
         "minhash_pairs": _q_minhash_pairs,
@@ -851,6 +872,16 @@ LIMIT 10"""
             f"'{'2' + '0' * 31}' AND '{'c' + 'f' * 31}' ORDER BY doc_id"
         ),
         "hash_range_open": "SELECT doc_id FROM documents ORDER BY doc_id",
+        "search_wildcard_scored": f"""
+WITH {_TOK_CTE}
+SELECT doc_id, (2.0)::DOUBLE AS score FROM (
+  {sql_oracle.docs_select(qc.wildcard_query("s?ar*", TOK_CFG), TOK_CFG)}
+) q ORDER BY doc_id LIMIT 10""",
+        "search_range_scored": (
+            "SELECT doc_id, (3.0)::DOUBLE AS score FROM documents "
+            f"WHERE md5(text) BETWEEN '{'2' + '0' * 31}' AND "
+            f"'{'c' + 'f' * 31}' ORDER BY doc_id LIMIT 10"
+        ),
         "dedup_exact": (
             "SELECT md5(text) AS digest, count(*)::BIGINT AS n_copies, "
             "min(doc_id) AS keep_id FROM documents GROUP BY md5(text) "

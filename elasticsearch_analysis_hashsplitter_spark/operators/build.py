@@ -141,6 +141,7 @@ def _block_builder(block_size: int):
                 "max_doc": int(d[-1]),
                 "df": int(d.size),
                 "max_tf": int(t.max()),
+                "min_dl": int(l.min()),
                 "docs": encode_doc_ids(d),
                 "tfs": encode_counts(t),
                 "dls": encode_counts(l),
@@ -308,6 +309,7 @@ def _segment_builder(block_size: int):
                         "max_doc": int(d[-1]),
                         "df": int(d.size),
                         "max_tf": int(t.max()),
+                        "min_dl": int(l.min()),
                         "docs": encode_doc_ids(d),
                         "tfs": encode_counts(t),
                         "dls": encode_counts(l),
@@ -354,6 +356,7 @@ def _segment_merger(block_size: int, min_merge_df: int):
                         "max_doc": int(d[be - 1]),
                         "df": int(be - b),
                         "max_tf": int(t[b:be].max()),
+                        "min_dl": int(l[b:be].min()),
                         "docs": encode_doc_ids(d[b:be]),
                         "tfs": encode_counts(t[b:be]),
                         "dls": encode_counts(l[b:be]),
@@ -487,7 +490,9 @@ def build_index(
     # the binary blobs are never read)
     postings = catalog.read_postings(spark, index_dir)
     postings.groupBy("term").agg(
-        F.sum("df").alias("df"), F.max("max_tf").alias("max_tf")
+        F.sum("df").alias("df"),
+        F.max("max_tf").alias("max_tf"),
+        F.min("min_dl").alias("min_dl"),
     ).write.mode("overwrite").parquet(catalog.lexicon_path(index_dir))
 
     docstats = catalog.read_docstats(spark, index_dir)

@@ -56,6 +56,28 @@ _SCORE_SCHEMA = T.StructType(
 )
 
 
+def _collect_block_ranges(blocks: DataFrame, cap: int = 257) -> list:
+    """Driver-bounded (min_doc, max_doc) collection for block skipping.
+
+    ONE job (map-side partial collect_list + a slice cap), never a
+    multi-wave CollectLimit (``limit(n).collect()`` runs 1/4/16/…
+    partition waves sequentially — measured 3-4x query latency) and
+    never an unbounded driver materialization (a hot term has ~1e6 block
+    rows at 100x scale; the slice caps what reaches the driver, and
+    callers skip the prune beyond 256 ranges anyway).
+    """
+    row = (
+        blocks.select("min_doc", "max_doc")
+        .agg(
+            F.slice(
+                F.collect_list(F.struct("min_doc", "max_doc")), 1, cap
+            ).alias("r")
+        )
+        .collect()
+    )
+    return list(row[0]["r"]) if row and row[0]["r"] else []
+
+
 def _decode_docs(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
     for pdf in batches:
         if not len(pdf):
@@ -86,7 +108,7 @@ class SearchEngine:
         self.stats = stats
         self.cfg = cfg
         self.lexicon = lexicon
-        #: driver-side (term -> (df, max_tf)) cache for the serving path:
+        #: driver-side (term -> (df, max_tf, min_dl)) cache for the serving path:
         #: repeated queries skip the lexicon point-read job entirely.
         #: Bounded (never the whole lexicon — at corpus scale that is
         #: billions of terms); simple clear-on-overflow beats LRU churn
@@ -118,27 +140,37 @@ class SearchEngine:
         )
 
     def _term_stats(self, terms: list[str]) -> list:
-        """(term, df, max_tf) rows for a few query terms — from the
-        driver-side cache when warm, else the pre-aggregated lexicon
+        """(term, df, max_tf, min_dl) rows for a few query terms — from
+        the driver-side cache when warm, else the pre-aggregated lexicon
         table (pruned point reads), else a pushdown aggregation over the
         block metadata columns. Absent terms are cached as absent, so a
-        repeated miss costs no job either."""
+        repeated miss costs no job either. ``min_dl`` is None on indexes
+        built before the column existed (bounds fall back to the dl->0
+        limit)."""
         missing = [t for t in terms if t not in self._term_stats_cache]
         if missing:
+            src = self.lexicon if self.lexicon is not None else self.postings
+            has_mdl = "min_dl" in src.columns
             if self.lexicon is not None:
+                cols = ["term", "df", "max_tf"] + (
+                    ["min_dl"] if has_mdl else []
+                )
                 rows = (
                     self.lexicon.where(F.col("term").isin(missing))
-                    .select("term", "df", "max_tf")
+                    .select(*cols)
                     .collect()
                 )
             else:
+                aggs = [
+                    F.sum("df").alias("df"),
+                    F.max("max_tf").alias("max_tf"),
+                ]
+                if has_mdl:
+                    aggs.append(F.min("min_dl").alias("min_dl"))
                 rows = (
                     self.postings.where(F.col("term").isin(missing))
                     .groupBy("term")
-                    .agg(
-                        F.sum("df").alias("df"),
-                        F.max("max_tf").alias("max_tf"),
-                    )
+                    .agg(*aggs)
                     .collect()
                 )
             if (
@@ -146,14 +178,28 @@ class SearchEngine:
                 > self._term_stats_cache_max
             ):
                 self._term_stats_cache.clear()
-            found = {r["term"]: (r["df"], r["max_tf"]) for r in rows}
+            found = {
+                r["term"]: (
+                    r["df"],
+                    r["max_tf"],
+                    r["min_dl"] if has_mdl else None,
+                )
+                for r in rows
+            }
             for t in missing:
                 self._term_stats_cache[t] = found.get(t)
         out = []
         for t in set(terms):
             hit = self._term_stats_cache.get(t)
             if hit is not None:
-                out.append({"term": t, "df": hit[0], "max_tf": hit[1]})
+                out.append(
+                    {
+                        "term": t,
+                        "df": hit[0],
+                        "max_tf": hit[1],
+                        "min_dl": hit[2],
+                    }
+                )
         return out
 
     @classmethod
@@ -477,8 +523,10 @@ class SearchEngine:
            mostly skipped;
         4. exact rescoring of all candidates, merge with bootstrap top-k.
 
-        All bounds are sound (ub uses per-term max_tf with the dl->0
-        denominator limit), so the result is exactly the true top-k.
+        All bounds are sound (ub maximizes tf at max_tf and minimizes the
+        dl-normalized denominator at the term's min_dl; pre-min_dl
+        indexes fall back to the dl->0 limit), so the result is exactly
+        the true top-k.
         """
         if not terms:
             return self._empty_scored()
@@ -491,17 +539,26 @@ class SearchEngine:
         lex = self._term_stats(distinct)
         if not lex:
             return self._empty_scored()
-        info = {r["term"]: (r["df"], r["max_tf"]) for r in lex}
+        info = {
+            r["term"]: (r["df"], r["max_tf"], r["min_dl"]) for r in lex
+        }
+        avgdl = self.stats["avgdl"] or 1.0
 
         def idf(t):
-            df = info.get(t, (0, 0))[0]
+            df = info.get(t, (0, 0, None))[0]
             return math.log(1.0 + (n_docs - df + 0.5) / (df + 0.5))
 
         def ub(t):
-            mtf = info.get(t, (0, 1))[1] or 1
+            # sound upper bound on the term's per-doc contribution: tf is
+            # maximized at max_tf and the dl-normalized denominator is
+            # minimized at the term's min_dl (BM25 decreases in dl); old
+            # indexes without min_dl fall back to the dl->0 limit
+            _, mtf, mdl = info.get(t, (0, 1, None))
+            mtf = mtf or 1
+            dl_term = 0.0 if mdl is None else b * mdl / avgdl
             return (
                 weights[t] * idf(t) * mtf * (k1 + 1.0)
-                / (mtf + k1 * (1.0 - b))
+                / (mtf + k1 * (1.0 - b + dl_term))
             )
 
         present = [t for t in distinct if t in info]
@@ -541,15 +598,12 @@ class SearchEngine:
             # candidate's non-essential contributions are complete — the
             # soundness condition for the theta prune. (Essential-only
             # ranges mis-ranked docs holding strongest + non-essential
-            # terms but no essential term.) limit(257) bounds the driver
-            # collect: past 256 ranges we skip the overlap prune anyway.
-            ranges = (
+            # terms but no essential term.) The collect is bounded to 257
+            # rows — past 256 the overlap prune is skipped anyway.
+            ranges = _collect_block_ranges(
                 self.postings.where(
                     F.col("term").isin(essential + [strongest])
                 )
-                .select("min_doc", "max_doc")
-                .limit(257)
-                .collect()
             )
             cond = F.col("term").isin(essential + [strongest])
             if ranges and len(ranges) <= 256:
@@ -704,14 +758,8 @@ class SearchEngine:
             # postings, so other terms' blocks whose [min_doc, max_doc]
             # ranges miss every anchor block are never decoded
             # (block-max WAND-style pruning, driver-broadcast).
-            # limit(257) bounds the driver collect — a hot anchor term may
-            # have ~1e6 block rows at scale; past 256 ranges the overlap
-            # prune is skipped, so never materialize more than that
-            ranges = (
+            ranges = _collect_block_ranges(
                 self.postings.where(F.col("term") == anchor)
-                .select("min_doc", "max_doc")
-                .limit(257)
-                .collect()
             )
             if ranges:
                 overlap = reduce(

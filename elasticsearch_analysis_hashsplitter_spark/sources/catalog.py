@@ -3,7 +3,7 @@
 The engine-native equivalent of Lucene's segment files (SURVEY.md §1.3):
 
 * ``postings/``  — parquet, term-sorted **block** rows:
-    (term, min_doc, max_doc, df, max_tf, docs BINARY, tfs BINARY, dls BINARY)
+    (term, min_doc, max_doc, df, max_tf, min_dl, docs BINARY, tfs BINARY, dls BINARY)
   Each row holds <= block_size postings for one term, docID-sorted,
   delta+varbyte encoded (functions/codec.py). A hot term spans many block
   rows (possibly across build slices) — this is the skew story: range
@@ -14,7 +14,7 @@ The engine-native equivalent of Lucene's segment files (SURVEY.md §1.3):
   reference's term-dictionary seek (WildcardTermEnum.java:56-69).
   ``dls`` embeds each posting's document length so BM25 scoring needs no
   join against docstats at query time.
-* ``lexicon/``   — parquet (term, df, max_tf): global per-term stats,
+* ``lexicon/``   — parquet (term, df, max_tf, min_dl): global per-term stats,
   driver-collectable per query (queries touch few terms).
 * ``docstats/``  — parquet (doc_id, dl, content_sha256): per-doc length +
   the north_rule per-row integrity invariant.
@@ -41,6 +41,10 @@ BLOCK_SCHEMA = T.StructType(
         T.StructField("max_doc", T.LongType(), False),
         T.StructField("df", T.LongType(), False),
         T.StructField("max_tf", T.IntegerType(), False),
+        # block-min document length: BM25 contribution grows as dl
+        # shrinks, so min_dl yields a SOUND per-term upper bound that is
+        # much tighter than the dl->0 limit (MaxScore prunes more)
+        T.StructField("min_dl", T.LongType(), False),
         T.StructField("docs", T.BinaryType(), False),
         T.StructField("tfs", T.BinaryType(), False),
         T.StructField("dls", T.BinaryType(), False),

@@ -92,9 +92,12 @@ def refresh_stats(spark: SparkSession, index_dir: str,
     """Recompute global stats + lexicon after appended segments (the
     'refresh' making new segments visible with correct idf/avgdl)."""
     postings = catalog.read_postings(spark, index_dir)
-    postings.groupBy("term").agg(
-        F.sum("df").alias("df"), F.max("max_tf").alias("max_tf")
-    ).write.mode("overwrite").parquet(catalog.lexicon_path(index_dir))
+    aggs = [F.sum("df").alias("df"), F.max("max_tf").alias("max_tf")]
+    if "min_dl" in postings.columns:  # absent on pre-min_dl indexes
+        aggs.append(F.min("min_dl").alias("min_dl"))
+    postings.groupBy("term").agg(*aggs).write.mode("overwrite").parquet(
+        catalog.lexicon_path(index_dir)
+    )
     docstats = catalog.read_docstats(spark, index_dir)
     agg = docstats.agg(
         F.count("*").alias("n"),
@@ -170,9 +173,11 @@ def compact_index(
     lexicon/stats are rebuilt)."""
     from ..operators.build import DEFAULT_BLOCK_SIZE  # noqa: F401
 
-    postings = catalog.read_postings(spark, index_dir).select(
-        "term", "min_doc", "max_doc", "df", "max_tf", "docs", "tfs", "dls"
-    )
+    src = catalog.read_postings(spark, index_dir)
+    cols = ["term", "min_doc", "max_doc", "df", "max_tf", "docs", "tfs", "dls"]
+    if "min_dl" in src.columns:  # pre-min_dl indexes remain compactable
+        cols.insert(5, "min_dl")
+    postings = src.select(*cols)
     (
         postings.repartitionByRange(num_partitions, "term", "min_doc")
         .sortWithinPartitions("term", "min_doc")

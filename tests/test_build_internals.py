@@ -174,3 +174,37 @@ def test_blocks_reconstruct_postings(spark, strategy):
         for term, tf in fr.items():
             exp.setdefault(term, {})[i] = (tf, dl)
     assert got == exp
+
+
+from elasticsearch_analysis_hashsplitter_spark.operators.build import (  # noqa: E402
+    build_postings_blocks_segmented,
+)
+
+
+def test_block_min_dl_matches_true_min(spark):
+    """min_dl block metadata == the true minimum document length among
+    the block's postings (drives the tightened MaxScore upper bound)."""
+    docs = spark.createDataFrame(
+        [(i, "spark " * (1 + i % 7) + f"u{i}") for i in range(50)],
+        "doc_id long, content string",
+    )
+    from elasticsearch_analysis_hashsplitter_spark.functions.codec import (
+        decode_counts,
+    )
+
+    for strategy in ("hash_salt", "range"):
+        blocks = build_postings_blocks(
+            tokenize_corpus(docs, TOK_CFG), 4, block_size=8,
+            partition_strategy=strategy,
+        ).collect()
+        assert blocks
+        for b in blocks:
+            dls = decode_counts(bytes(b["dls"]))
+            assert b["min_dl"] == dls.min(), (strategy, b["term"])
+
+    segs = build_postings_blocks_segmented(
+        tokenize_corpus(docs, TOK_CFG), 4, block_size=8
+    ).collect()
+    for b in segs:
+        dls = decode_counts(bytes(b["dls"]))
+        assert b["min_dl"] == dls.min(), ("segments", b["term"])

@@ -319,6 +319,21 @@ def _q_minhash_pairs(spark, sf_dir):
     ).orderBy("doc_a", "doc_b")
 
 
+def _q_dedup_clusters(spark, sf_dir):
+    """Connected components over the MinHash near-dup pairs -> (doc_id,
+    cluster_id = min id in component); oracled by a DuckDB recursive-CTE
+    transitive closure over the exact-Jaccard edge set."""
+    from elasticsearch_analysis_hashsplitter_spark.operators.dedup import (
+        dedup_clusters,
+        minhash_dedup_pairs,
+    )
+
+    pairs = minhash_dedup_pairs(_docs(spark, sf_dir), threshold=0.5).select(
+        "doc_a", "doc_b"
+    )
+    return dedup_clusters(pairs).orderBy("doc_id")
+
+
 def _q_simhash_pairs(spark, sf_dir):
     """hash_family='md5_60' is the oracle-replicable token-hash family
     (DuckDB computes the identical 60-bit value); the banding/majority/
@@ -565,6 +580,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact": _q_dedup_exact,
         "ngram_jaccard_pairs": _q_ngram_jaccard,
         "minhash_pairs": _q_minhash_pairs,
+        "dedup_clusters": _q_dedup_clusters,
         "simhash_pairs": _q_simhash_pairs,
         "ann_cosine_topk": _q_ann_cosine,
         "ann_lsh_topk": _q_ann_lsh,
@@ -889,6 +905,19 @@ SELECT doc_id, (2.0)::DOUBLE AS score FROM (
         ),
         "ngram_jaccard_pairs": jacc,
         "minhash_pairs": _jaccard_oracle(0.5),
+        "dedup_clusters": f"""
+WITH RECURSIVE p AS ({_jaccard_oracle(0.5)}),
+und AS (
+  SELECT doc_a AS src, doc_b AS dst FROM p
+  UNION SELECT doc_b, doc_a FROM p
+),
+reach(src, dst) AS (
+  SELECT src, dst FROM und
+  UNION
+  SELECT r.src, u.dst FROM reach r JOIN und u ON r.dst = u.src
+)
+SELECT src AS doc_id, least(src, min(dst)) AS cluster_id
+FROM reach GROUP BY src ORDER BY doc_id""",
         "simhash_pairs": _simhash_oracle(),
         "multimodal_features": _multimodal_oracle(),
         "ann_lsh_topk": ann_lsh,

@@ -201,10 +201,30 @@ def minhash_signatures(
 
 
 def minhash_lsh_candidates(
-    sigs: DataFrame, bands: int = 16, rows: int = 4
+    sigs: DataFrame,
+    bands: int = 16,
+    rows: int = 4,
+    max_bucket_size: int | None = None,
+    pair_mode: str = "all",
 ) -> DataFrame:
     """Band the signatures and emit candidate pairs that share a band
-    bucket (the LSH join). -> (doc_a, doc_b) distinct."""
+    bucket (the LSH join). -> (doc_a, doc_b) distinct.
+
+    Scale knobs for hot buckets (a bucket holding a giant duplicate
+    cluster makes the self-join quadratic in the cluster size — run
+    exact_dedup first so byte-identical copies never reach LSH):
+
+    * ``pair_mode='star'`` — per bucket, pair every member with the
+      bucket's min doc_id instead of all-pairs: candidate count is
+      linear in bucket size, and component CONNECTIVITY is preserved
+      (for clustering via :func:`dedup_clusters`); pairwise
+      verification is weaker — a leaf may fail the verify against the
+      center even when leaf-leaf pairs are true near-dups, so keep
+      ``'all'`` when the pair list itself is the product.
+    * ``max_bucket_size`` — drop buckets larger than the cap from
+      candidate generation entirely (their members' pairs can still be
+      found through the other bands).
+    """
     banded = sigs.select(
         "doc_id",
         F.posexplode(
@@ -214,6 +234,26 @@ def minhash_lsh_candidates(
             )
         ).alias("band", "bucket"),
     )
+    if max_bucket_size is not None:
+        ok = (
+            banded.groupBy("band", "bucket")
+            .agg(F.count("*").alias("n"))
+            .where(F.col("n") <= max_bucket_size)
+            .select("band", "bucket")
+        )
+        banded = banded.join(ok, ["band", "bucket"])
+    if pair_mode == "star":
+        centers = banded.groupBy("band", "bucket").agg(
+            F.min("doc_id").alias("doc_a")
+        )
+        return (
+            banded.join(centers, ["band", "bucket"])
+            .where(F.col("doc_id") != F.col("doc_a"))
+            .select("doc_a", F.col("doc_id").alias("doc_b"))
+            .distinct()
+        )
+    if pair_mode != "all":
+        raise ValueError(f"pair_mode: {pair_mode!r}")
     a = banded.alias("a")
     b = banded.alias("b")
     return (
@@ -361,4 +401,75 @@ def simhash_near_duplicates(
         cand.withColumn("hamming", ham)
         .where(F.col("hamming") <= max_hamming)
         .select("doc_a", "doc_b", "hamming")
+    )
+
+
+# ---------------------------------------------------------------------------
+# near-dup clusters (connected components over candidate pairs)
+# ---------------------------------------------------------------------------
+
+
+def dedup_clusters(
+    pairs: DataFrame,
+    id_cols: tuple[str, str] = ("doc_a", "doc_b"),
+    max_iterations: int = 25,
+) -> DataFrame:
+    """Near-dup pairs -> (doc_id, cluster_id) connected components, with
+    cluster_id = the minimum doc_id in the component (the canonical
+    survivor every dedup pipeline keeps).
+
+    Distributed min-label propagation: each iteration is one
+    edges-to-labels join + min aggregation (labels flow one hop per
+    iteration, so rounds = component diameter — near-dup components are
+    dense clusters with tiny diameters, and ``max_iterations`` guards
+    pathological chains). Lineage is cut per iteration with
+    localCheckpoint so plans stay flat; the edge table is persisted once
+    and reused by every iteration. Only docs appearing in ``pairs`` are
+    labeled — union in singletons downstream if needed.
+    """
+    a, b = id_cols
+    edges = pairs.select(
+        F.col(a).cast("long").alias("src"), F.col(b).cast("long").alias("dst")
+    )
+    und = (
+        edges.unionByName(
+            edges.select(
+                F.col("dst").alias("src"), F.col("src").alias("dst")
+            )
+        )
+        .distinct()
+        .persist()
+    )
+    labels = und.select(F.col("src").alias("node")).distinct().select(
+        "node", F.col("node").alias("label")
+    ).localCheckpoint()
+    for _ in range(max_iterations):
+        nbr = (
+            und.join(labels, und["dst"] == labels["node"])
+            .groupBy("src")
+            .agg(F.min("label").alias("nbr_label"))
+        )
+        updated = (
+            labels.join(nbr, labels["node"] == nbr["src"], "left")
+            .select(
+                "node",
+                F.least(
+                    F.col("label"),
+                    F.coalesce(F.col("nbr_label"), F.col("label")),
+                ).alias("new_label"),
+                F.col("label").alias("old_label"),
+            )
+            .localCheckpoint()
+        )
+        changed = updated.where(
+            F.col("new_label") != F.col("old_label")
+        ).count()
+        labels = updated.select(
+            "node", F.col("new_label").alias("label")
+        )
+        if changed == 0:
+            break
+    und.unpersist()
+    return labels.select(
+        F.col("node").alias("doc_id"), F.col("label").alias("cluster_id")
     )

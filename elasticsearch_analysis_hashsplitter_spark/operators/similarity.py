@@ -242,6 +242,41 @@ def rp_lsh_buckets(
     )
 
 
+def query_band_keys(
+    query: list[float], n_bits: int = 32, bands: int = 4, seed: int = 42
+) -> list[int]:
+    """Driver-side band keys for a query vector (same plane family as
+    :func:`rp_lsh_buckets`)."""
+    planes = _planes(len(query), n_bits, seed)
+    rows = n_bits // bands
+    qbits = (np.asarray(query, dtype=np.float64) @ planes) > 0
+    qkeys = np.zeros(bands, dtype=np.int64)
+    for j in range(rows):
+        qkeys = qkeys * 2 + qbits[j::rows][:bands]
+    return [int(x) for x in qkeys]
+
+
+def rp_lsh_index(
+    df: DataFrame,
+    dim: int,
+    path: str,
+    n_bits: int = 32,
+    bands: int = 4,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Serving-path ANN index: compute the bucket table ONCE and persist
+    it partitioned by band — each query then reads only its matching
+    band partitions with a pushed-down key equality (partition pruning +
+    parquet min/max), instead of re-projecting every vector per query
+    (a full-corpus scan at 100 TB). Returns the reloaded bucket table;
+    pass it to :func:`rp_lsh_topk` via ``buckets=``."""
+    b = rp_lsh_buckets(df, dim, n_bits, bands, seed, id_col, vec_col)
+    b.write.mode("overwrite").partitionBy("band").parquet(path)
+    return df.sparkSession.read.parquet(path)
+
+
 def rp_lsh_topk(
     df: DataFrame,
     query: list[float],
@@ -251,18 +286,19 @@ def rp_lsh_topk(
     seed: int = 42,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    buckets: DataFrame | None = None,
 ) -> DataFrame:
     """ANN top-k: candidates sharing >= 1 signature band with the query,
     re-ranked by exact cosine. Recall < 1 by construction; the exact
-    re-rank keeps precision exact for returned candidates."""
+    re-rank keeps precision exact for returned candidates.
+
+    ``buckets``: a precomputed bucket table (:func:`rp_lsh_index`) — the
+    serving path; omitted, the buckets are derived in-line (one pass
+    over ``df``, fine for ad-hoc use)."""
     dim = len(query)
-    planes = _planes(dim, n_bits, seed)
-    rows = n_bits // bands
-    qbits = (np.asarray(query, dtype=np.float64) @ planes) > 0
-    qkeys = np.zeros(bands, dtype=np.int64)
-    for j in range(rows):
-        qkeys = qkeys * 2 + qbits[j::rows][:bands]
-    buckets = rp_lsh_buckets(df, dim, n_bits, bands, seed, id_col, vec_col)
+    qkeys = query_band_keys(query, n_bits, bands, seed)
+    if buckets is None:
+        buckets = rp_lsh_buckets(df, dim, n_bits, bands, seed, id_col, vec_col)
     cond = None
     for i, qk in enumerate(qkeys):
         c = (F.col("band") == i) & (F.col("key") == int(qk))

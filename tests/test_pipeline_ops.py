@@ -295,3 +295,98 @@ def test_simhash_md5_60_family_parity(spark):
         # near-identical docs pair up; unrelated docs don't
         assert all(a < 100 and b < 100 for a, b in got_pairs), fam
         assert got_pairs, fam
+
+
+def test_dedup_clusters_connected_components(spark):
+    """Min-label propagation matches a pure-Python union-find on chains,
+    triangles, and singleton self-edges."""
+    from elasticsearch_analysis_hashsplitter_spark.operators.dedup import (
+        dedup_clusters,
+    )
+
+    edges = [(1, 2), (2, 3), (3, 11), (5, 6), (7, 8), (8, 10), (9, 9),
+             (20, 21), (21, 22), (22, 23), (23, 24)]  # 5-chain
+    pairs = spark.createDataFrame(edges, "doc_a long, doc_b long")
+    got = {
+        r.doc_id: r.cluster_id for r in dedup_clusters(pairs).collect()
+    }
+
+    parent = {}
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+    def union(a, b):
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    for a, b in edges:
+        union(a, b)
+    exp = {x: find(x) for x in parent}
+    assert got == exp
+
+
+def test_minhash_star_mode_and_bucket_cap(spark):
+    """pair_mode='star' keeps component connectivity with linearly many
+    candidates; max_bucket_size drops hot buckets from generation."""
+    from elasticsearch_analysis_hashsplitter_spark.operators.dedup import (
+        dedup_clusters,
+        minhash_lsh_candidates,
+        minhash_signatures,
+    )
+
+    base = "the quick brown fox jumps over the lazy dog again and again "
+    rows = [(i, base + f"t{i % 2}") for i in range(12)]   # two dup clusters
+    rows += [(100 + i, f"different {i} " * 8) for i in range(4)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    sigs = minhash_signatures(df)
+
+    all_pairs = minhash_lsh_candidates(sigs).collect()
+    star_pairs = minhash_lsh_candidates(sigs, pair_mode="star").collect()
+    assert len(star_pairs) <= len(all_pairs)
+    for r in star_pairs:
+        assert r.doc_a < r.doc_b
+
+    def comps(pairs):
+        pdf = spark.createDataFrame(
+            [(r.doc_a, r.doc_b) for r in pairs], "doc_a long, doc_b long"
+        )
+        return {
+            r.doc_id: r.cluster_id for r in dedup_clusters(pdf).collect()
+        }
+
+    # identical component structure under star pairing
+    assert comps(all_pairs) == comps(star_pairs)
+
+    # a cap below the dup-cluster bucket size suppresses those candidates
+    capped = minhash_lsh_candidates(sigs, max_bucket_size=2).collect()
+    assert len(capped) < len(all_pairs)
+
+
+def test_rp_lsh_index_serving_path(spark, tmp_path):
+    """Persisted bucket table returns the same top-k as in-line buckets."""
+    from elasticsearch_analysis_hashsplitter_spark.operators.similarity import (
+        rp_lsh_index,
+        rp_lsh_topk,
+    )
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet").select(
+        "vec_id", pd_cast_embedding()
+    )
+    q = [float(x) for x in emb.where("vec_id = 3").first()["embedding"]]
+    inline = rp_lsh_topk(emb, q, k=5, n_bits=64, bands=16)
+    idx = rp_lsh_index(
+        emb, dim=len(q), path=str(tmp_path / "annidx"), n_bits=64, bands=16
+    )
+    served = rp_lsh_topk(emb, q, k=5, n_bits=64, bands=16, buckets=idx)
+    assert [tuple(r) for r in inline.collect()] == [
+        tuple(r) for r in served.collect()
+    ]
+
+
+def pd_cast_embedding():
+    from pyspark.sql import functions as F
+
+    return F.col("embedding").cast("array<double>").alias("embedding")

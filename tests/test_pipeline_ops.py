@@ -390,3 +390,85 @@ def pd_cast_embedding():
     from pyspark.sql import functions as F
 
     return F.col("embedding").cast("array<double>").alias("embedding")
+
+
+def test_dedup_clusters_random_graphs(spark):
+    """Random sparse graphs across densities: propagation result equals
+    union-find components (min-id labels)."""
+    import numpy as np
+
+    from elasticsearch_analysis_hashsplitter_spark.operators.dedup import (
+        dedup_clusters,
+    )
+
+    rng = np.random.RandomState(20260816)
+    for trial, (n, m) in enumerate([(30, 15), (40, 60), (25, 5)]):
+        edges = [
+            (int(a), int(b))
+            for a, b in rng.randint(0, n, size=(m, 2))
+        ]
+        pairs = spark.createDataFrame(edges, "doc_a long, doc_b long")
+        got = {
+            r.doc_id: r.cluster_id
+            for r in dedup_clusters(pairs).collect()
+        }
+        parent = {}
+        def find(x):
+            parent.setdefault(x, x)
+            r = x
+            while parent[r] != r:
+                r = parent[r]
+            while parent[x] != r:
+                parent[x], x = r, parent[x]
+            return r
+        for a, b in edges:
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+        exp = {x: find(x) for x in parent}
+        assert got == exp, trial
+
+
+def test_broadcast_vs_pairs_cosine_parity(spark):
+    """The broadcast BLAS exact tier and the Catalyst pair-join tier must
+    produce identical (pair, cos) sets on random vectors."""
+    import numpy as np
+
+    from elasticsearch_analysis_hashsplitter_spark.operators.similarity import (
+        cosine_near_duplicates,
+    )
+
+    rng = np.random.RandomState(7)
+    base = rng.normal(size=(40, 16))
+    vecs = list(base)
+    for i in range(10):  # planted near-dups across the threshold band
+        vecs.append(base[i] + rng.normal(scale=0.1, size=16))
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in enumerate(vecs)],
+        "vec_id long, embedding array<double>",
+    )
+    for thr in (0.35, 0.8, 0.95):
+        a = {
+            (r.vec_a, r.vec_b): r.cos
+            for r in cosine_near_duplicates(df, thr, method="broadcast").collect()
+        }
+        b = {
+            (r.vec_a, r.vec_b): r.cos
+            for r in cosine_near_duplicates(df, thr, method="pairs").collect()
+        }
+        assert set(a) == set(b), thr
+        for k in a:
+            assert abs(a[k] - b[k]) < 2e-6, (thr, k)
+
+
+def test_broadcast_cosine_refuses_above_cap(spark):
+    from elasticsearch_analysis_hashsplitter_spark.operators.similarity import (
+        cosine_near_duplicates,
+    )
+
+    df = spark.createDataFrame(
+        [(i, [1.0, 0.0]) for i in range(20)],
+        "vec_id long, embedding array<double>",
+    )
+    with pytest.raises(ValueError, match="LSH tier"):
+        cosine_near_duplicates(df, 0.9, max_broadcast_rows=10)

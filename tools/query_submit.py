@@ -18,10 +18,13 @@ def main(argv=None) -> int:
     p.add_argument(
         "--op",
         required=True,
-        choices=["search", "term", "chunk_term", "prefix", "wildcard",
-                 "range", "count"],
+        choices=["search", "search_any", "batch", "term", "chunk_term",
+                 "prefix", "wildcard", "range", "count"],
     )
     p.add_argument("--value", default=None)
+    p.add_argument("--values", default=None,
+                   help="comma-separated query values for --op batch "
+                        "(one BM25 top-k per value, ONE Spark job total)")
     p.add_argument("--lower", default=None)
     p.add_argument("--upper", default=None)
     p.add_argument("--include-lower", action="store_true", default=True)
@@ -43,6 +46,29 @@ def main(argv=None) -> int:
     if args.op == "search":
         rows = eng.search(args.value, k=args.k).collect()
         print(json.dumps([(r["doc_id"], r["score"]) for r in rows]))
+    elif args.op == "search_any":
+        rows = eng.search_any(args.value, k=args.k).collect()
+        print(json.dumps([(r["doc_id"], r["score"]) for r in rows]))
+    elif args.op == "batch":
+        from elasticsearch_analysis_hashsplitter_spark.operators.search import (
+            bm25_topk_batch,
+        )
+        from elasticsearch_analysis_hashsplitter_spark.plans import (
+            compile as qc,
+        )
+
+        qmap = {
+            v: list(qc.field_query(v, eng.cfg, scored=True).terms)
+            for v in (args.values or "").split(",")
+            if v
+        }
+        rows = bm25_topk_batch(eng, qmap, k=args.k).collect()
+        out: dict[str, list] = {}
+        for r in rows:
+            out.setdefault(r["query_id"], []).append(
+                (r["doc_id"], r["score"])
+            )
+        print(json.dumps(out))
     elif args.op == "range":
         df = eng.range(args.lower, args.upper, args.include_lower,
                        args.include_upper)

@@ -489,11 +489,22 @@ def build_index(
     # lexicon + global stats from the written postings (column-pruned scan:
     # the binary blobs are never read)
     postings = catalog.read_postings(spark, index_dir)
-    postings.groupBy("term").agg(
-        F.sum("df").alias("df"),
-        F.max("max_tf").alias("max_tf"),
-        F.min("min_dl").alias("min_dl"),
-    ).write.mode("overwrite").parquet(catalog.lexicon_path(index_dir))
+    # term-sorted lexicon files: per-query point reads (`term IN (...)`)
+    # prune row groups via parquet min/max — at corpus scale the lexicon
+    # has billions of terms and an unsorted layout would scan them all
+    lex_parts = max(1, num_partitions // 8)
+    (
+        postings.groupBy("term")
+        .agg(
+            F.sum("df").alias("df"),
+            F.max("max_tf").alias("max_tf"),
+            F.min("min_dl").alias("min_dl"),
+        )
+        .repartitionByRange(lex_parts, "term")
+        .sortWithinPartitions("term")
+        .write.mode("overwrite")
+        .parquet(catalog.lexicon_path(index_dir))
+    )
 
     docstats = catalog.read_docstats(spark, index_dir)
     agg = docstats.agg(

@@ -95,8 +95,14 @@ def refresh_stats(spark: SparkSession, index_dir: str,
     aggs = [F.sum("df").alias("df"), F.max("max_tf").alias("max_tf")]
     if "min_dl" in postings.columns:  # absent on pre-min_dl indexes
         aggs.append(F.min("min_dl").alias("min_dl"))
-    postings.groupBy("term").agg(*aggs).write.mode("overwrite").parquet(
-        catalog.lexicon_path(index_dir)
+    # term-sorted lexicon (see build_index): point reads prune row groups
+    (
+        postings.groupBy("term")
+        .agg(*aggs)
+        .repartitionByRange(4, "term")
+        .sortWithinPartitions("term")
+        .write.mode("overwrite")
+        .parquet(catalog.lexicon_path(index_dir))
     )
     docstats = catalog.read_docstats(spark, index_dir)
     agg = docstats.agg(

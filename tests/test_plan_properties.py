@@ -1,0 +1,83 @@
+"""Physical-plan regression guards: the scale-critical plan properties
+(predicate pushdown to the term-sorted parquet, binary-blob column
+pruning on non-decoding paths, partition pruning on the ANN index) must
+survive refactors — these asserts fail if a future change silently
+un-pushes a filter or drags blob columns into a count path."""
+
+import pytest
+
+from elasticsearch_analysis_hashsplitter_spark.config import HashSplitterConfig
+from elasticsearch_analysis_hashsplitter_spark.operators.build import (
+    build_index,
+)
+from elasticsearch_analysis_hashsplitter_spark.operators.search import (
+    SearchEngine,
+)
+
+CFG = HashSplitterConfig(
+    chunk_length=4, token_mode="tokens", apply_input_cap=False
+)
+
+
+def _plan(df) -> str:
+    return df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+
+
+@pytest.fixture(scope="module")
+def disk_engine(spark, tmp_path_factory):
+    idx = str(tmp_path_factory.mktemp("planidx") / "idx")
+    docs = spark.createDataFrame(
+        [(i, f"spark join window doc{i}") for i in range(200)],
+        "doc_id long, content string",
+    )
+    build_index(docs, CFG, idx, num_partitions=4)
+    return SearchEngine.open(spark, idx)
+
+
+def test_term_filter_pushes_down(disk_engine):
+    plan = _plan(disk_engine.chunk_term("Aspar"))
+    assert "PushedFilters" in plan
+    assert "EqualTo(term,Aspar)" in plan
+
+
+def test_docset_path_prunes_blob_columns(disk_engine):
+    plan = _plan(disk_engine.chunk_term("Aspar"))
+    # the doc-set path decodes only `docs`; tf/dl blobs must not be read
+    scan = plan[plan.index("ReadSchema"):].splitlines()[0]
+    assert "docs:binary" in scan
+    assert "tfs" not in scan and "dls" not in scan
+
+
+def test_prefix_pushes_startswith(disk_engine):
+    # 3 chars: not a whole chunk, so the compiler emits a TermPrefixLen
+    # leaf (a 4-char prefix folds to an exact TermEq — also pushed)
+    plan = _plan(disk_engine.prefix("spa"))
+    assert "StringStartsWith(term," in plan
+
+
+def test_topk_is_take_ordered(disk_engine):
+    plan = _plan(disk_engine.search("spark", k=5))
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_ann_index_partition_pruning(spark, tmp_path):
+    import numpy as np
+
+    from elasticsearch_analysis_hashsplitter_spark.operators.similarity import (
+        rp_lsh_index,
+        rp_lsh_topk,
+    )
+
+    rng = np.random.RandomState(0)
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in rng.normal(size=8)]) for i in range(100)],
+        "vec_id long, embedding array<double>",
+    )
+    q = [float(x) for x in rng.normal(size=8)]
+    idx = rp_lsh_index(df, dim=8, path=str(tmp_path / "ann"), n_bits=16,
+                       bands=4)
+    plan = _plan(rp_lsh_topk(df, q, k=3, n_bits=16, bands=4, buckets=idx))
+    assert "PartitionFilters" in plan and "band" in plan
+    assert "EqualTo(key," in plan

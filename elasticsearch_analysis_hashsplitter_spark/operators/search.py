@@ -623,6 +623,9 @@ class SearchEngine:
             blocks = self.postings.where(cond)
         else:
             blocks = ess_blocks
+        blocks = self._block_max_prune(
+            blocks, present, weights, info, ub, theta, n_docs
+        )
         scored = self._score_blocks(blocks, weights, info, n_docs)
         # candidates must touch an essential or strongest term (docs only
         # in non-essential terms are pruned by the theta bound)
@@ -656,6 +659,66 @@ class SearchEngine:
         return agg.orderBy(
             F.col("score").desc(), F.col("doc_id").asc()
         ).limit(k)
+
+    def _block_max_prune(
+        self, blocks, present, weights, info, ub, theta, n_docs
+    ) -> DataFrame:
+        """Block-granular MaxScore: drop a block b of term t when
+        ub_block(t, b) + sum_{t' != t} ub(t') < theta.
+
+        Soundness: a doc appears in exactly one block per term, so any
+        doc whose t-contribution lives in a dropped block has maximum
+        possible total score < theta; the final top-k consists entirely
+        of scores >= theta (the exact bootstrap top-k is merged back), so
+        such docs can neither enter it nor displace anything — their
+        possibly-understated aggregate scores are harmless. Ties at
+        exactly theta are kept (a theta-tying doc can win the doc_id
+        tie-break). The per-block bound uses the block's own max_tf and
+        min_dl through a pure Catalyst expression, so pruned blocks are
+        filtered before any decode; pre-min_dl indexes skip the prune.
+        """
+        if theta <= 0 or "min_dl" not in blocks.columns:
+            return blocks
+        k1, b = self.cfg.bm25_k1, self.cfg.bm25_b
+        avgdl = self.stats["avgdl"] or 1.0
+        total_ub = sum(ub(t) for t in present)
+
+        def idf(t):
+            df = info.get(t, (0, 0, None))[0]
+            return math.log(1.0 + (n_docs - df + 0.5) / (df + 0.5))
+
+        w_idf_map = F.create_map(
+            *[
+                x
+                for t in present
+                for x in (F.lit(t), F.lit(weights[t] * idf(t)))
+            ]
+        )
+        rest_map = F.create_map(
+            *[
+                x
+                for t in present
+                for x in (F.lit(t), F.lit(total_ub - ub(t)))
+            ]
+        )
+        mtf = F.col("max_tf").cast("double")
+        block_ub = (
+            w_idf_map[F.col("term")]
+            * mtf
+            * (k1 + 1.0)
+            / (
+                mtf
+                + k1
+                * (
+                    1.0
+                    - b
+                    + b * F.col("min_dl").cast("double") / F.lit(avgdl)
+                )
+            )
+        )
+        return blocks.where(
+            block_ub + rest_map[F.col("term")] >= F.lit(float(theta))
+        )
 
     def _score_blocks(self, blocks, weights, info, n_docs) -> DataFrame:
         """Decode + per-posting BM25 contributions for the given blocks."""

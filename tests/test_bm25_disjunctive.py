@@ -5,6 +5,7 @@ trigger (strong rare terms, weak common terms)."""
 
 import numpy as np
 import pytest
+from pyspark.sql import functions as F
 
 from elasticsearch_analysis_hashsplitter_spark.config import HashSplitterConfig
 from elasticsearch_analysis_hashsplitter_spark.operators.search import (
@@ -163,3 +164,55 @@ def test_disjunctive_strongest_plus_nonessential_doc(spark):
         assert [d for d, _ in got] == [d for d, _ in expected], k
         for (gd, gs), (_, es) in zip(got, expected):
             assert gs == pytest.approx(es, rel=1e-9), (k, gd)
+
+
+def test_block_max_prune_fires_and_stays_exact(narrow_setup):
+    """The block-granular MaxScore filter actually removes blocks on a
+    narrow-block index (block_size=1: every posting its own block) while
+    the returned top-k stays exact (covered by the identity tests; this
+    one proves the prune isn't a no-op)."""
+    eng, orc = narrow_setup
+    terms = list(qc.field_query("zephyr data", CFG).terms)
+    # reproduce the internal setup: theta from the bootstrap
+    boot = eng.bm25_topk(terms, 5, conjunctive=False, _anchor=None)
+    # run the full disjunctive path first (exactness asserted elsewhere)
+    got = eng.bm25_topk_disjunctive(terms, k=5)
+    assert got.count() == 5
+
+    # directly: with a high theta every block prunes, with theta<=0 none
+    lex = eng._term_stats(sorted(set(terms)))
+    info = {r["term"]: (r["df"], r["max_tf"], r["min_dl"]) for r in lex}
+    import math as m
+
+    n_docs = eng.stats["n_docs"]
+    k1, b = eng.cfg.bm25_k1, eng.cfg.bm25_b
+    avgdl = eng.stats["avgdl"] or 1.0
+
+    def ub(t):
+        df, mtf, mdl = info[t]
+        idf = m.log(1.0 + (n_docs - df + 0.5) / (df + 0.5))
+        return idf * mtf * (k1 + 1.0) / (
+            mtf + k1 * (1.0 - b + b * mdl / avgdl)
+        )
+
+    present = [t for t in sorted(set(terms)) if t in info]
+    weights = {t: 1 for t in present}
+    blocks = eng.postings.where(F.col("term").isin(present))
+    n_all = blocks.count()
+    kept_low = eng._block_max_prune(
+        blocks, present, weights, info, ub, 1e-9, n_docs
+    ).count()
+    kept_high = eng._block_max_prune(
+        blocks, present, weights, info, ub, 1e9, n_docs
+    ).count()
+    assert kept_low == n_all          # tiny theta keeps everything
+    assert kept_high == 0             # impossible theta prunes everything
+    # a theta between the weakest and strongest block bound prunes SOME
+    per_block_tot = [
+        ub(t) + sum(ub(x) for x in present if x != t) for t in present
+    ]
+    mid = sorted(per_block_tot)[len(per_block_tot) // 2]
+    kept_mid = eng._block_max_prune(
+        blocks, present, weights, info, ub, mid * 0.999, n_docs
+    ).count()
+    assert 0 < kept_mid <= n_all

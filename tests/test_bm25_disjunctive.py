@@ -216,3 +216,34 @@ def test_block_max_prune_fires_and_stays_exact(narrow_setup):
         blocks, present, weights, info, ub, mid * 0.999, n_docs
     ).count()
     assert 0 < kept_mid <= n_all
+
+
+def test_pre_min_dl_index_still_exact(spark):
+    """Back-compat: an index whose postings/lexicon lack the min_dl
+    column (r1 layout) must still answer conjunctive AND disjunctive
+    queries exactly — bounds fall back to the dl->0 limit and the block
+    prune disables itself."""
+    docs = _corpus()
+    df = spark.createDataFrame(
+        list(docs.items()), "doc_id long, content string"
+    )
+    eng = SearchEngine.from_corpus(df, CFG, num_partitions=4, block_size=1)
+    eng.postings = eng.postings.drop("min_dl")
+    eng._term_stats_cache.clear()
+    orc = OracleIndex(docs, CFG)
+    for query, k in [("zephyr data", 5), ("zephyr quixotic data", 5)]:
+        terms = list(qc.field_query(query, CFG).terms)
+        expected = orc.bm25_topk(terms, k=k, conjunctive=False)
+        got = [
+            (r["doc_id"], r["score"])
+            for r in eng.bm25_topk_disjunctive(terms, k=k).collect()
+        ]
+        assert [d for d, _ in got] == [d for d, _ in expected], query
+        for (gd, gs), (_, es) in zip(got, expected):
+            assert gs == pytest.approx(es, rel=1e-9), (query, gd)
+        conj = [
+            (r["doc_id"], r["score"])
+            for r in eng.bm25_topk(terms, k=k).collect()
+        ]
+        exp_conj = orc.bm25_topk(terms, k=k, conjunctive=True)
+        assert [d for d, _ in conj] == [d for d, _ in exp_conj], query

@@ -395,6 +395,25 @@ def _q_ann_lsh(spark, sf_dir):
     return out.select("vec_id", F.round("cos", 4).alias("cos"))
 
 
+def _q_ann_ivf(spark, sf_dir):
+    """IVF ANN over the planted union: the 13 near-copies of vec 0 (cos
+    >= 0.995) quantize to the same coarse centroid as the query, so a
+    few probes recover the exact top-10 — verified against the same
+    brute-force SQL oracle as the LSH gate. Training is deterministic
+    (seeded numpy k-means over a bounded, id-ordered sample)."""
+    from elasticsearch_analysis_hashsplitter_spark.operators.similarity import (
+        ivf_centroids,
+        ivf_topk,
+    )
+
+    emb = _emb(spark, sf_dir)
+    q = emb.where(F.col("vec_id") == 0).select("embedding").collect()[0][0]
+    union = _planted_union(spark, sf_dir)
+    cents = ivf_centroids(union, n_centroids=16)
+    out = ivf_topk(union, [float(x) for x in q], cents, k=10, nprobe=6)
+    return out.select("vec_id", F.round("cos", 4).alias("cos"))
+
+
 def _q_embedding_near_dup_lsh(spark, sf_dir):
     """The scale path for embedding near-dup (banded candidates + exact
     verify, never all-pairs), gated against the same exact SQL oracle as
@@ -584,6 +603,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_pairs": _q_simhash_pairs,
         "ann_cosine_topk": _q_ann_cosine,
         "ann_lsh_topk": _q_ann_lsh,
+        "ann_ivf_topk": _q_ann_ivf,
         "embedding_near_dup": _q_embedding_near_dup,
         "embedding_near_dup_lsh": _q_embedding_near_dup_lsh,
         "multifield_and_query": _q_multifield,
@@ -921,6 +941,7 @@ FROM reach GROUP BY src ORDER BY doc_id""",
         "simhash_pairs": _simhash_oracle(),
         "multimodal_features": _multimodal_oracle(),
         "ann_lsh_topk": ann_lsh,
+        "ann_ivf_topk": ann_lsh,
         "embedding_near_dup_lsh": near_dup_lsh,
         "multifield_and_query": multifield,
         "ann_cosine_topk": ann,

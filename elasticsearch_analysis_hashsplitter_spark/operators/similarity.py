@@ -308,3 +308,115 @@ def rp_lsh_topk(
         F.broadcast(match), df[id_col] == match["vec_id"], "left_semi"
     )
     return cosine_topk(cand, query, k, id_col, vec_col)
+
+
+# ---------------------------------------------------------------------------
+# IVF (inverted-file) ANN: coarse k-means quantizer + probed exact re-rank
+# ---------------------------------------------------------------------------
+
+
+def ivf_centroids(
+    df: DataFrame,
+    n_centroids: int = 16,
+    dim: int | None = None,
+    seed: int = 42,
+    sample_rows: int = 4096,
+    iters: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> np.ndarray:
+    """Driver-side k-means on a deterministic sample -> (n_centroids, dim).
+
+    The quantizer is tiny (centroids broadcast everywhere); training on a
+    bounded sample is the standard IVF recipe — at 100 TB you never
+    k-means the full corpus, you sample. Deterministic: seeded numpy
+    init, fixed Lloyd iterations, sample taken by ascending id (the
+    corpus is already row-shuffled by construction; use a hash-sample
+    upstream if ids correlate with content)."""
+    rows = (
+        df.select(F.col(id_col).alias("i"), F.col(vec_col).alias("v"))
+        .orderBy("i")
+        .limit(sample_rows)
+        .collect()
+    )
+    x = np.array([r["v"] for r in rows], dtype=np.float64)
+    x /= np.maximum(np.linalg.norm(x, axis=1, keepdims=True), 1e-12)
+    rng = np.random.RandomState(seed)
+    c = x[rng.choice(len(x), size=min(n_centroids, len(x)), replace=False)]
+    for _ in range(iters):
+        sims = x @ c.T
+        assign = sims.argmax(axis=1)
+        for j in range(len(c)):
+            members = x[assign == j]
+            if len(members):
+                m = members.mean(axis=0)
+                c[j] = m / max(np.linalg.norm(m), 1e-12)
+    return c
+
+
+def ivf_assign(
+    df: DataFrame,
+    centroids: np.ndarray,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """-> (vec_id, centroid): nearest-centroid assignment, one matrix
+    product per Arrow batch against the broadcast quantizer."""
+    c = np.asarray(centroids, dtype=np.float64)
+
+    @F.pandas_udf(T.IntegerType())
+    def nearest(vecs: pd.Series) -> pd.Series:
+        m = np.stack(vecs.to_numpy()).astype(np.float64)
+        m /= np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-12)
+        return pd.Series((m @ c.T).argmax(axis=1).astype(np.int32))
+
+    return df.select(
+        F.col(id_col).alias("vec_id"), nearest(F.col(vec_col)).alias("centroid")
+    )
+
+
+def ivf_index(
+    df: DataFrame,
+    centroids: np.ndarray,
+    path: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Persist the assignment table partitioned by centroid: a query
+    reads only its ``nprobe`` centroid partitions (partition pruning),
+    mirroring :func:`rp_lsh_index`."""
+    a = ivf_assign(df, centroids, id_col, vec_col)
+    a.write.mode("overwrite").partitionBy("centroid").parquet(path)
+    return df.sparkSession.read.parquet(path)
+
+
+def ivf_topk(
+    df: DataFrame,
+    query: list[float],
+    centroids: np.ndarray,
+    k: int = 10,
+    nprobe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    assignments: DataFrame | None = None,
+) -> DataFrame:
+    """IVF ANN top-k: probe the ``nprobe`` centroids nearest the query,
+    exact-cosine re-rank their members. Recall grows with nprobe
+    (nprobe = n_centroids is exact); precision of returned rows is exact
+    by construction (true cosines, same ordering as cosine_topk)."""
+    c = np.asarray(centroids, dtype=np.float64)
+    q = np.asarray(query, dtype=np.float64)
+    q = q / max(np.linalg.norm(q), 1e-12)
+    probe = np.argsort(-(c @ q))[: min(nprobe, len(c))]
+    if assignments is None:
+        assignments = ivf_assign(df, c, id_col, vec_col)
+    match = (
+        assignments.where(
+            F.col("centroid").isin([int(j) for j in probe])
+        )
+        .select("vec_id")
+    )
+    cand = df.join(
+        F.broadcast(match), df[id_col] == match["vec_id"], "left_semi"
+    )
+    return cosine_topk(cand, query, k, id_col, vec_col)

@@ -472,3 +472,41 @@ def test_broadcast_cosine_refuses_above_cap(spark):
     )
     with pytest.raises(ValueError, match="LSH tier"):
         cosine_near_duplicates(df, 0.9, max_broadcast_rows=10)
+
+
+def test_ivf_topk_recall_and_served_index(spark, tmp_path):
+    """IVF ANN: nprobe=n_centroids is exhaustive (== exact top-k);
+    training is deterministic; the persisted centroid-partitioned index
+    serves the same answer as in-line assignment."""
+    from elasticsearch_analysis_hashsplitter_spark.operators.similarity import (
+        cosine_topk,
+        ivf_centroids,
+        ivf_index,
+        ivf_topk,
+    )
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet").select(
+        "vec_id", pd_cast_embedding()
+    )
+    q = [float(x) for x in emb.where("vec_id = 3").first()["embedding"]]
+    c1 = ivf_centroids(emb, n_centroids=8)
+    c2 = ivf_centroids(emb, n_centroids=8)
+    import numpy as np
+
+    assert np.array_equal(c1, c2)  # deterministic training
+
+    exact = [tuple(r) for r in cosine_topk(emb, q, k=5).collect()]
+    exhaustive = [
+        tuple(r) for r in ivf_topk(emb, q, c1, k=5, nprobe=8).collect()
+    ]
+    assert exhaustive == exact  # probing every centroid is exact
+
+    probed = [tuple(r) for r in ivf_topk(emb, q, c1, k=5, nprobe=3).collect()]
+    assert len(probed) == 5  # partial probe returns a full (approx) top-k
+
+    idx = ivf_index(emb, c1, str(tmp_path / "ivfidx"))
+    served = [
+        tuple(r)
+        for r in ivf_topk(emb, q, c1, k=5, nprobe=3, assignments=idx).collect()
+    ]
+    assert served == probed

@@ -490,6 +490,21 @@ def _q_text_metrics(spark, sf_dir):
     return text_metrics(_docs(spark, sf_dir)).orderBy("doc_id")
 
 
+def _q_quality_filter(spark, sf_dir):
+    """Pre-training corpus cut: quality >= 2/3 heuristics AND lang 'en'
+    AND >= 20 tokens; oracled by the same metric formulas in SQL."""
+    from elasticsearch_analysis_hashsplitter_spark.operators.text import (
+        filter_documents,
+    )
+
+    out = filter_documents(
+        _docs(spark, sf_dir), min_quality=0.66, lang="en", min_tokens=20
+    )
+    return out.select(F.col("doc_id").cast("long").alias("doc_id")).orderBy(
+        "doc_id"
+    )
+
+
 def _q_bpe_token_count(spark, sf_dir):
     from elasticsearch_analysis_hashsplitter_spark.operators.text import (
         bpe_token_count,
@@ -610,6 +625,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "windowed_event_stats": _q_windowed_events,
         "sessionize_events": _q_sessionize,
         "text_metrics": _q_text_metrics,
+        "quality_filter": _q_quality_filter,
         "bpe_token_count": _q_bpe_token_count,
         "multimodal_features": _q_multimodal_features,
         "streaming_term_query": _q_streaming_term,
@@ -990,5 +1006,9 @@ FROM sess
 GROUP BY user_id, session_idx
 ORDER BY user_id, s_start""",
         "text_metrics": _text_metrics_oracle(),
+        "quality_filter": f"""
+SELECT doc_id FROM ({_text_metrics_oracle()}) m
+WHERE quality >= 0.66 AND lang_id = 'en' AND n_tokens >= 20
+ORDER BY doc_id""",
         "bpe_token_count": _bpe_oracle(),
     }

@@ -113,3 +113,24 @@ def text_metrics(df: DataFrame, id_col: str = "doc_id",
         language_id(text_col).alias("lang_id"),
         fingerprint(text_col).alias("fingerprint"),
     )
+
+
+def filter_documents(
+    df: DataFrame,
+    min_quality: float = 0.5,
+    lang: str | None = None,
+    min_tokens: int | None = None,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """The standard pre-training corpus cut: keep rows passing the cheap
+    quality heuristics (and optionally a language / minimum-length gate).
+    Pure Catalyst — the predicate fuses into the scan, so at 100 TB this
+    is a single filtered pass with full column pruning upstream of
+    whatever consumes the survivors."""
+    cond = quality_score(text_col) >= min_quality
+    if lang is not None:
+        cond = cond & (language_id(text_col) == lang)
+    if min_tokens is not None:
+        cond = cond & (token_count(text_col) >= min_tokens)
+    return df.where(cond)

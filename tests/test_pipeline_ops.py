@@ -510,3 +510,25 @@ def test_ivf_topk_recall_and_served_index(spark, tmp_path):
         for r in ivf_topk(emb, q, c1, k=5, nprobe=3, assignments=idx).collect()
     ]
     assert served == probed
+
+
+def test_filter_documents_matches_metrics(spark, docs):
+    """filter_documents == the rows text_metrics says pass the cut."""
+    from elasticsearch_analysis_hashsplitter_spark.operators.text import (
+        filter_documents,
+        text_metrics,
+    )
+
+    kept = {
+        r.doc_id
+        for r in filter_documents(
+            docs, min_quality=0.66, lang="en", min_tokens=20
+        ).collect()
+    }
+    m = text_metrics(docs).collect()
+    exp = {
+        r.doc_id
+        for r in m
+        if r.quality >= 0.66 and r.lang_id == "en" and r.n_tokens >= 20
+    }
+    assert kept == exp and kept  # non-trivial cut

@@ -56,26 +56,43 @@ _SCORE_SCHEMA = T.StructType(
 )
 
 
-def _collect_block_ranges(blocks: DataFrame, cap: int = 257) -> list:
-    """Driver-bounded (min_doc, max_doc) collection for block skipping.
+def _collect_block_ranges(blocks: DataFrame, cap: int = 256) -> list:
+    """Driver-bounded (min_doc, max_doc) covering intervals for block
+    skipping: ALWAYS returns <= ``cap`` intervals whose union covers
+    every input block, so callers never have to abandon the prune.
 
-    ONE job (map-side partial collect_list + a slice cap), never a
-    multi-wave CollectLimit (``limit(n).collect()`` runs 1/4/16/…
-    partition waves sequentially — measured 3-4x query latency) and
-    never an unbounded driver materialization (a hot term has ~1e6 block
-    rows at 100x scale; the slice caps what reaches the driver, and
-    callers skip the prune beyond 256 ranges anyway).
+    A hot term has ~1e6 block rows at 100x scale; instead of collecting
+    them all (or giving up past a cap, which turns WAND-style skipping
+    off exactly where it matters), blocks are bucketed into ``cap``
+    contiguous-in-min_doc groups (``ntile`` over one sorted pass — the
+    sort is a spillable ExternalSorter over 16-byte metadata structs,
+    never an unspillable collect_list buffer) and each bucket yields one
+    [min(min_doc), max(max_doc)] superset interval. Coarsening only
+    widens intervals — a superset is sound for an overlap prune, it just
+    prunes a little less. Overlapping/adjacent intervals are merged
+    driver-side so the broadcast OR-predicate stays minimal.
     """
-    row = (
+    from pyspark.sql import Window
+
+    w = Window.orderBy("min_doc")
+    rows = (
         blocks.select("min_doc", "max_doc")
+        .withColumn("bkt", F.ntile(cap).over(w))
+        .groupBy("bkt")
         .agg(
-            F.slice(
-                F.collect_list(F.struct("min_doc", "max_doc")), 1, cap
-            ).alias("r")
+            F.min("min_doc").alias("min_doc"),
+            F.max("max_doc").alias("max_doc"),
         )
         .collect()
     )
-    return list(row[0]["r"]) if row and row[0]["r"] else []
+    ivs = sorted((r["min_doc"], r["max_doc"]) for r in rows)
+    merged: list[list] = []
+    for lo, hi in ivs:
+        if merged and lo <= merged[-1][1] + 1:
+            merged[-1][1] = max(merged[-1][1], hi)
+        else:
+            merged.append([lo, hi])
+    return [{"min_doc": lo, "max_doc": hi} for lo, hi in merged]
 
 
 def _decode_docs(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -590,7 +607,6 @@ class SearchEngine:
         if not essential:
             return boot  # no doc outside the strongest term can beat theta
 
-        ess_blocks = self.postings.where(F.col("term").isin(essential + [strongest]))
         if non_essential:
             # ranges come from essential AND strongest blocks: every
             # candidate doc (one touching an essential-or-strongest term)
@@ -598,15 +614,16 @@ class SearchEngine:
             # candidate's non-essential contributions are complete — the
             # soundness condition for the theta prune. (Essential-only
             # ranges mis-ranked docs holding strongest + non-essential
-            # terms but no essential term.) The collect is bounded to 257
-            # rows — past 256 the overlap prune is skipped anyway.
+            # terms but no essential term.) _collect_block_ranges always
+            # returns <= 256 covering intervals (coarsened, never
+            # abandoned), so the prune stays on at any scale.
             ranges = _collect_block_ranges(
                 self.postings.where(
                     F.col("term").isin(essential + [strongest])
                 )
             )
             cond = F.col("term").isin(essential + [strongest])
-            if ranges and len(ranges) <= 256:
+            if ranges:
                 overlap = reduce(
                     lambda a, c: a | c,
                     [
@@ -618,11 +635,11 @@ class SearchEngine:
                 cond = cond | (
                     F.col("term").isin(non_essential) & overlap
                 )
-            else:
-                cond = cond | F.col("term").isin(non_essential)
             blocks = self.postings.where(cond)
         else:
-            blocks = ess_blocks
+            blocks = self.postings.where(
+                F.col("term").isin(essential + [strongest])
+            )
         blocks = self._block_max_prune(
             blocks, present, weights, info, ub, theta, n_docs
         )
@@ -830,13 +847,12 @@ class SearchEngine:
                     [
                         (F.col("max_doc") >= r["min_doc"])
                         & (F.col("min_doc") <= r["max_doc"])
-                        for r in ranges[:256]
+                        for r in ranges
                     ],
                 )
-                if len(ranges) <= 256:
-                    blocks = blocks.where(
-                        (F.col("term") == anchor) | overlap
-                    )
+                blocks = blocks.where(
+                    (F.col("term") == anchor) | overlap
+                )
 
         k1, b = self.cfg.bm25_k1, self.cfg.bm25_b
 

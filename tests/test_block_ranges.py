@@ -1,0 +1,118 @@
+"""Block-range coarsening: `_collect_block_ranges` must ALWAYS return
+<= cap covering intervals (never abandon the prune past a block-count
+cap — at 100x scale a hot term has thousands of block rows and that is
+exactly where WAND-style skipping matters), and queries driven through
+artificially tiny caps must stay rank- and score-identical to the
+unpruned oracle (coarser intervals prune less, never wrong)."""
+
+import numpy as np
+import pytest
+
+from elasticsearch_analysis_hashsplitter_spark.config import HashSplitterConfig
+from elasticsearch_analysis_hashsplitter_spark.operators import search as search_mod
+from elasticsearch_analysis_hashsplitter_spark.operators.search import (
+    SearchEngine,
+    _collect_block_ranges,
+)
+
+from elasticsearch_analysis_hashsplitter_spark.plans import compile as qc
+
+from .oracle import OracleIndex
+
+CFG = HashSplitterConfig(
+    chunk_length=4, token_mode="tokens", apply_input_cap=False
+)
+
+RNG = np.random.RandomState(7)
+COMMON = ["data", "code", "line", "file"]
+
+
+def _corpus():
+    docs = {}
+    for i in range(150):
+        toks = list(RNG.choice(COMMON, size=RNG.randint(4, 20)))
+        if i % 11 == 0:
+            toks.append("zephyr")
+        docs[i] = " ".join(toks)
+    return docs
+
+
+@pytest.fixture(scope="module")
+def narrow(spark):
+    """block_size=4 so every term spans MANY blocks (dozens >> cap)."""
+    docs = _corpus()
+    df = spark.createDataFrame(
+        list(docs.items()), "doc_id long, content string"
+    )
+    eng = SearchEngine.from_corpus(
+        df, CFG, num_partitions=4, block_size=4
+    )
+    return eng, OracleIndex(docs, CFG)
+
+
+def test_ranges_capped_and_covering(narrow):
+    eng, _ = narrow
+    from pyspark.sql import functions as F
+
+    term = "Adata"
+    blocks = eng.postings.where(F.col("term") == term)
+    raw = [
+        (r["min_doc"], r["max_doc"])
+        for r in blocks.select("min_doc", "max_doc").collect()
+    ]
+    assert len(raw) > 8, "fixture must produce many blocks per term"
+    for cap in (2, 4, 8):
+        ivs = _collect_block_ranges(blocks, cap=cap)
+        assert 1 <= len(ivs) <= cap
+        # covering: every block interval fully inside some returned one
+        for lo, hi in raw:
+            assert any(
+                iv["min_doc"] <= lo and hi <= iv["max_doc"] for iv in ivs
+            ), (lo, hi, ivs)
+        # merged output is sorted and non-overlapping
+        for p, q in zip(ivs, ivs[1:]):
+            assert p["max_doc"] + 1 < q["min_doc"]
+
+
+def test_small_block_count_returns_exact_ranges(narrow):
+    """When blocks <= cap, coarsening must be a no-op modulo merging of
+    adjacent intervals: each returned interval boundary comes from real
+    block min/max values."""
+    eng, _ = narrow
+    from pyspark.sql import functions as F
+
+    blocks = eng.postings.where(F.col("term") == "Azeph")
+    raw = sorted(
+        (r["min_doc"], r["max_doc"])
+        for r in blocks.select("min_doc", "max_doc").collect()
+    )
+    ivs = _collect_block_ranges(blocks, cap=256)
+    assert len(ivs) <= len(raw)
+    lows = {lo for lo, _ in raw}
+    highs = {hi for _, hi in raw}
+    for iv in ivs:
+        assert iv["min_doc"] in lows and iv["max_doc"] in highs
+
+
+@pytest.mark.parametrize("cap", [1, 2, 5])
+@pytest.mark.parametrize(
+    "query,k", [("zephyr data", 5), ("data code", 10), ("zephyr", 3)]
+)
+def test_tiny_caps_stay_exact(narrow, monkeypatch, cap, query, k):
+    eng, orc = narrow
+    orig = _collect_block_ranges
+    monkeypatch.setattr(
+        search_mod,
+        "_collect_block_ranges",
+        lambda blocks, cap=cap: orig(blocks, cap=cap),
+    )
+    terms = list(qc.field_query(query, CFG).terms)
+    for conj in (True, False):
+        want = orc.bm25_topk(terms, k, conjunctive=conj)
+        if conj:
+            got = eng.bm25_topk(terms, k).collect()
+        else:
+            got = eng.bm25_topk_disjunctive(terms, k).collect()
+        assert [r["doc_id"] for r in got] == [d for d, _ in want]
+        for r, (_, s) in zip(got, want):
+            assert r["score"] == pytest.approx(s, abs=1e-9)

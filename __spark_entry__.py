@@ -26,6 +26,9 @@ from elasticsearch_analysis_hashsplitter_spark.config import (
 from elasticsearch_analysis_hashsplitter_spark.operators.search import (
     SearchEngine,
 )
+from elasticsearch_analysis_hashsplitter_spark.functions.tokenize import (
+    WS_RUN_REGEX,
+)
 from elasticsearch_analysis_hashsplitter_spark.plans import compile as qc
 from elasticsearch_analysis_hashsplitter_spark.plans import sql_oracle
 
@@ -690,7 +693,7 @@ def _text_metrics_oracle() -> str:
     cexp = ", ".join(f"{v} AS c_{k}" for k, v in counts.items())
     return f"""
 WITH t AS (
-  SELECT doc_id, list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> '') AS l
+  SELECT doc_id, list_filter(regexp_split_to_array(text, '{WS_RUN_REGEX}'), x -> x <> '') AS l
   FROM documents
 ),
 m AS (
@@ -784,7 +787,7 @@ def _jaccard_oracle(threshold: float) -> str:
     banded LSH's recall is deterministically 1 — see _q_minhash_pairs)."""
     return f"""
 WITH t AS (
-  SELECT doc_id, list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> '') AS l
+  SELECT doc_id, list_filter(regexp_split_to_array(text, '{WS_RUN_REGEX}'), x -> x <> '') AS l
   FROM documents
 ),
 sh AS (
@@ -823,7 +826,7 @@ def _simhash_oracle() -> str:
     return f"""
 WITH toks AS (
   SELECT doc_id,
-         unnest(list_filter(regexp_split_to_array(text, '\\s+'),
+         unnest(list_filter(regexp_split_to_array(text, '{WS_RUN_REGEX}'),
                             x -> x <> '')) AS tok
   FROM documents
 ),

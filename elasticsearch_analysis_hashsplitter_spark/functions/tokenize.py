@@ -33,6 +33,37 @@ import pyarrow as pa
 from ..config import REFERENCE_INPUT_CAP, HashSplitterConfig, java_trim
 
 # ---------------------------------------------------------------------------
+# The engine's canonical whitespace set
+# ---------------------------------------------------------------------------
+
+#: Exactly the codepoints Arrow's ``utf8_split_whitespace`` (the index
+#: tokenizer, :func:`_analyze_tokens_arrow`) splits on — probed
+#: empirically over U+0000..U+FEFF; equals Python ``str.isspace()``:
+#: ASCII whitespace INCLUDING the \x1C-\x1F separators (which Unicode
+#: White_Space — hence Java ``(?U)\s`` — excludes) plus NEL, NBSP, and
+#: the U+1680/U+2000-200A/U+2028/29/202F/205F/3000 spaces. Every other
+#: tokenizing surface (JVM dl expression, text-pipeline tokens_col,
+#: DuckDB oracle CTEs) must use this set, or dl/text-metrics/dedup
+#: results silently diverge from the index tokenizer on non-ASCII
+#: whitespace (r2 advisor; the old Java ``\s``/DuckDB RE2 ``\s`` pair
+#: additionally disagreed with EACH OTHER on \x0B).
+WHITESPACE_CODEPOINTS: tuple[int, ...] = tuple(
+    list(range(0x09, 0x0E))          # \t \n \v \f \r
+    + list(range(0x1C, 0x21))        # FS GS RS US and space
+    + [0x85, 0xA0, 0x1680]
+    + list(range(0x2000, 0x200B))
+    + [0x2028, 0x2029, 0x202F, 0x205F, 0x3000]
+)
+
+#: One whitespace-run regex valid in BOTH Java (Spark ``F.split``) and
+#: RE2 (DuckDB ``regexp_split_to_array``): an explicit class of
+#: ``\x{..}`` escapes — no ``\s``, whose meaning differs per engine.
+WS_RUN_REGEX = (
+    "[\\x{9}-\\x{D}\\x{1C}-\\x{20}\\x{85}\\x{A0}\\x{1680}"
+    "\\x{2000}-\\x{200A}\\x{2028}\\x{2029}\\x{202F}\\x{205F}\\x{3000}]+"
+)
+
+# ---------------------------------------------------------------------------
 # Pure-Python reference implementations (driver-side / oracle)
 # ---------------------------------------------------------------------------
 

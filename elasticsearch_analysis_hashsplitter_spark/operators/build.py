@@ -40,7 +40,7 @@ from pyspark.sql import types as T
 
 from ..config import HashSplitterConfig
 from ..functions.codec import encode_counts, encode_doc_ids
-from ..functions.tokenize import term_counts_frame
+from ..functions.tokenize import WS_RUN_REGEX, term_counts_frame
 from ..sources import catalog
 
 DEFAULT_BLOCK_SIZE = 4096
@@ -96,11 +96,12 @@ def dl_expr(cfg: HashSplitterConfig, text_col: str):
     if cfg.token_mode == "tokens":
         if cfg.token_pattern != r"\S+":
             return None
-        # (?U): Java \s is ASCII-only by default, but the tokenizer splits
-        # on *Unicode* whitespace (Arrow utf8_split_whitespace); without
-        # the flag, U+00A0/U+2028/… make docstats dl diverge from the dls
-        # encoded in the posting blocks and skew BM25 length normalization
-        toks = F.filter(F.split(c, r"(?U)\s+"), lambda t: t != "")
+        # explicit class, not \s: Java \s is ASCII-only and Java (?U)\s is
+        # Unicode White_Space, but the tokenizer splits on Arrow's set
+        # (White_Space PLUS \x1C-\x1F); any mismatch makes docstats dl
+        # diverge from the dls encoded in the posting blocks and skews
+        # BM25 length normalization
+        toks = F.filter(F.split(c, WS_RUN_REGEX), lambda t: t != "")
         return F.coalesce(
             F.aggregate(
                 toks,

@@ -10,6 +10,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from ..functions.tokenize import WS_RUN_REGEX
+
 #: tiny per-language marker-word sets for the n-gram-free language-ID
 #: heuristic (deterministic, SQL-replicable)
 LANG_MARKERS: dict[str, tuple[str, ...]] = {
@@ -25,8 +27,12 @@ EN_STOPWORDS = LANG_MARKERS["en"] + (
 
 
 def tokens_col(text: str | Column = "text") -> Column:
+    """Whitespace tokens, split on the engine's canonical whitespace set
+    (``WS_RUN_REGEX`` — explicit class, identical to the Arrow index
+    tokenizer and to the DuckDB oracle CTEs; Java's ``\\s`` is ASCII-only
+    and even disagrees with DuckDB RE2's ``\\s`` on \\x0B)."""
     c = F.col(text) if isinstance(text, str) else text
-    return F.filter(F.split(c, r"\s+"), lambda t: t != "")
+    return F.filter(F.split(c, WS_RUN_REGEX), lambda t: t != "")
 
 
 def token_count(text: str | Column = "text") -> Column:

@@ -11,6 +11,7 @@ terms in pure SQL.
 from __future__ import annotations
 
 from ..config import HashSplitterConfig
+from ..functions.tokenize import WS_RUN_REGEX
 from . import ir
 from .pattern import glob_to_regex
 
@@ -24,17 +25,16 @@ def chunks_cte_tokens(cfg: HashSplitterConfig, docs_table: str = "documents",
     """chunks CTE for token_mode='tokens' (whitespace split, per-token
     positioned chunks). DuckDB dialect.
 
-    Tokenization is ``regexp_split_to_array(text, '\\s+')`` — any
-    whitespace *run*, matching the engine's tokenizer — not a single-space
-    ``string_split``: a fixture with tabs/newlines/multiple spaces must
-    not make the oracle diverge from correct engine output. (DuckDB's RE2
-    ``\\s`` is ASCII; the engine splits Unicode whitespace — equal on any
-    ASCII corpus, documented residual divergence beyond that.)"""
+    Tokenization splits on ``WS_RUN_REGEX`` — the explicit class of
+    exactly the codepoints the engine's Arrow tokenizer splits on (incl.
+    U+00A0/U+2028/U+3000 and \\x1C-\\x1F) — NOT RE2's ASCII ``\\s``:
+    with ``\\s`` any non-ASCII-whitespace fixture silently diverged from
+    correct engine output (r2 advisor)."""
     L = cfg.chunk_length
     return f"""
 toks AS (
   SELECT {id_col} AS doc_id,
-         unnest(regexp_split_to_array({text_col}, '\\s+')) AS tok
+         unnest(regexp_split_to_array({text_col}, '{WS_RUN_REGEX}')) AS tok
   FROM {docs_table}
 ),
 toks2 AS (SELECT doc_id, tok FROM toks WHERE tok <> ''),

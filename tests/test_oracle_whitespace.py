@@ -26,6 +26,14 @@ DOCS = [
     (5, "tabs\tand\tmore\ttabs\tspark"),
     (6, ""),
     (7, " \t \n "),
+    # Unicode whitespace (r2 advisor): NBSP / ideographic space / LS / NEL
+    # / \x1c-\x1f separators / vertical tab — engine tokenizer (Arrow
+    # utf8_split_whitespace) splits ALL of these; the oracle and every
+    # JVM-side split must agree (WS_RUN_REGEX), or parity silently breaks.
+    (8, "spark\u00a0join\u3000window\u2028merge\u0085scan"),
+    (9, "spark\x1cfilter\x1dscan\x1ejoin\x1fbatch"),
+    (10, "sort\x0bspark\x0cmerge\u205fscan"),
+    (11, "\u00a0\u3000spark\u3000 "),
 ]
 
 
@@ -91,3 +99,45 @@ def test_messy_whitespace_dl_matches_duckdb(setup):
     )
     for i, _ in DOCS:
         assert got.get(i, 0) == exp.get(i, 0), i
+
+
+def test_tokens_col_matches_arrow_tokenizer(setup, spark):
+    """text.py's JVM-side tokens_col (WS_RUN_REGEX split — feeds dedup /
+    simhash / text metrics) must token-for-token match the Arrow index
+    tokenizer's whitespace semantics (= Python str.split())."""
+    from elasticsearch_analysis_hashsplitter_spark.operators.text import (
+        tokens_col,
+    )
+
+    df = spark.createDataFrame(DOCS, "doc_id long, text string")
+    got = {
+        r["doc_id"]: r["toks"]
+        for r in df.select("doc_id", tokens_col("text").alias("toks")).collect()
+    }
+    for i, text in DOCS:
+        assert got[i] == text.split(), (i, got[i], text.split())
+
+
+def test_dl_expr_matches_tokenizer_dl(setup, spark):
+    """build.dl_expr (pure-Catalyst dl) must equal the Arrow tokenizer's
+    dl on Unicode-whitespace corpora — the engine-internal consistency
+    the old (?U)\\s split broke on \\x1c-\\x1f."""
+    from elasticsearch_analysis_hashsplitter_spark.operators.build import (
+        dl_expr,
+        tokenize_corpus,
+    )
+
+    df = spark.createDataFrame(DOCS, "doc_id long, text string")
+    via_expr = {
+        r["doc_id"]: r["dl"]
+        for r in df.select(
+            "doc_id", dl_expr(CFG, "text").alias("dl")
+        ).collect()
+    }
+    via_tok = {
+        r["doc_id"]: r["dl"]
+        for r in tokenize_corpus(df, CFG, text_col="text")
+        .select("doc_id", "dl")
+        .collect()
+    }
+    assert via_expr == via_tok

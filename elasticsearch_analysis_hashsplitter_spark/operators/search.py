@@ -138,10 +138,13 @@ class SearchEngine:
         import os
 
         if not os.path.exists(catalog.stats_file(index_dir)):
-            raise FileNotFoundError(
-                f"no hashsplitter index at {index_dir!r} "
-                "(missing stats.json — was build_index run?)"
-            )
+            # a crash mid-compaction-swap leaves the index dir absent
+            # with intact siblings; repair before giving up
+            if not catalog.recover_compaction(index_dir):
+                raise FileNotFoundError(
+                    f"no hashsplitter index at {index_dir!r} "
+                    "(missing stats.json — was build_index run?)"
+                )
         stats = catalog.read_stats(index_dir)
         try:
             lexicon = catalog.read_lexicon(spark, index_dir)

@@ -125,6 +125,54 @@ def list_postings_slices(index_dir: str) -> list[str]:
     )
 
 
+#: the directory entries that make up an index (everything else found
+#: under an index dir — e.g. a streaming checkpoint a caller placed
+#: there — is preserved verbatim across compaction swaps)
+CORE_ENTRIES = ("postings", "docstats", "lexicon", "manifest", "stats.json")
+
+
+def recover_compaction(index_dir: str) -> bool:
+    """Recover from a crash during ``maybe_compact``'s whole-directory
+    swap. The swap leaves exactly one non-healthy state possible — the
+    instant between ``rename(index_dir, .pre_compact)`` and
+    ``rename(.compact_tmp, index_dir)`` — where the index dir is absent
+    but BOTH siblings are intact. Recovery prefers the compacted tmp
+    (completing the swap, it already carries the non-core entries) and
+    falls back to the pre-compact original. On a healthy index, stale
+    siblings from an earlier crash are cleaned up. Returns True iff the
+    index dir was restored. Single-writer assumption: never run
+    concurrently with a compaction."""
+    import shutil
+
+    base = index_dir.rstrip("/")
+    bak, tmp = base + ".pre_compact", base + ".compact_tmp"
+
+    def healthy(d: str) -> bool:
+        return os.path.exists(os.path.join(d, "stats.json"))
+
+    if healthy(index_dir):
+        for stale in (bak, tmp):
+            if os.path.isdir(stale) and healthy(stale):
+                # pre-swap crash: non-core entries may already have moved
+                # into tmp — bring back any the index dir lacks
+                for name in os.listdir(stale):
+                    if name in CORE_ENTRIES:
+                        continue
+                    dst = os.path.join(index_dir, name)
+                    if not os.path.exists(dst):
+                        os.rename(os.path.join(stale, name), dst)
+            shutil.rmtree(stale, ignore_errors=True)
+        return False
+    for src in (tmp, bak):  # prefer the completed compaction
+        if os.path.isdir(src) and healthy(src):
+            shutil.rmtree(index_dir, ignore_errors=True)
+            os.rename(src, index_dir)
+            for stale in (bak, tmp):
+                shutil.rmtree(stale, ignore_errors=True)
+            return True
+    return False
+
+
 def read_postings(spark: SparkSession, index_dir: str) -> DataFrame:
     # Slice subdirectories (slice=k) surface as a partition column via
     # parquet partition discovery; block consumers ignore it.

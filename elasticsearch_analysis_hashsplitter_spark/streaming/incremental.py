@@ -50,7 +50,24 @@ def _write_segment(
     on_duplicate: str = "append",
 ) -> None:
     if on_duplicate == "skip_existing":
-        batch_df = batch_df.dropDuplicates([id_col])
+        # deterministic within-batch pick (NOT dropDuplicates, whose
+        # choice is partition-order-dependent): the postings write and
+        # the docstats write are two separate actions that re-evaluate
+        # this frame independently, so a nondeterministic pick could
+        # leave postings and docstats describing DIFFERENT rows of a
+        # doc_id that appears twice with different content (r2 advisor).
+        # min-by-sha is stable across re-evaluations; sha ties mean
+        # byte-identical content, where the pick cannot matter.
+        from pyspark.sql import Window
+
+        w = Window.partitionBy(id_col).orderBy(
+            F.sha2(F.col(text_col).cast("string"), 256).asc()
+        )
+        batch_df = (
+            batch_df.withColumn("__rn", F.row_number().over(w))
+            .where(F.col("__rn") == 1)
+            .drop("__rn")
+        )
         try:
             existing = catalog.read_docstats(
                 batch_df.sparkSession, index_dir
@@ -212,36 +229,38 @@ def maybe_compact(
     term runs — read amplification grows with segment count exactly as
     with Lucene segments, and this is the merge policy).
 
-    In-place swap: compact to a sibling tmp dir, then rename the data
-    dirs over the originals. Rename is atomic per-directory on a POSIX
-    filesystem; on object stores prefer :func:`compact_index` to a new
-    location plus a catalog pointer swap. Returns the refreshed stats, or
-    None when no compaction was needed.
+    Crash-safe in-place swap (r2 advisor — the old per-subdirectory swap
+    had a window where the index was missing some subdirs with no
+    automatic recovery): compact to a sibling tmp dir, move non-core
+    entries (e.g. a co-located streaming checkpoint) into it, then swap
+    the WHOLE directory with two atomic renames. The only non-healthy
+    state a crash can leave is "index dir absent, both siblings intact",
+    which :func:`catalog.recover_compaction` repairs automatically — it
+    runs at the top of this function and in ``SearchEngine.open``.
+    Single-writer; concurrent readers see either the old or the new
+    index except during the one-rename gap (on object stores prefer
+    :func:`compact_index` to a new location plus a catalog pointer
+    swap). Returns the refreshed stats, or None when no compaction was
+    needed.
     """
     import shutil
 
+    catalog.recover_compaction(index_dir)
     slices = catalog.list_postings_slices(index_dir)
     if len(slices) <= max_slices:
         return None
-    tmp = index_dir.rstrip("/") + ".compact_tmp"
+    base = index_dir.rstrip("/")
+    tmp, bak = base + ".compact_tmp", base + ".pre_compact"
     shutil.rmtree(tmp, ignore_errors=True)
+    shutil.rmtree(bak, ignore_errors=True)
     stats = compact_index(spark, index_dir, tmp, cfg, num_partitions)
-    for sub in ("postings", "docstats", "lexicon", "manifest", "stats.json"):
-        old = os.path.join(index_dir, sub)
-        new = os.path.join(tmp, sub)
-        if not os.path.exists(new):
-            continue
-        bak = old + ".pre_compact"
-        if os.path.isdir(bak):
-            shutil.rmtree(bak)
-        elif os.path.exists(bak):
-            os.remove(bak)
-        if os.path.exists(old):
-            os.rename(old, bak)
-        os.rename(new, old)
-        if os.path.isdir(bak):
-            shutil.rmtree(bak)
-        elif os.path.exists(bak):
-            os.remove(bak)
-    shutil.rmtree(tmp, ignore_errors=True)
+    # carry over anything that is not part of the index itself; a crash
+    # in this loop leaves index_dir healthy and recover_compaction moves
+    # these entries back out of the stale tmp
+    for name in os.listdir(index_dir):
+        if name not in catalog.CORE_ENTRIES:
+            os.rename(os.path.join(index_dir, name), os.path.join(tmp, name))
+    os.rename(index_dir, bak)  # atomic
+    os.rename(tmp, index_dir)  # atomic — the only gap a crash can hit
+    shutil.rmtree(bak, ignore_errors=True)
     return stats

@@ -2,6 +2,8 @@
 micro-batch must answer queries identically to a batch-built index, and
 compaction must preserve results."""
 
+import os
+
 import pytest
 
 from elasticsearch_analysis_hashsplitter_spark.config import HashSplitterConfig
@@ -185,3 +187,87 @@ def test_maybe_compact_policy(spark, tmp_path):
     assert eng2.stats["avgdl"] == pytest.approx(stats_before["avgdl"])
     # idempotent: one slice now, nothing to do
     assert maybe_compact(spark, idx, CFG, max_slices=4) is None
+
+
+def test_compaction_crash_recovery(spark, tmp_path):
+    """Every crash state the whole-dir swap can leave must self-repair:
+    (a) gap state — index dir absent, .pre_compact + .compact_tmp intact
+    -> recovery completes the compaction from tmp; (b) pre-swap crash —
+    healthy index + stale siblings -> cleanup, non-core entries return;
+    (c) only .pre_compact left -> restore the original."""
+    import shutil
+
+    from elasticsearch_analysis_hashsplitter_spark.operators.build import (
+        build_index,
+    )
+    from elasticsearch_analysis_hashsplitter_spark.sources import catalog
+
+    idx = str(tmp_path / "idx_r")
+    docs = spark.createDataFrame(
+        [(i, f"spark join doc{i}") for i in range(20)],
+        "doc_id long, content string",
+    )
+    build_index(docs, CFG, idx, n_slices=2, num_partitions=2)
+    want = sorted(
+        r.doc_id for r in SearchEngine.open(spark, idx).term("spark").collect()
+    )
+    bak, tmp = idx + ".pre_compact", idx + ".compact_tmp"
+
+    # (a) gap state: both siblings intact, index dir gone
+    shutil.copytree(idx, tmp)
+    (tmp_path / "idx_r.compact_tmp" / "marker.txt").write_text("x")
+    os.rename(idx, bak)
+    eng = SearchEngine.open(spark, idx)  # open() runs recovery
+    assert sorted(r.doc_id for r in eng.term("spark").collect()) == want
+    assert os.path.exists(os.path.join(idx, "marker.txt"))  # tmp preferred
+    assert not os.path.exists(bak) and not os.path.exists(tmp)
+
+    # (b) healthy index + stale tmp holding a moved-out non-core entry
+    shutil.copytree(idx, tmp)
+    os.rename(os.path.join(idx, "marker.txt"), os.path.join(tmp, "marker2.txt"))
+    assert catalog.recover_compaction(idx) is False
+    assert os.path.exists(os.path.join(idx, "marker2.txt"))
+    assert not os.path.exists(tmp)
+
+    # (c) only .pre_compact
+    os.rename(idx, bak)
+    assert catalog.recover_compaction(idx) is True
+    assert sorted(
+        r.doc_id
+        for r in SearchEngine.open(spark, idx).term("spark").collect()
+    ) == want
+
+
+def test_skip_existing_within_batch_duplicate_is_consistent(spark, tmp_path):
+    """A micro-batch carrying the SAME doc_id with DIFFERENT content must
+    leave postings and docstats describing the same surviving row (the
+    r2 advisor's two-actions-two-picks hazard): the pick is min-by-sha256,
+    deterministic across the two independent evaluations."""
+    import hashlib
+
+    src = tmp_path / "src_d"
+    idx = str(tmp_path / "idx_d")
+    ckpt = str(tmp_path / "ckpt_d")
+    schema = "doc_id long, content string"
+    v1, v2 = "alpha version spark", "zulu version window"
+    winner = min((v1, v2), key=lambda s: hashlib.sha256(s.encode()).hexdigest())
+    loser = v2 if winner == v1 else v1
+    rows = [(7, v1), (7, v2), (8, "other doc entirely")]
+    spark.createDataFrame(rows, schema).write.parquet(str(src / "b1"))
+    q = stream_index(
+        spark, str(src / "*"), schema, CFG, idx, ckpt,
+        num_partitions=2, on_duplicate="skip_existing",
+    )
+    q.awaitTermination()
+    refresh_stats(spark, idx, CFG)
+    eng = SearchEngine.open(spark, idx)
+    assert eng.stats["n_docs"] == 2
+    # postings reflect the winner only
+    wtok, ltok = winner.split()[0], loser.split()[0]
+    assert sorted(r.doc_id for r in eng.term(wtok).collect()) == [7]
+    assert eng.term(ltok).count() == 0
+    # docstats carries the SAME row: sha + dl of the winner
+    row = eng.docstats.where("doc_id = 7").collect()[0]
+    assert row["content_sha256"] == hashlib.sha256(
+        winner.encode()
+    ).hexdigest()

@@ -306,6 +306,23 @@ def _q_ngram_jaccard(spark, sf_dir):
     ).orderBy("doc_a", "doc_b")
 
 
+def _q_ngram_jaccard_capped(spark, sf_dir):
+    """The 100TB-path tier of the exact jaccard operator: hot shingles
+    (df > cap) are excluded from candidate generation (the quadratic
+    self-join), with an exact recount over ALL shingles for survivors.
+    The oracle replicates the cap semantics in SQL, so this gate is
+    hash-exact by construction — it verifies the cap machinery itself,
+    not a corpus where the cap happens to be a no-op (at sf0.01 shingles
+    with df in (5, 7] exist, so the cap path genuinely executes)."""
+    from elasticsearch_analysis_hashsplitter_spark.operators.dedup import (
+        ngram_jaccard_pairs,
+    )
+
+    return ngram_jaccard_pairs(
+        _docs(spark, sf_dir), threshold=0.3, n=3, max_shingle_df=5
+    ).orderBy("doc_a", "doc_b")
+
+
 def _q_minhash_pairs(spark, sf_dir):
     """Oracled as the exact shingle-Jaccard pair set at the same
     threshold: the corpus's true >=0.5 pairs all have J >= 0.9 (planted
@@ -616,6 +633,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "search_range_scored": _q_search_range_scored,
         "dedup_exact": _q_dedup_exact,
         "ngram_jaccard_pairs": _q_ngram_jaccard,
+        "ngram_jaccard_capped": _q_ngram_jaccard_capped,
         "minhash_pairs": _q_minhash_pairs,
         "dedup_clusters": _q_dedup_clusters,
         "simhash_pairs": _q_simhash_pairs,
@@ -813,6 +831,48 @@ WHERE n_common::DOUBLE / (sa.n_sh + sb.n_sh - n_common) >= {threshold}
 ORDER BY doc_a, doc_b"""
 
 
+def _jaccard_capped_oracle(threshold: float, cap: int) -> str:
+    """SQL replica of ngram_jaccard_pairs(max_shingle_df=cap): candidate
+    pairs only through shingles with df <= cap, exact Jaccard recount
+    over ALL shingles for the survivors — identical semantics to
+    operators/dedup.py:ngram_jaccard_pairs (capped branch), so the gate
+    verifies the df-cut machinery itself."""
+    return f"""
+WITH t AS (
+  SELECT doc_id, list_filter(regexp_split_to_array(text, '{WS_RUN_REGEX}'), x -> x <> '') AS l
+  FROM documents
+),
+sh AS (
+  SELECT DISTINCT doc_id, array_to_string(l[i:i+2], ' ') AS shingle
+  FROM (
+    SELECT doc_id, l,
+           unnest(generate_series(1, greatest(len(l) - 2, 0))) AS i
+    FROM t
+  ) x
+),
+light AS (SELECT shingle FROM sh GROUP BY shingle HAVING count(*) <= {cap}),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM sh a JOIN light la ON a.shingle = la.shingle
+  JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+),
+sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+common AS (
+  SELECT c.doc_a, c.doc_b, count(*) AS n_common
+  FROM cand c
+  JOIN sh a ON a.doc_id = c.doc_a
+  JOIN sh b ON b.doc_id = c.doc_b AND b.shingle = a.shingle
+  GROUP BY c.doc_a, c.doc_b
+)
+SELECT c.doc_a, c.doc_b,
+       round(n_common::DOUBLE / (sa.n_sh + sb.n_sh - n_common), 6) AS jaccard
+FROM common c
+JOIN sizes sa ON sa.doc_id = c.doc_a
+JOIN sizes sb ON sb.doc_id = c.doc_b
+WHERE n_common::DOUBLE / (sa.n_sh + sb.n_sh - n_common) >= {threshold}
+ORDER BY c.doc_a, c.doc_b"""
+
+
 def _simhash_oracle() -> str:
     """Independent SQL recomputation of the md5_60 simhash: 60-bit token
     hash via hex parse, tf-weighted bit-majority (60 aggregate terms),
@@ -943,6 +1003,7 @@ SELECT doc_id, (2.0)::DOUBLE AS score FROM (
             "HAVING count(*) > 1 ORDER BY digest"
         ),
         "ngram_jaccard_pairs": jacc,
+        "ngram_jaccard_capped": _jaccard_capped_oracle(0.3, 5),
         "minhash_pairs": _jaccard_oracle(0.5),
         "dedup_clusters": f"""
 WITH RECURSIVE p AS ({_jaccard_oracle(0.5)}),

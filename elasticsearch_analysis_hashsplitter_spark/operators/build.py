@@ -40,7 +40,7 @@ from pyspark.sql import types as T
 
 from ..config import HashSplitterConfig
 from ..functions.codec import encode_counts, encode_doc_ids
-from ..functions.tokenize import WS_RUN_REGEX, term_counts_frame
+from ..functions.tokenize import JVM_WS_RUN_REGEX, term_counts_frame
 from ..sources import catalog
 
 DEFAULT_BLOCK_SIZE = 4096
@@ -96,12 +96,11 @@ def dl_expr(cfg: HashSplitterConfig, text_col: str):
     if cfg.token_mode == "tokens":
         if cfg.token_pattern != r"\S+":
             return None
-        # explicit class, not \s: Java \s is ASCII-only and Java (?U)\s is
-        # Unicode White_Space, but the tokenizer splits on Arrow's set
-        # (White_Space PLUS \x1C-\x1F); any mismatch makes docstats dl
-        # diverge from the dls encoded in the posting blocks and skews
-        # BM25 length normalization
-        toks = F.filter(F.split(c, WS_RUN_REGEX), lambda t: t != "")
+        # JVM_WS_RUN_REGEX, not \s: Java \s is ASCII-only and plain (?U)\s
+        # misses \x1C-\x1F, but the tokenizer splits on Arrow's full set;
+        # any mismatch makes docstats dl diverge from the dls encoded in
+        # the posting blocks and skews BM25 length normalization
+        toks = F.filter(F.split(c, JVM_WS_RUN_REGEX), lambda t: t != "")
         return F.coalesce(
             F.aggregate(
                 toks,

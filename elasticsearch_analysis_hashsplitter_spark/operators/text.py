@@ -10,7 +10,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from ..functions.tokenize import WS_RUN_REGEX
+from ..functions.tokenize import JVM_WS_RUN_REGEX
 
 #: tiny per-language marker-word sets for the n-gram-free language-ID
 #: heuristic (deterministic, SQL-replicable)
@@ -28,11 +28,11 @@ EN_STOPWORDS = LANG_MARKERS["en"] + (
 
 def tokens_col(text: str | Column = "text") -> Column:
     """Whitespace tokens, split on the engine's canonical whitespace set
-    (``WS_RUN_REGEX`` — explicit class, identical to the Arrow index
+    (``JVM_WS_RUN_REGEX`` — identical to the Arrow index
     tokenizer and to the DuckDB oracle CTEs; Java's ``\\s`` is ASCII-only
     and even disagrees with DuckDB RE2's ``\\s`` on \\x0B)."""
     c = F.col(text) if isinstance(text, str) else text
-    return F.filter(F.split(c, WS_RUN_REGEX), lambda t: t != "")
+    return F.filter(F.split(c, JVM_WS_RUN_REGEX), lambda t: t != "")
 
 
 def token_count(text: str | Column = "text") -> Column:

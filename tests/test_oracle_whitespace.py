@@ -141,3 +141,44 @@ def test_dl_expr_matches_tokenizer_dl(setup, spark):
         .collect()
     }
     assert via_expr == via_tok
+
+
+def test_jvm_regex_set_equals_arrow_set_exhaustively(setup, spark):
+    """JVM_WS_RUN_REGEX ((?U)[\\s\\x1C-\\x1F]) and WS_RUN_REGEX (the RE2
+    class) must both split on EXACTLY WHITESPACE_CODEPOINTS — checked
+    codepoint-by-codepoint through Spark's actual Java regex engine and
+    DuckDB's actual RE2, against near-miss non-members (ZWSP, BOM,
+    Mongolian vowel separator, \\x0E, \\x7F)."""
+    import duckdb
+
+    from elasticsearch_analysis_hashsplitter_spark.functions.tokenize import (
+        JVM_WS_RUN_REGEX,
+        WHITESPACE_CODEPOINTS,
+        WS_RUN_REGEX,
+    )
+    from pyspark.sql import functions as F
+
+    non_members = [0x0E, 0x21, 0x7F, 0x180E, 0x200B, 0x2060, 0xFEFF]
+    cands = sorted(set(WHITESPACE_CODEPOINTS) | set(non_members))
+    df = spark.createDataFrame(
+        [(cp, f"a{chr(cp)}b") for cp in cands], "cp int, s string"
+    )
+    got = {
+        r["cp"]: r["n"]
+        for r in df.select(
+            "cp",
+            F.size(
+                F.filter(F.split("s", JVM_WS_RUN_REGEX), lambda t: t != "")
+            ).alias("n"),
+        ).collect()
+    }
+    con = duckdb.connect()
+    for cp in cands:
+        want = 2 if cp in WHITESPACE_CODEPOINTS else 1
+        assert got[cp] == want, (hex(cp), "jvm")
+        n_re2 = con.execute(
+            "SELECT len(list_filter(regexp_split_to_array(?, ?), "
+            "x -> x <> ''))",
+            [f"a{chr(cp)}b", WS_RUN_REGEX],
+        ).fetchone()[0]
+        assert n_re2 == want, (hex(cp), "re2")

@@ -482,25 +482,30 @@ def dedup_clusters(
         "node", F.col("node").alias("label")
     ).localCheckpoint()
     converged = False
-    for _ in range(max_iterations):
+    for it in range(max_iterations):
         nbr = (
             und.join(labels, und["dst"] == labels["node"])
             .groupBy("src")
             .agg(F.min("label").alias("nbr_label"))
         )
-        shortcut = labels.select(
-            F.col("node").alias("s_node"), F.col("label").alias("s_label")
-        )
+        joined = labels.join(nbr, labels["node"] == nbr["src"], "left")
+        best = [
+            F.col("label"),
+            F.coalesce(F.col("nbr_label"), F.col("label")),
+        ]
+        if it > 0:  # iteration 0: labels are identity, shortcut is a no-op
+            shortcut = labels.select(
+                F.col("node").alias("s_node"),
+                F.col("label").alias("s_label"),
+            )
+            joined = joined.join(
+                shortcut, labels["label"] == F.col("s_node"), "left"
+            )
+            best.append(F.coalesce(F.col("s_label"), F.col("label")))
         updated = (
-            labels.join(nbr, labels["node"] == nbr["src"], "left")
-            .join(shortcut, labels["label"] == F.col("s_node"), "left")
-            .select(
+            joined.select(
                 "node",
-                F.least(
-                    F.col("label"),
-                    F.coalesce(F.col("nbr_label"), F.col("label")),
-                    F.coalesce(F.col("s_label"), F.col("label")),
-                ).alias("new_label"),
+                F.least(*best).alias("new_label"),
                 F.col("label").alias("old_label"),
             )
             .localCheckpoint()

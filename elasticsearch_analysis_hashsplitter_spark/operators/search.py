@@ -132,6 +132,29 @@ class SearchEngine:
         #: for the few-hot-terms query mix a server sees.
         self._term_stats_cache: dict[str, tuple] = {}
         self._term_stats_cache_max = 100_000
+        #: driver-side block-range cache for the WAND-style prunes,
+        #: keyed by the sorted term set the ranges were collected over.
+        #: Safe because an engine instance serves a fixed file-listing
+        #: snapshot (InMemoryFileIndex at open time) — appended segments
+        #: need a re-open either way. <= 256 intervals per entry.
+        self._block_ranges_cache: dict[tuple, list] = {}
+        self._block_ranges_cache_max = 10_000
+
+    def _ranges_for_terms(self, terms: list[str]) -> list:
+        """Cached :func:`_collect_block_ranges` over the blocks of the
+        given terms — repeated hot queries on a serving engine skip the
+        collection job entirely."""
+        key = tuple(sorted(set(terms)))
+        hit = self._block_ranges_cache.get(key)
+        if hit is not None:
+            return hit
+        ranges = _collect_block_ranges(
+            self.postings.where(F.col("term").isin(list(key)))
+        )
+        if len(self._block_ranges_cache) >= self._block_ranges_cache_max:
+            self._block_ranges_cache.clear()
+        self._block_ranges_cache[key] = ranges
+        return ranges
 
     @classmethod
     def open(cls, spark: SparkSession, index_dir: str) -> "SearchEngine":
@@ -620,11 +643,7 @@ class SearchEngine:
             # terms but no essential term.) _collect_block_ranges always
             # returns <= 256 covering intervals (coarsened, never
             # abandoned), so the prune stays on at any scale.
-            ranges = _collect_block_ranges(
-                self.postings.where(
-                    F.col("term").isin(essential + [strongest])
-                )
-            )
+            ranges = self._ranges_for_terms(essential + [strongest])
             cond = F.col("term").isin(essential + [strongest])
             if ranges:
                 overlap = reduce(
@@ -841,9 +860,7 @@ class SearchEngine:
             # postings, so other terms' blocks whose [min_doc, max_doc]
             # ranges miss every anchor block are never decoded
             # (block-max WAND-style pruning, driver-broadcast).
-            ranges = _collect_block_ranges(
-                self.postings.where(F.col("term") == anchor)
-            )
+            ranges = self._ranges_for_terms([anchor])
             if ranges:
                 overlap = reduce(
                     lambda a, b: a | b,

@@ -100,6 +100,8 @@ def test_small_block_count_returns_exact_ranges(narrow):
 )
 def test_tiny_caps_stay_exact(narrow, monkeypatch, cap, query, k):
     eng, orc = narrow
+    eng._block_ranges_cache.clear()  # ranges cached per engine; each
+    # parametrized cap must collect its own coarsening
     orig = _collect_block_ranges
     monkeypatch.setattr(
         search_mod,

@@ -117,3 +117,57 @@ def test_random_variable_size_cl2(spark):
             assert _docset(eng.docs(node)) == sorted(orc.docs(node)), (
                 i, value,
             )
+
+
+def test_random_unicode_whitespace_tokens_mode(spark):
+    """Tokens-mode fuzz with documents whose separators are RANDOM draws
+    from the full canonical whitespace set (incl. NBSP / NEL / LS /
+    \\x1c-\\x1f): the distributed engine (Arrow tokenizer + JVM dl/split)
+    must produce the same doc-sets AND BM25 ranks as the pure-Python
+    oracle (re-based token split) — the three tokenizer implementations
+    agreeing on adversarial whitespace is exactly the r3 whitespace
+    unification claim."""
+    from elasticsearch_analysis_hashsplitter_spark.config import (
+        HashSplitterConfig,
+    )
+    from elasticsearch_analysis_hashsplitter_spark.functions.tokenize import (
+        WHITESPACE_CODEPOINTS,
+    )
+
+    cfg = HashSplitterConfig(
+        chunk_length=4, token_mode="tokens", apply_input_cap=False
+    )
+    rng = np.random.RandomState(20260817)
+    words = ["spark", "join", "window", "merge", "filter", "scan",
+             "sort", "batch", "printf", "zephyr"]
+    seps = [chr(c) for c in WHITESPACE_CODEPOINTS]
+    docs = {}
+    for i in range(60):
+        k = rng.randint(1, 12)
+        toks = rng.choice(words, size=k)
+        parts = []
+        for t in toks:
+            parts.append(str(t))
+            parts.append("".join(rng.choice(seps, size=rng.randint(1, 3))))
+        docs[i] = "".join(parts) if rng.rand() < 0.5 else "".join(parts).strip()
+    df = spark.createDataFrame(
+        list(docs.items()), "doc_id long, content string"
+    )
+    eng = SearchEngine.from_corpus(df, cfg, num_partitions=4)
+    orc = OracleIndex(docs, cfg)
+    for w in words:
+        node = qc.field_query(w, cfg, scored=False)
+        assert _docset(eng.docs(node)) == sorted(orc.docs(node)), w
+        pnode = qc.prefix_query(w[:3], cfg)
+        assert _docset(eng.docs(pnode)) == sorted(orc.docs(pnode)), w
+    # BM25 rank identity: exercises the dl (dls blob + avgdl) pipeline
+    for q in ("spark join", "printf", "zephyr window merge"):
+        terms = list(qc.field_query(q, cfg).terms)
+        want = orc.bm25_topk(terms, 10, conjunctive=False)
+        got = [
+            (r["doc_id"], r["score"])
+            for r in eng.bm25_topk_disjunctive(terms, 10).collect()
+        ]
+        assert [d for d, _ in got] == [d for d, _ in want], q
+        for (gd, gs), (_, es) in zip(got, want):
+            assert gs == pytest.approx(es, rel=1e-9), (q, gd)

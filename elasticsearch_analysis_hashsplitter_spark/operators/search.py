@@ -958,19 +958,36 @@ def bm25_topk_batch(
         return spark.createDataFrame([], _BATCH_SCHEMA)
     dfs = {r["term"]: r["df"] for r in engine._term_stats(all_terms)}
 
-    # per-term: list of (query_id, weight * idf) contributions
-    per_term: dict[str, list[tuple[str, float]]] = {t: [] for t in all_terms}
-    q_nterms: dict[str, int] = {}
+    # Integer indices end to end: the scoring kernel emits int32
+    # query/term ids instead of per-posting PYTHON STRING arrays
+    # (np.full(..., dtype=object) built one object array per posting
+    # batch — measured 105 s for 8 hot queries on a 4M-file index, the
+    # dominant cost — and the string columns doubled the shuffle width).
+    # query_id strings are joined back from a broadcast mapping at the
+    # end, so the public schema is unchanged.
+    qids = sorted(queries)
+    qidx_of = {q: i for i, q in enumerate(qids)}
+    term_idx = {t: i for i, t in enumerate(all_terms)}
+
+    # per-term: (query_idx array, weight*idf array) contributions
+    per_term: dict[int, tuple] = {}
+    q_nterms: dict[int, int] = {}
     for qid, ts in queries.items():
         w: dict[str, int] = {}
         for t in ts:
             w[t] = w.get(t, 0) + 1
-        q_nterms[qid] = len(w)
+        q_nterms[qidx_of[qid]] = len(w)
         for t, n in w.items():
             idf = math.log(
                 1.0 + (n_docs - dfs.get(t, 0) + 0.5) / (dfs.get(t, 0) + 0.5)
             )
-            per_term[t].append((qid, n * idf))
+            per_term.setdefault(term_idx[t], ([], []))
+            per_term[term_idx[t]][0].append(qidx_of[qid])
+            per_term[term_idx[t]][1].append(n * idf)
+    per_term = {
+        ti: (np.asarray(qi, dtype=np.int32), np.asarray(wi, dtype=np.float64))
+        for ti, (qi, wi) in per_term.items()
+    }
 
     blocks = engine.postings.where(F.col("term").isin(all_terms))
 
@@ -978,54 +995,61 @@ def bm25_topk_batch(
         for pdf in batches:
             if not len(pdf):
                 continue
-            qids_l, docs_l, terms_l, contrib_l = [], [], [], []
+            qidx_l, docs_l, tidx_l, contrib_l = [], [], [], []
             for term, dblob, tblob, lblob in zip(
                 pdf["term"], pdf["docs"], pdf["tfs"], pdf["dls"]
             ):
+                ti = term_idx[term]
                 d = decode_doc_ids(dblob)
                 tf = decode_counts(tblob).astype(np.float64)
                 dl = decode_counts(lblob).astype(np.float64)
                 norm = tf * (k1 + 1.0) / (
                     tf + k1 * (1.0 - b + b * dl / avgdl)
                 )
-                for qid, w_idf in per_term[term]:
-                    qids_l.append(np.full(d.size, qid, dtype=object))
-                    docs_l.append(d)
-                    terms_l.append(np.full(d.size, term, dtype=object))
-                    contrib_l.append(w_idf * norm)
+                q_arr, w_arr = per_term[ti]
+                nq = q_arr.size
+                # vectorized (query, posting) cross product: tile the
+                # postings nq times, repeat each query id d.size times
+                qidx_l.append(np.repeat(q_arr, d.size))
+                docs_l.append(np.tile(d, nq))
+                tidx_l.append(np.full(d.size * nq, ti, dtype=np.int32))
+                contrib_l.append(np.outer(w_arr, norm).ravel())
             if not docs_l:
                 continue
             yield pd.DataFrame(
                 {
-                    "query_id": np.concatenate(qids_l),
+                    "qidx": np.concatenate(qidx_l),
                     "doc_id": np.concatenate(docs_l),
-                    "term": np.concatenate(terms_l),
+                    "term_idx": np.concatenate(tidx_l),
                     "contrib": np.concatenate(contrib_l),
                 }
             )
 
     scored = blocks.select("term", "docs", "tfs", "dls").mapInPandas(
         score_fn,
-        schema=(
-            "query_id string, doc_id long, term string, contrib double"
-        ),
+        schema="qidx int, doc_id long, term_idx int, contrib double",
     )
-    agg = scored.groupBy("query_id", "doc_id").agg(
+    agg = scored.groupBy("qidx", "doc_id").agg(
         F.sum("contrib").alias("score"),
-        F.countDistinct("term").alias("n_terms"),
+        F.countDistinct("term_idx").alias("n_terms"),
     )
     if conjunctive:
         need = F.create_map(
             *[F.lit(x) for kv in q_nterms.items() for x in kv]
         )
-        agg = agg.where(F.col("n_terms") == need[F.col("query_id")])
-    w = Window.partitionBy("query_id").orderBy(
+        agg = agg.where(F.col("n_terms") == need[F.col("qidx")])
+    w = Window.partitionBy("qidx").orderBy(
         F.col("score").desc(), F.col("doc_id").asc()
     )
-    return (
+    ranked = (
         agg.withColumn("rank", F.row_number().over(w))
         .where(F.col("rank") <= k)
-        .select("query_id", "doc_id", "score", "rank")
+    )
+    qmap = spark.createDataFrame(
+        [(i, q) for i, q in enumerate(qids)], "qidx int, query_id string"
+    )
+    return ranked.join(F.broadcast(qmap), "qidx").select(
+        "query_id", "doc_id", "score", "rank"
     )
 
 

@@ -83,9 +83,18 @@ def manifest_file(index_dir: str, slice_id: int) -> str:
 
 
 def write_stats(index_dir: str, stats: dict[str, Any]) -> None:
+    # Atomic: stats.json doubles as the index-health marker (see
+    # recover_compaction.healthy), so its existence must imply a
+    # complete file — a crash mid-json.dump must never leave a
+    # truncated stats.json that marks a corrupt dir "healthy".
+    # Write to a sibling temp file and rename over (same filesystem).
     os.makedirs(index_dir, exist_ok=True)
-    with open(stats_file(index_dir), "w") as f:
+    tmp = stats_file(index_dir) + ".tmp"
+    with open(tmp, "w") as f:
         json.dump(stats, f, indent=2, sort_keys=True)
+        f.flush()
+        os.fsync(f.fileno())
+    os.rename(tmp, stats_file(index_dir))
 
 
 def read_stats(index_dir: str) -> dict[str, Any]:
@@ -140,8 +149,18 @@ def recover_compaction(index_dir: str) -> bool:
     (completing the swap, it already carries the non-core entries) and
     falls back to the pre-compact original. On a healthy index, stale
     siblings from an earlier crash are cleaned up. Returns True iff the
-    index dir was restored. Single-writer assumption: never run
-    concurrently with a compaction."""
+    index dir was absent at entry and is healthy at exit — restored by
+    this caller or by a concurrent one; False when it was already
+    healthy (nothing to restore) or when no intact sibling exists.
+
+    Concurrent-reader safe: this runs from ``SearchEngine.open`` (a
+    reader API), so two readers may race through the same repair. Every
+    rename is wrapped so the loser treats "someone else already
+    recovered" (OSError + index now healthy) as success, and stale
+    siblings are only deleted once the index dir is confirmed healthy —
+    never while another reader could still be completing a rename out of
+    them. Writer concurrency is still single-writer: never run a
+    compaction concurrently with another compaction."""
     import shutil
 
     base = index_dir.rstrip("/")
@@ -150,27 +169,37 @@ def recover_compaction(index_dir: str) -> bool:
     def healthy(d: str) -> bool:
         return os.path.exists(os.path.join(d, "stats.json"))
 
-    if healthy(index_dir):
-        for stale in (bak, tmp):
-            if os.path.isdir(stale) and healthy(stale):
-                # pre-swap crash: non-core entries may already have moved
-                # into tmp — bring back any the index dir lacks
-                for name in os.listdir(stale):
-                    if name in CORE_ENTRIES:
-                        continue
-                    dst = os.path.join(index_dir, name)
-                    if not os.path.exists(dst):
+    was_unhealthy = not healthy(index_dir)
+    if was_unhealthy:
+        restored = False
+        for src in (tmp, bak):  # prefer the completed compaction
+            if os.path.isdir(src) and healthy(src):
+                try:
+                    os.rename(src, index_dir)
+                    restored = True
+                except OSError:
+                    # lost the race: another reader renamed first (src
+                    # gone, or index_dir now exists) — re-check below
+                    pass
+                break
+        if not restored and not healthy(index_dir):
+            return False
+        # fall through: index dir healthy now — clean up like any reader
+    for stale in (bak, tmp):
+        if os.path.isdir(stale) and healthy(stale):
+            # pre-swap crash: non-core entries may already have moved
+            # into tmp — bring back any the index dir lacks
+            for name in list(os.listdir(stale)):
+                if name in CORE_ENTRIES:
+                    continue
+                dst = os.path.join(index_dir, name)
+                if not os.path.exists(dst):
+                    try:
                         os.rename(os.path.join(stale, name), dst)
-            shutil.rmtree(stale, ignore_errors=True)
-        return False
-    for src in (tmp, bak):  # prefer the completed compaction
-        if os.path.isdir(src) and healthy(src):
-            shutil.rmtree(index_dir, ignore_errors=True)
-            os.rename(src, index_dir)
-            for stale in (bak, tmp):
-                shutil.rmtree(stale, ignore_errors=True)
-            return True
-    return False
+                    except OSError:
+                        pass  # concurrent reader moved it first
+        shutil.rmtree(stale, ignore_errors=True)
+    return was_unhealthy and healthy(index_dir)
 
 
 def read_postings(spark: SparkSession, index_dir: str) -> DataFrame:

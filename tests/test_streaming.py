@@ -238,6 +238,52 @@ def test_compaction_crash_recovery(spark, tmp_path):
     ) == want
 
 
+def test_concurrent_readers_recover_compaction(spark, tmp_path):
+    """Two readers hitting the one-rename compaction gap simultaneously
+    (r3 advisor): both run recover_compaction; the rename loser must
+    treat 'someone else recovered' as success instead of surfacing an
+    OSError, and the repaired index must be intact. Also: a truncated
+    stats.json (crash mid-write with the old non-atomic writer) must not
+    mark a dir healthy — write_stats is now temp+rename atomic."""
+    import concurrent.futures as cf
+    import shutil
+
+    from elasticsearch_analysis_hashsplitter_spark.operators.build import (
+        build_index,
+    )
+    from elasticsearch_analysis_hashsplitter_spark.sources import catalog
+
+    idx = str(tmp_path / "idx_cc")
+    docs = spark.createDataFrame(
+        [(i, f"spark join doc{i}") for i in range(10)],
+        "doc_id long, content string",
+    )
+    build_index(docs, CFG, idx, n_slices=1, num_partitions=2)
+    want = sorted(
+        r.doc_id for r in SearchEngine.open(spark, idx).term("spark").collect()
+    )
+
+    # gap state: index dir absent, both siblings intact
+    shutil.copytree(idx, idx + ".compact_tmp")
+    os.rename(idx, idx + ".pre_compact")
+    with cf.ThreadPoolExecutor(max_workers=4) as ex:
+        results = list(
+            ex.map(lambda _: catalog.recover_compaction(idx), range(4))
+        )
+    assert any(results)  # at least one reader observed the restore
+    assert os.path.exists(catalog.stats_file(idx))
+    assert not os.path.exists(idx + ".pre_compact")
+    assert not os.path.exists(idx + ".compact_tmp")
+    assert sorted(
+        r.doc_id for r in SearchEngine.open(spark, idx).term("spark").collect()
+    ) == want
+
+    # atomic stats write: no .tmp litter, file parses
+    catalog.write_stats(idx, catalog.read_stats(idx))
+    assert not os.path.exists(catalog.stats_file(idx) + ".tmp")
+    assert catalog.read_stats(idx)["n_docs"] == 10
+
+
 def test_skip_existing_within_batch_duplicate_is_consistent(spark, tmp_path):
     """A micro-batch carrying the SAME doc_id with DIFFERENT content must
     leave postings and docstats describing the same surviving row (the

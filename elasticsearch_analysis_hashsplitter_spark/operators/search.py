@@ -56,6 +56,68 @@ _SCORE_SCHEMA = T.StructType(
 )
 
 
+def _coarsen_intervals(
+    mins: np.ndarray, maxs: np.ndarray, cap: int
+) -> list[tuple[int, int]]:
+    """(min, max) interval arrays (any order) -> <= ``cap`` sorted,
+    non-overlapping covering intervals. Overlapping/adjacent intervals
+    are always merged; when more than ``cap`` disjoint runs remain, the
+    split points are the ``cap - 1`` LARGEST doc-id gaps — dense runs
+    collapse first and big empty gaps (the valuable skip regions) are
+    preserved, which prunes strictly better than count-balanced (ntile)
+    bucketing for the same cap. Coarsening only widens intervals, so the
+    result is a sound superset for any overlap prune. Pure numpy,
+    O(n log n)."""
+    if mins.size == 0:
+        return []
+    order = np.argsort(mins, kind="stable")
+    mins = mins[order]
+    maxs = maxs[order]
+    cum = np.maximum.accumulate(maxs)  # coverage end of the sorted prefix
+    gaps = mins[1:] - cum[:-1]  # > 1 <=> a real uncovered doc-id gap
+    split_pos = np.flatnonzero(gaps > 1)
+    if split_pos.size + 1 > cap:
+        if cap <= 1:  # note [-0:] would keep ALL splits, not none
+            split_pos = split_pos[:0]
+        else:
+            keep = np.argsort(gaps[split_pos], kind="stable")[-(cap - 1):]
+            split_pos = np.sort(split_pos[keep])
+    starts = np.concatenate(([0], split_pos + 1))
+    seg_max = np.maximum.reduceat(maxs, starts)
+    return [
+        (int(mins[s]), int(m)) for s, m in zip(starts, seg_max)
+    ]
+
+
+def _block_ranges_frame(blocks: DataFrame, cap: int) -> DataFrame:
+    """Per-Arrow-batch partial coarsening of block metadata: each batch
+    (a within-partition chunk, so batches never cross partitions) emits
+    <= ``cap`` covering intervals. No Window, no shuffle — every task
+    coarsens its own metadata independently."""
+
+    def partial(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            ivs = _coarsen_intervals(
+                pdf["min_doc"].to_numpy(), pdf["max_doc"].to_numpy(), cap
+            )
+            yield pd.DataFrame(
+                {
+                    "min_doc": np.fromiter(
+                        (lo for lo, _ in ivs), dtype=np.int64
+                    ),
+                    "max_doc": np.fromiter(
+                        (hi for _, hi in ivs), dtype=np.int64
+                    ),
+                }
+            )
+
+    return blocks.select("min_doc", "max_doc").mapInPandas(
+        partial, schema="min_doc long, max_doc long"
+    )
+
+
 def _collect_block_ranges(blocks: DataFrame, cap: int = 256) -> list:
     """Driver-bounded (min_doc, max_doc) covering intervals for block
     skipping: ALWAYS returns <= ``cap`` intervals whose union covers
@@ -63,36 +125,26 @@ def _collect_block_ranges(blocks: DataFrame, cap: int = 256) -> list:
 
     A hot term has ~1e6 block rows at 100x scale; instead of collecting
     them all (or giving up past a cap, which turns WAND-style skipping
-    off exactly where it matters), blocks are bucketed into ``cap``
-    contiguous-in-min_doc groups (``ntile`` over one sorted pass — the
-    sort is a spillable ExternalSorter over 16-byte metadata structs,
-    never an unspillable collect_list buffer) and each bucket yields one
-    [min(min_doc), max(max_doc)] superset interval. Coarsening only
-    widens intervals — a superset is sound for an overlap prune, it just
-    prunes a little less. Overlapping/adjacent intervals are merged
-    driver-side so the broadcast OR-predicate stays minimal.
+    off exactly where it matters), coarsening runs in TWO levels (r3
+    advisor — the previous global-ntile Window pulled every metadata row
+    of the queried terms through a single task): (1) each Arrow batch
+    coarsens its own rows to <= cap intervals in parallel, fully inside
+    the scan tasks; (2) the driver merges the <= cap * n_batches partial
+    intervals (16-byte metadata structs — ~60k rows collected even for a
+    2.4M-block term at default batch size; treeAggregate territory only
+    past ~1e9 blocks per term set) and re-coarsens to <= cap with the
+    same largest-gap rule. Both levels only widen intervals — a superset
+    is sound for an overlap prune, it just prunes a little less.
     """
-    from pyspark.sql import Window
-
-    w = Window.orderBy("min_doc")
-    rows = (
-        blocks.select("min_doc", "max_doc")
-        .withColumn("bkt", F.ntile(cap).over(w))
-        .groupBy("bkt")
-        .agg(
-            F.min("min_doc").alias("min_doc"),
-            F.max("max_doc").alias("max_doc"),
-        )
-        .collect()
+    rows = _block_ranges_frame(blocks, cap).collect()
+    if not rows:
+        return []
+    ivs = _coarsen_intervals(
+        np.fromiter((r["min_doc"] for r in rows), dtype=np.int64),
+        np.fromiter((r["max_doc"] for r in rows), dtype=np.int64),
+        cap,
     )
-    ivs = sorted((r["min_doc"], r["max_doc"]) for r in rows)
-    merged: list[list] = []
-    for lo, hi in ivs:
-        if merged and lo <= merged[-1][1] + 1:
-            merged[-1][1] = max(merged[-1][1], hi)
-        else:
-            merged.append([lo, hi])
-    return [{"min_doc": lo, "max_doc": hi} for lo, hi in merged]
+    return [{"min_doc": lo, "max_doc": hi} for lo, hi in ivs]
 
 
 def _decode_docs(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:

@@ -94,6 +94,55 @@ def test_small_block_count_returns_exact_ranges(narrow):
         assert iv["min_doc"] in lows and iv["max_doc"] in highs
 
 
+def test_range_collection_plan_is_windowless(spark):
+    """r3 advisor: the old global-ntile coarsener shuffled every block
+    metadata row of the queried terms into ONE task (empty-partitionBy
+    Window). The two-level coarsener must keep range collection fully
+    parallel: no Window and no Exchange anywhere in the plan it ADDS on
+    top of the scan — each scan task coarsens its own metadata and only
+    <= cap intervals per batch reach the driver. (Plain-source frame so
+    the assertion sees only the collection's own operators, not cached
+    index-build lineage.)"""
+    blocks = spark.createDataFrame(
+        [(i * 10, i * 10 + 5) for i in range(100)],
+        "min_doc long, max_doc long",
+    )
+    frame = search_mod._block_ranges_frame(blocks, 8)
+    plan = frame._sc._jvm.PythonSQLUtils.explainString(
+        frame._jdf.queryExecution(), "formatted"
+    )
+    assert "Window" not in plan
+    assert "ntile" not in plan
+    assert "Exchange" not in plan
+    # end-to-end through the same path: capped + covering
+    ivs = search_mod._collect_block_ranges(blocks, cap=8)
+    assert 1 <= len(ivs) <= 8
+    assert ivs[0]["min_doc"] == 0 and ivs[-1]["max_doc"] == 995
+
+
+def test_coarsen_intervals_kernel():
+    """Pure-kernel properties: merge of overlapping/adjacent runs, cap
+    enforcement via largest-gap splits, soundness (covering), and the
+    inverted-interval hazard when an early interval covers later ones
+    (prefix max > segment max)."""
+    cz = search_mod._coarsen_intervals
+    A = lambda *xs: np.asarray(xs, dtype=np.int64)
+
+    assert cz(A(), A(), 4) == []
+    # adjacent merge: [0,4] + [5,9] -> one interval
+    assert cz(A(0, 5), A(4, 9), 8) == [(0, 9)]
+    # largest-gap split wins: gaps 2 (10->13) and 100 (20->121)
+    out = cz(A(0, 13, 121), A(10, 20, 130), 2)
+    assert out == [(0, 20), (121, 130)]
+    # one early interval covering everything: no inverted intervals
+    out = cz(A(0, 50, 60), A(200, 55, 61), 2)
+    assert out == [(0, 200)]
+    for lo, hi in out:
+        assert lo <= hi
+    # cap=1 collapses to the hull
+    assert cz(A(5, 1000), A(6, 1001), 1) == [(5, 1001)]
+
+
 @pytest.mark.parametrize("cap", [1, 2, 5])
 @pytest.mark.parametrize(
     "query,k", [("zephyr data", 5), ("data code", 10), ("zephyr", 3)]

@@ -67,3 +67,136 @@ def test_batch_disjunctive(eng):
 
 def test_batch_empty(eng):
     assert bm25_topk_batch(eng, {}, k=5).count() == 0
+
+
+# ---------------------------------------------------------------------------
+# forced-prune rank identity (r4): narrow blocks make every term span many
+# blocks, so both batch prunes (conjunctive anchor-range, disjunctive
+# block-max theta) genuinely drop blocks — results must stay identical
+# ---------------------------------------------------------------------------
+
+import numpy as np
+
+from elasticsearch_analysis_hashsplitter_spark.operators import (
+    search as search_mod,
+)
+
+_RNG = np.random.RandomState(13)
+_COMMON = ["data", "code", "line", "file"]
+
+
+@pytest.fixture(scope="module")
+def narrow_eng(spark):
+    docs = {}
+    for i in range(150):
+        toks = list(_RNG.choice(_COMMON, size=_RNG.randint(4, 20)))
+        if i % 11 == 0:
+            toks.append("zephyr")
+        docs[i] = " ".join(toks)
+    df = spark.createDataFrame(
+        list(docs.items()), "doc_id long, content string"
+    )
+    return SearchEngine.from_corpus(df, TOKEN_CFG, num_partitions=4,
+                                    block_size=4)
+
+
+_NARROW_QS = {
+    "q_rare_hot": ["Azeph", "Adata"],   # rare anchor, hot other term
+    "q_hot_hot": ["Adata", "Acode"],
+    "q_rare": ["Azeph"],
+    "q_weighted": ["Adata", "Adata", "Aline"],
+}
+
+
+@pytest.mark.parametrize("conjunctive", [True, False])
+def test_batch_forced_prune_rank_identity(narrow_eng, conjunctive):
+    eng = narrow_eng
+    eng._block_ranges_cache.clear()
+    pruned = bm25_topk_batch(
+        eng, _NARROW_QS, k=5, conjunctive=conjunctive, prune=True
+    ).collect()
+    full = bm25_topk_batch(
+        eng, _NARROW_QS, k=5, conjunctive=conjunctive, prune=False
+    ).collect()
+
+    def by_q(rows):
+        out = {}
+        for r in sorted(rows, key=lambda r: (r["query_id"], r["rank"])):
+            out.setdefault(r["query_id"], []).append(
+                (r["doc_id"], r["score"])
+            )
+        return out
+
+    got, want = by_q(pruned), by_q(full)
+    assert set(got) == set(want)
+    for qid in want:
+        assert [d for d, _ in got[qid]] == [d for d, _ in want[qid]], qid
+        for (_, gs), (_, es) in zip(got[qid], want[qid]):
+            assert gs == pytest.approx(es, rel=1e-12), qid
+        # and identical to the single-query path
+        single = (
+            eng.bm25_topk(_NARROW_QS[qid], k=5)
+            if conjunctive
+            else eng.bm25_topk_disjunctive(_NARROW_QS[qid], k=5)
+        ).collect()
+        assert [d for d, _ in got[qid]] == [r["doc_id"] for r in single]
+
+
+def test_batch_conjunctive_plan_has_range_prefilter(narrow_eng):
+    """The coarse Catalyst prefilter must reach the scan: the pruned
+    plan filters on block docID metadata (min_doc/max_doc) before any
+    decode; the unpruned plan never reads those columns at all."""
+    eng = narrow_eng
+    qs = {"q": ["Azeph", "Adata"]}
+
+    def plan(df):
+        return df._sc._jvm.PythonSQLUtils.explainString(
+            df._jdf.queryExecution(), "formatted"
+        )
+
+    pruned = plan(bm25_topk_batch(eng, qs, k=5, prune=True))
+    full = plan(bm25_topk_batch(eng, qs, k=5, prune=False))
+    assert "(max_doc#" in pruned  # a comparison, not a column listing
+    assert "(max_doc#" not in full
+
+
+def test_batch_theta_is_sound_lower_bound(narrow_eng):
+    """Disjunctive bootstrap thetas must never exceed the true k-th
+    score (the soundness condition for the block-max prune)."""
+    eng = narrow_eng
+    k = 3
+    for qid, terms in _NARROW_QS.items():
+        info = {
+            r["term"]: (r["df"], r["max_tf"], r["min_dl"])
+            for r in eng._term_stats(sorted(set(terms)))
+        }
+        if not info:
+            continue
+        import math
+
+        n = eng.stats["n_docs"]
+        avgdl = eng.stats["avgdl"]
+        k1, b = eng.cfg.bm25_k1, eng.cfg.bm25_b
+
+        def ub(t, w):
+            df, mtf, mdl = info[t]
+            idf = math.log(1.0 + (n - df + 0.5) / (df + 0.5))
+            dl_term = 0.0 if mdl is None else b * mdl / avgdl
+            return (
+                w * idf * mtf * (k1 + 1.0)
+                / (mtf + k1 * (1.0 - b + dl_term))
+            )
+
+        w = {}
+        for t in terms:
+            w[t] = w.get(t, 0) + 1
+        anchor = max(w, key=lambda t: (ub(t, w[t]), t))
+        idf_a = math.log(
+            1.0 + (n - info[anchor][0] + 0.5) / (info[anchor][0] + 0.5)
+        )
+        theta = search_mod._batch_anchor_theta(
+            eng, {0: anchor}, {0: w[anchor] * idf_a}, k
+        )[0]
+        true = eng.bm25_topk_disjunctive(terms, k).collect()
+        if len(true) >= k:
+            assert theta <= true[-1]["score"] + 1e-9, qid

@@ -55,6 +55,10 @@ def make_spark(cores: int, shuffle_partitions: int | None = None):
         # bigger Arrow batches: fewer python round-trips in the block
         # builder and scorer
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "100000")
+        # FAIR pools: SearchEngine.serve() tags each client thread's
+        # jobs with its own pool so concurrent requests round-robin
+        # instead of head-of-line blocking
+        .config("spark.scheduler.mode", "FAIR")
     )
     return b.getOrCreate()
 
@@ -184,6 +188,21 @@ def qps_warm_run(
     t0 = time.time()
     n_rows = bm25_topk_batch(eng, qmap, k=10).count()
     batch_dt = time.time() - t0
+
+    # concurrent serving: independent client requests overlapping as
+    # FAIR-pool jobs from a thread pool (SearchEngine.serve) — the
+    # middle ground between one-at-a-time sequential and one giant
+    # batch; answers are the sequential path's own
+    conc_n = 32
+    conc_workers = 8
+    conc_reqs = {f"c{i}": tokens[i % len(tokens)] for i in range(conc_n)}
+    t0 = time.time()
+    served = eng.serve(conc_reqs, k=10, max_workers=conc_workers)
+    conc_dt = time.time() - t0
+    ref = [
+        (r["doc_id"], r["score"])
+        for r in eng.search(conc_reqs["c0"], 10).collect()
+    ]
     out = {
         "cached_blocks": n_blocks if postings_cached else 0,
         "total_blocks": n_blocks,
@@ -193,6 +212,11 @@ def qps_warm_run(
         "batched_seconds": round(batch_dt, 3),
         "batched_qps": round(n_queries / batch_dt, 2),
         "batched_result_rows": n_rows,
+        "concurrent_clients": conc_workers,
+        "concurrent_queries": conc_n,
+        "concurrent_seconds": round(conc_dt, 3),
+        "concurrent_qps": round(conc_n / conc_dt, 2),
+        "concurrent_matches_sequential": served["c0"] == ref,
     }
     if postings_cached:
         eng.postings.unpersist()

@@ -614,6 +614,35 @@ def _q_multifield(spark, sf_dir):
     return _sorted_docs(a.join(b, "doc_id"))
 
 
+def _q_multifield_scored(spark, sf_dir):
+    """Cross-field scored BM25 (the ES bool-should multi-field shape,
+    HashSplitterFieldMapper fieldQuery registered per mapped field):
+    content-field value 'spark' + hash-field value md5(text of doc 0),
+    each analyzed and scored against its OWN sub-index stats, scores
+    summed on doc_id before ranking — doc 0's hash-field score stacks
+    on top of any content match it also has."""
+    from elasticsearch_analysis_hashsplitter_spark.operators.multifield import (
+        MultiFieldEngine,
+    )
+
+    eng = MultiFieldEngine(
+        {
+            "content": _engine(spark, sf_dir, "tokens"),
+            "hash": _engine(spark, sf_dir, "hash"),
+        }
+    )
+    hv = (
+        _docs(spark, sf_dir)
+        .where(F.col("doc_id") == 0)
+        .select(F.md5("text").alias("h"))
+        .first()["h"]
+    )
+    out = eng.search_scored({"content": "spark", "hash": hv}, k=10)
+    return out.select(
+        "doc_id", F.round("score", 4).alias("score")
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "lexicon_top100": _q_lexicon,
@@ -643,6 +672,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_near_dup": _q_embedding_near_dup,
         "embedding_near_dup_lsh": _q_embedding_near_dup_lsh,
         "multifield_and_query": _q_multifield,
+        "multifield_scored": _q_multifield_scored,
         "windowed_event_stats": _q_windowed_events,
         "sessionize_events": _q_sessionize,
         "text_metrics": _q_text_metrics,
@@ -952,6 +982,61 @@ SELECT doc_id FROM (
 WHERE doc_id IN (SELECT doc_id FROM documents WHERE md5(text) LIKE '0%')
 ORDER BY doc_id"""
 
+    # cross-field scored: per-field BM25 against each field's OWN stats
+    # (content token chunks vs md5-hash chunks), summed on doc_id
+    mfs_terms = sorted(set(qc.field_query("spark", TOK_CFG).terms))
+    mfs_in = ", ".join("'" + t + "'" for t in mfs_terms)
+    pfx = TOK_CFG.prefixes.replace("'", "''")
+    k1, b = TOK_CFG.bm25_k1, TOK_CFG.bm25_b
+    multifield_scored = f"""
+WITH {_TOK_CTE},
+hvals AS (SELECT doc_id, md5(text) AS v FROM documents),
+hchunks AS (
+  SELECT doc_id,
+         substr('{pfx}', ((i - 1) % {TOK_CFG.prefix_count}) + 1, 1)
+           || substr(v, (i - 1) * 4 + 1, 4) AS term
+  FROM (SELECT doc_id, v,
+               unnest(generate_series(1, CAST(ceil(length(v) / 4.0) AS INT))) AS i
+        FROM hvals) t
+),
+qh AS (SELECT DISTINCT term FROM hchunks WHERE doc_id = 0),
+tf_c AS (SELECT doc_id, term, count(*) AS tf FROM chunks GROUP BY doc_id, term),
+dl_c AS (SELECT doc_id, count(*) AS dl FROM chunks GROUP BY doc_id),
+st_c AS (SELECT (SELECT count(*) FROM documents) AS n, avg(dl) AS avgdl FROM dl_c),
+df_c AS (SELECT term, count(*) AS df FROM tf_c WHERE term IN ({mfs_in}) GROUP BY term),
+sc_c AS (
+  SELECT tf_c.doc_id,
+         sum(ln(1 + (s.n - df_c.df + 0.5) / (df_c.df + 0.5))
+             * tf_c.tf * ({k1} + 1)
+             / (tf_c.tf + {k1} * (1 - {b} + {b} * dl_c.dl / s.avgdl))) AS score,
+         count(DISTINCT tf_c.term) AS nt
+  FROM tf_c JOIN df_c USING (term) JOIN dl_c USING (doc_id) CROSS JOIN st_c s
+  GROUP BY tf_c.doc_id
+),
+tf_h AS (SELECT doc_id, term, count(*) AS tf FROM hchunks GROUP BY doc_id, term),
+dl_h AS (SELECT doc_id, count(*) AS dl FROM hchunks GROUP BY doc_id),
+st_h AS (SELECT (SELECT count(*) FROM documents) AS n, avg(dl) AS avgdl FROM dl_h),
+df_h AS (SELECT tf_h.term, count(*) AS df FROM tf_h JOIN qh USING (term) GROUP BY tf_h.term),
+sc_h AS (
+  SELECT tf_h.doc_id,
+         sum(ln(1 + (s.n - df_h.df + 0.5) / (df_h.df + 0.5))
+             * tf_h.tf * ({k1} + 1)
+             / (tf_h.tf + {k1} * (1 - {b} + {b} * dl_h.dl / s.avgdl))) AS score,
+         count(DISTINCT tf_h.term) AS nt
+  FROM tf_h JOIN df_h ON tf_h.term = df_h.term
+  JOIN dl_h USING (doc_id) CROSS JOIN st_h s
+  GROUP BY tf_h.doc_id
+),
+u AS (
+  SELECT doc_id, score FROM sc_c WHERE nt = {len(mfs_terms)}
+  UNION ALL
+  SELECT doc_id, score FROM sc_h WHERE nt = (SELECT count(*) FROM qh)
+)
+SELECT doc_id, round(sum(score), 4) AS score
+FROM u GROUP BY doc_id
+ORDER BY sum(score) DESC, doc_id
+LIMIT 10"""
+
     ann = """
 WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0)
 SELECT vec_id,
@@ -1024,6 +1109,7 @@ FROM reach GROUP BY src ORDER BY doc_id""",
         "ann_ivf_topk": ann_lsh,
         "embedding_near_dup_lsh": near_dup_lsh,
         "multifield_and_query": multifield,
+        "multifield_scored": multifield_scored,
         "ann_cosine_topk": ann,
         "embedding_near_dup": """
 SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,

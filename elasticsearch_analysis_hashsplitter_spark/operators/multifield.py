@@ -15,8 +15,11 @@ import json
 import os
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from ..config import HashSplitterConfig
+from ..plans import compile as qc
+from ..plans import ir
 from .build import build_index
 from .search import SearchEngine
 
@@ -36,6 +39,56 @@ class MultiFieldEngine:
 
     def fields(self) -> list[str]:
         return sorted(self.engines)
+
+    def search_scored(
+        self,
+        values: dict[str, str],
+        k: int = 10,
+        require_all: bool = False,
+    ) -> DataFrame:
+        """Cross-field scored BM25 top-k — the ES multi-field bool
+        query shape over several hashsplitter-mapped fields (the
+        reference registers one query per mapped field and ES sums the
+        should-clause scores; HashSplitterFieldMapper.java fieldQuery
+        per field). Each field's value is analyzed with THAT field's
+        config and scored conjunctively over its chunk terms against
+        its own sub-index statistics (df/avgdl per field, exactly as ES
+        per-field similarity); the per-field score frames are summed on
+        doc_id BEFORE ranking.
+
+        ``require_all=False`` (default): bool-should — docs matching
+        ANY field rank by the sum of their matching fields' scores.
+        ``require_all=True``: bool-must — docs must match every field.
+        Top-k ties break on doc_id asc, as everywhere in the engine.
+        """
+        parts = []
+        any_engine = next(iter(self.engines.values()))
+        for fname in sorted(values):
+            eng = self.engines[fname]
+            node = qc.field_query(values[fname], eng.cfg, scored=True)
+            if isinstance(node, ir.MatchNone) or not isinstance(
+                node, ir.ScoredTerms
+            ):
+                if require_all:
+                    return any_engine._empty_scored()
+                continue
+            parts.append(eng.bm25_scores(list(node.terms)))
+        if not parts:
+            return any_engine._empty_scored()
+        union = parts[0]
+        for p in parts[1:]:
+            union = union.unionByName(p)
+        agg = union.groupBy("doc_id").agg(
+            F.sum("score").alias("score"),
+            F.count("*").alias("n_fields"),
+        )
+        if require_all:
+            agg = agg.where(F.col("n_fields") == len(parts))
+        return (
+            agg.select("doc_id", "score")
+            .orderBy(F.col("score").desc(), F.col("doc_id").asc())
+            .limit(k)
+        )
 
     @classmethod
     def open(cls, spark: SparkSession, index_dir: str) -> "MultiFieldEngine":

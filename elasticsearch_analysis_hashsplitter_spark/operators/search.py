@@ -1093,6 +1093,25 @@ class SearchEngine:
         to docs containing the given term, but score them with ALL terms
         — exact scores for that candidate subset.
         """
+        return (
+            self.bm25_scores(terms, conjunctive, boost, _anchor)
+            .orderBy(F.col("score").desc(), F.col("doc_id").asc())
+            .limit(k)
+        )
+
+    def bm25_scores(
+        self,
+        terms: list[str],
+        conjunctive: bool = True,
+        boost: float = 1.0,
+        _anchor: str | None = None,
+    ) -> DataFrame:
+        """Aggregated (doc_id, score) for a bag of chunk terms —
+        :meth:`bm25_topk` without the final top-k truncation. The
+        building block for cross-field scoring
+        (:meth:`~..multifield.MultiFieldEngine.search_scored` sums
+        per-field score frames BEFORE ranking, which a truncated top-k
+        could not support)."""
         if not terms:
             return self._empty_scored()
         weights: dict[str, int] = {}
@@ -1217,11 +1236,7 @@ class SearchEngine:
             agg = agg.where(F.col("n_terms") == len(distinct))
         if _anchor is not None:
             agg = agg.where(F.col("has_anchor"))
-        return (
-            agg.select("doc_id", "score")
-            .orderBy(F.col("score").desc(), F.col("doc_id").asc())
-            .limit(k)
-        )
+        return agg.select("doc_id", "score")
 
 
 def _batch_anchor_theta(

@@ -96,6 +96,61 @@ def test_multi_field_index(spark, tmp_path):
         .collect()
     ) == [0, 1]
 
+    # cross-field scored BM25 (ES bool-should): per-field scores from
+    # each field's OWN stats, summed on doc_id before ranking
+    from elasticsearch_analysis_hashsplitter_spark.plans import (
+        compile as qc,
+    )
+
+    got = eng.search_scored(
+        {"body": "spark", "content_hash": "0000111122223333"}, k=3
+    ).collect()
+    body_terms = list(qc.field_query("spark", body_cfg).terms)
+    hash_terms = list(
+        qc.field_query("0000111122223333", CL4_LOWER_FIXED16).terms
+    )
+    body_s = {
+        r["doc_id"]: r["score"]
+        for r in eng["body"].bm25_scores(body_terms).collect()
+    }
+    hash_s = {
+        r["doc_id"]: r["score"]
+        for r in eng["content_hash"].bm25_scores(hash_terms).collect()
+    }
+    want = sorted(
+        (
+            (d, body_s.get(d, 0.0) + hash_s.get(d, 0.0))
+            for d in set(body_s) | set(hash_s)
+        ),
+        key=lambda x: (-x[1], x[0]),
+    )[:3]
+    assert [r["doc_id"] for r in got] == [d for d, _ in want]
+    for r, (_, s) in zip(got, want):
+        assert r["score"] == pytest.approx(s, rel=1e-12)
+    # doc 0 matches BOTH fields -> must outrank content-only matches
+    assert got[0]["doc_id"] == 0
+    # require_all keeps only docs matching every field
+    strict = eng.search_scored(
+        {"body": "spark", "content_hash": "0000111122223333"},
+        k=3,
+        require_all=True,
+    ).collect()
+    assert [r["doc_id"] for r in strict] == [0]
+    # a field value that matches nothing: should-mode falls back to the
+    # other field; must-mode returns empty
+    assert (
+        eng.search_scored(
+            {"body": "spark", "content_hash": "ffffffffffffffff"},
+            k=3,
+            require_all=True,
+        ).count()
+        == 0
+    )
+    loose = eng.search_scored(
+        {"body": "spark", "content_hash": "ffffffffffffffff"}, k=3
+    ).collect()
+    assert sorted(r["doc_id"] for r in loose) == [0, 1]
+
 
 def test_constant_score_paths(spark, tmp_path):
     from elasticsearch_analysis_hashsplitter_spark.operators.search import (

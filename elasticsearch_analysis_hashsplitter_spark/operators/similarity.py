@@ -282,7 +282,7 @@ def rp_lsh_topk(
     query: list[float],
     k: int = 10,
     n_bits: int = 32,
-    bands: int = 4,
+    bands: int = 8,
     seed: int = 42,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
@@ -291,6 +291,14 @@ def rp_lsh_topk(
     """ANN top-k: candidates sharing >= 1 signature band with the query,
     re-ranked by exact cosine. Recall < 1 by construction; the exact
     re-rank keeps precision exact for returned candidates.
+
+    Default operating point: bands=8 over n_bits=32 (4 bits/band) —
+    recall@10 ~0.71 measured on the natural sf0.1 embeddings, the speed
+    tier of the RECALL.md curve (pinned by tests/test_recall_defaults.py
+    against drift); bands=16 measures recall 1.0 there at the cost of
+    much looser buckets. At corpus scale raise n_bits with the data
+    volume so per-band keys keep selectivity, then re-measure with
+    tools/recall_report.py.
 
     ``buckets``: a precomputed bucket table (:func:`rp_lsh_index`) — the
     serving path; omitted, the buckets are derived in-line (one pass
@@ -395,7 +403,7 @@ def ivf_topk(
     query: list[float],
     centroids: np.ndarray,
     k: int = 10,
-    nprobe: int = 4,
+    nprobe: int = 12,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     assignments: DataFrame | None = None,
@@ -403,7 +411,14 @@ def ivf_topk(
     """IVF ANN top-k: probe the ``nprobe`` centroids nearest the query,
     exact-cosine re-rank their members. Recall grows with nprobe
     (nprobe = n_centroids is exact); precision of returned rows is exact
-    by construction (true cosines, same ordering as cosine_topk)."""
+    by construction (true cosines, same ordering as cosine_topk).
+
+    Default operating point: nprobe=12 of the default 16 centroids —
+    recall@10 >= 0.9 measured on the natural sf0.1 embeddings (RECALL.md
+    curve; pinned by tests/test_recall_defaults.py so knob drift is
+    caught). Scale deployments raise n_centroids and keep nprobe/
+    n_centroids near this ratio, or tune from their own recall curve
+    via tools/recall_report.py."""
     c = np.asarray(centroids, dtype=np.float64)
     q = np.asarray(query, dtype=np.float64)
     q = q / max(np.linalg.norm(q), 1e-12)

@@ -102,7 +102,7 @@ def main() -> dict:
             centroid_of[pos[int(r["vec_id"])]] = r["centroid"]
         probe_order = np.argsort(-(mat[q_idx] @ cents.T), axis=1)
         ivf_curve = {}
-        for nprobe in (1, 2, 4, 8, N_CENTROIDS):
+        for nprobe in (1, 2, 4, 8, 12, N_CENTROIDS):
             hits = tot = 0
             for qi in range(len(q_idx)):
                 probed = set(int(c) for c in probe_order[qi, :nprobe])

@@ -327,6 +327,99 @@ def make_spark_cluster(
     )
 
 
+def qps_selective_run(spark, tmp_base: str, n_rows: int | None = None) -> dict:
+    """Selective-query serving: the reference's core scenario is a
+    term-dictionary SEEK (rare term) intersected with long posting
+    lists — the synthetic bench corpus is deliberately every-term-hot,
+    where block skipping is information-theoretically impossible, so
+    this section builds a side index with planted rare markers
+    (~0.4% df) and measures the rare-AND-hot conjunctive batch with the
+    prune on vs off. The pruned path filters hot-term postings to the
+    anchor's exact doc ids BEFORE the shuffle."""
+    from pyspark.sql import functions as F
+
+    from elasticsearch_analysis_hashsplitter_spark.corpus import (
+        generate_corpus,
+    )
+    from elasticsearch_analysis_hashsplitter_spark.operators.build import (
+        build_index,
+    )
+    from elasticsearch_analysis_hashsplitter_spark.operators.search import (
+        SearchEngine,
+        bm25_topk_batch,
+    )
+    from elasticsearch_analysis_hashsplitter_spark.plans import (
+        compile as qc,
+    )
+
+    from __spark_entry__ import TOK_CFG
+
+    if n_rows is None:
+        n_rows = int(os.environ.get("SPARK_GRAFT_SELECTIVE_ROWS", "200000"))
+    markers = [f"rxmark{j}q" for j in range(8)]
+    hot = ["func", "function", "printf", "println",
+           "tuple", "fold", "final", "finally"]
+    docs = generate_corpus(spark, n_rows)
+    c = F.col("content")
+    expr = c
+    for j, mk in enumerate(markers):
+        expr = F.when(
+            F.col("doc_id") % 2000 == j * 8, F.concat(c, F.lit(" " + mk))
+        ).otherwise(expr)
+    docs = docs.withColumn("content", expr)
+    idx = f"{tmp_base}/sel_idx"
+    build_index(docs, TOK_CFG, idx, n_slices=2, num_partitions=CPUS)
+    eng = SearchEngine.open(spark, idx)
+    qmap = {
+        f"q{j}": list(qc.field_query(mk, TOK_CFG).terms)
+        + list(qc.field_query(hot[j], TOK_CFG).terms)
+        for j, mk in enumerate(markers)
+    }
+    eng.search(hot[0], 10).collect()  # warm workers
+    out = {"rows": n_rows, "queries": len(qmap)}
+    for label, prune in (("exhaustive", False), ("pruned", True)):
+        best = float("inf")
+        for _ in range(2):
+            t0 = time.time()
+            bm25_topk_batch(eng, qmap, k=10, prune=prune).count()
+            best = min(best, time.time() - t0)
+        out[f"batch_{label}_seconds"] = round(best, 3)
+    def profile(prune):
+        # Tie-aware rank profile: docs that are mathematically tied
+        # (identical planted content) reorder between execution plans
+        # because float summation order differs by a last ulp, so the
+        # doc_id tie-break compares unequal floats. Compare the ranked
+        # ROUNDED score sequence exactly, and the doc set within each
+        # tie run — except the final (k-truncated) run, where any
+        # score-correct subset may surface, so only its size is pinned.
+        per: dict = {}
+        for r in bm25_topk_batch(eng, qmap, k=10, prune=prune).collect():
+            per.setdefault(r["query_id"], []).append(
+                (r["rank"], r["doc_id"], round(r["score"], 4))
+            )
+        out_p = {}
+        for q, v in per.items():
+            v.sort()
+            runs: list = []
+            for _, d, s in v:
+                if runs and runs[-1][0] == s:
+                    runs[-1][1].append(d)
+                else:
+                    runs.append([s, [d]])
+            key = [
+                (s, len(ds) if i == len(runs) - 1 else tuple(sorted(ds)))
+                for i, (s, ds) in enumerate(runs)
+            ]
+            out_p[q] = key
+        return out_p
+
+    out["rank_identical"] = profile(True) == profile(False)
+    out["speedup"] = round(
+        out["batch_exhaustive_seconds"] / out["batch_pruned_seconds"], 2
+    )
+    return out
+
+
 def scaling_run(tmp_base: str) -> dict:
     """Same job at N and 4N EXECUTORS (north_rule two-cluster-size
     criterion): identical input, identical plan, identical shuffle
@@ -410,6 +503,10 @@ def main():
             )
             result["qps"] = qps_run(spark, f"{tmp_base}/main_idx")
             result["qps_warm"] = qps_warm_run(spark, f"{tmp_base}/main_idx")
+            if os.environ.get("SPARK_GRAFT_SELECTIVE_BENCH", "1") != "0":
+                result["qps_selective"] = qps_selective_run(
+                    spark, tmp_base
+                )
             if os.environ.get("SPARK_GRAFT_COMPACT_BENCH", "1") != "0":
                 result["compaction"] = compaction_run(spark, tmp_base)
             t0 = time.time()

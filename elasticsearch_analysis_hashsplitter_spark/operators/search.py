@@ -1537,11 +1537,22 @@ def bm25_topk_batch(
             ),
             "rest": np.asarray(m["rest"], dtype=np.float64),
             "th": np.asarray(m["th"], dtype=np.float64),
-            # no query prunes this term -> the kernel skips mask work
+            # no query prunes this term -> the kernel skips mask work.
+            # disjunctive: a query can only ever drop one of t's blocks
+            # when theta_q > rest_ub_q (f_block > 0 always), so a hot
+            # term whose every query is below that line stays unmasked
             "masked": (
                 not all(m["pass"])
                 if conjunctive
-                else any(np.isfinite(np.asarray(m["th"])))
+                else bool(
+                    np.any(
+                        np.isfinite(np.asarray(m["th"]))
+                        & (
+                            np.asarray(m["th"])
+                            > np.asarray(m["rest"])
+                        )
+                    )
+                )
             ),
         }
         for ti, m in per_term.items()

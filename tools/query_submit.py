@@ -18,13 +18,17 @@ def main(argv=None) -> int:
     p.add_argument(
         "--op",
         required=True,
-        choices=["search", "search_any", "batch", "term", "chunk_term",
+        choices=["search", "search_any", "batch", "serve", "term", "chunk_term",
                  "prefix", "wildcard", "range", "count"],
     )
     p.add_argument("--value", default=None)
     p.add_argument("--values", default=None,
                    help="comma-separated query values for --op batch "
-                        "(one BM25 top-k per value, ONE Spark job total)")
+                        "(one BM25 top-k per value, ONE Spark job total) "
+                        "or --op serve (concurrent per-request jobs)")
+    p.add_argument("--workers", type=int, default=8,
+                   help="client threads for --op serve (pair with "
+                        "--conf spark.scheduler.mode=FAIR)")
     p.add_argument("--lower", default=None)
     p.add_argument("--upper", default=None)
     p.add_argument("--include-lower", action="store_true", default=True)
@@ -69,6 +73,13 @@ def main(argv=None) -> int:
                 (r["doc_id"], r["score"])
             )
         print(json.dumps(out))
+    elif args.op == "serve":
+        served = eng.serve(
+            {v: v for v in (args.values or "").split(",") if v},
+            k=args.k,
+            max_workers=args.workers,
+        )
+        print(json.dumps(served))
     elif args.op == "range":
         df = eng.range(args.lower, args.upper, args.include_lower,
                        args.include_upper)

@@ -1145,15 +1145,21 @@ class SearchEngine:
         anchor_ids = None
         if anchor is not None and len(distinct) > 1 and dfs:
             # Candidates must occur in the anchor term's postings.
-            # Low-df anchor: fetch its EXACT doc ids (tiny, cached) —
-            # other terms' decoded postings are filtered to the
-            # candidate set inside the kernel, before the shuffle, and
-            # the Catalyst block filter uses intervals over the ids
-            # themselves (a rare anchor's single block spans the whole
-            # docID space, so block-granularity ranges alone skip
-            # nothing on the classic rare-AND-hot conjunction).
+            # Low-df anchor vs much-hotter other terms: fetch its EXACT
+            # doc ids (tiny, cached) — other terms' decoded postings are
+            # filtered to the candidate set inside the kernel, before
+            # the shuffle, and the Catalyst block filter uses intervals
+            # over the ids themselves (a rare anchor's single block
+            # spans the whole docID space, so block-granularity ranges
+            # alone skip nothing on the classic rare-AND-hot
+            # conjunction). Balanced-df queries skip the id fetch — the
+            # filter can only drop the df gap, so when every term is
+            # ~anchor-sized the extra driver job cannot pay for itself.
             # High-df anchor: block-granularity range overlap as before.
-            anchor_ids = self._term_doc_ids_many([anchor]).get(anchor)
+            if max(dfs.values()) >= 4 * dfs.get(anchor, 1):
+                anchor_ids = self._term_doc_ids_many([anchor]).get(
+                    anchor
+                )
             if anchor_ids is not None:
                 ranges = [
                     {"min_doc": lo, "max_doc": hi}
@@ -1431,7 +1437,14 @@ def bm25_topk_batch(
         for q in active:
             at = min(q_w[q], key=lambda t: (info[t][0], t))
             qi = qidx_of[q]
-            if info[at][0] <= anchor_ids_cutoff and len(q_w[q]) > 1:
+            if (
+                info[at][0] <= anchor_ids_cutoff
+                and len(q_w[q]) > 1
+                # the posting filter can only drop the df gap: skip the
+                # id fetch for balanced-df queries (same rule as the
+                # single-query path)
+                and max(info[t][0] for t in q_w[q]) >= 4 * info[at][0]
+            ):
                 anchors[qi] = at
                 id_qs[qi] = at
             elif info[at][0] <= anchor_df_frac * n_docs:

@@ -1228,20 +1228,51 @@ class SearchEngine:
         scored = blocks.select("term", "docs", "tfs", "dls").mapInPandas(
             score_blocks, schema=_SCORE_SCHEMA
         )
-        aggs = [
-            F.sum("contrib").alias("score"),
-            F.countDistinct("term_idx").alias("n_terms"),
-        ]
-        if _anchor is not None:
-            anchor_idx = params[_anchor][1]
+        # Term-membership via a bit_or bitmask over the (local, dense)
+        # term_idx instead of countDistinct: a distinct-aggregate
+        # compiles to TWO exchanges (partial on (doc_id, term_idx),
+        # re-exchange on doc_id), doubling the shuffle of every scored
+        # query; bit_or folds into the single doc_id aggregation and the
+        # anchor test reads the same mask. Duplicate-safe (a re-ingested
+        # doc's repeated term sets the same bit). Fallback to
+        # countDistinct only past 63 distinct terms (a > 252-char value).
+        need_membership = (conjunctive and len(distinct) > 1) or (
+            _anchor is not None
+        )
+        aggs = [F.sum("contrib").alias("score")]
+        use_mask = need_membership and len(distinct) <= 63
+        if use_mask:
             aggs.append(
-                F.max(F.col("term_idx") == anchor_idx).alias("has_anchor")
+                F.expr(
+                    "bit_or(shiftleft(CAST(1 AS BIGINT), term_idx))"
+                ).alias("tmask")
             )
+        elif need_membership:
+            aggs.append(F.countDistinct("term_idx").alias("n_terms"))
+            if _anchor is not None:
+                aggs.append(
+                    F.max(
+                        F.col("term_idx") == params[_anchor][1]
+                    ).alias("has_anchor")
+                )
         agg = scored.groupBy("doc_id").agg(*aggs)
-        if conjunctive:
-            agg = agg.where(F.col("n_terms") == len(distinct))
-        if _anchor is not None:
-            agg = agg.where(F.col("has_anchor"))
+        if use_mask:
+            if conjunctive and len(distinct) > 1:
+                agg = agg.where(
+                    F.col("tmask") == (1 << len(distinct)) - 1
+                )
+            if _anchor is not None:
+                agg = agg.where(
+                    F.shiftright(
+                        F.col("tmask"), params[_anchor][1]
+                    ).bitwiseAND(1)
+                    == 1
+                )
+        elif need_membership:
+            if conjunctive and len(distinct) > 1:
+                agg = agg.where(F.col("n_terms") == len(distinct))
+            if _anchor is not None:
+                agg = agg.where(F.col("has_anchor"))
         return agg.select("doc_id", "score")
 
 
@@ -1510,12 +1541,17 @@ def bm25_topk_batch(
     # broadcast mapping, so the public schema is unchanged.
     term_list = sorted({t for q in active for t in q_w[q]})
     term_idx = {t: i for i, t in enumerate(term_list)}
+    # conjunction check via a per-query-LOCAL bit position -> one
+    # bit_or aggregation instead of countDistinct's double exchange
+    # (see bm25_scores); global-term-id fallback past 63 terms/query
+    use_mask = conjunctive and max(len(q_w[q]) for q in active) <= 63
     per_term: dict[int, dict] = {}
     for q in active:
         qi = qidx_of[q]
         total_ub = sum(
             n * idf(t) * term_ub_factor(t) for t, n in q_w[q].items()
         )
+        local_idx = {t: i for i, t in enumerate(sorted(q_w[q]))}
         for t, n in q_w[q].items():
             ub_t = n * idf(t) * term_ub_factor(t)
             m = per_term.setdefault(
@@ -1523,6 +1559,7 @@ def bm25_topk_batch(
                 {
                     "q": [],
                     "w": [],
+                    "midx": [],
                     "pass": [],
                     "ids": [],
                     "rest": [],
@@ -1531,6 +1568,11 @@ def bm25_topk_batch(
             )
             m["q"].append(qi)
             m["w"].append(n * idf(t))
+            m["midx"].append(
+                local_idx[t]
+                if use_mask
+                else (term_idx[t] if conjunctive else 0)
+            )
             # always-pass: q doesn't range-prune, or t IS q's anchor
             m["pass"].append(qi not in anchors or anchors[qi] == t)
             # exact-id posting filter applies to q's NON-anchor terms
@@ -1543,6 +1585,7 @@ def bm25_topk_batch(
         ti: {
             "q": np.asarray(m["q"], dtype=np.int32),
             "w": np.asarray(m["w"], dtype=np.float64),
+            "midx": np.asarray(m["midx"], dtype=np.int32),
             "pass": np.asarray(m["pass"], dtype=bool),
             "ids": m["ids"],
             "bulk": np.asarray(
@@ -1731,15 +1774,17 @@ def bm25_topk_batch(
                         else (bulk if sel is None else bulk & sel)
                     )
                     if bsel is None:
-                        qa, wa = q_arr, w_arr
+                        qa, wa, ma = q_arr, w_arr, m["midx"]
                     else:
-                        qa, wa = q_arr[bsel], w_arr[bsel]
+                        qa, wa, ma = (
+                            q_arr[bsel],
+                            w_arr[bsel],
+                            m["midx"][bsel],
+                        )
                     if qa.size:
                         qidx_l.append(np.repeat(qa, d.size))
                         docs_l.append(np.tile(d, qa.size))
-                        tidx_l.append(
-                            np.full(d.size * qa.size, ti, dtype=np.int32)
-                        )
+                        tidx_l.append(np.repeat(ma, d.size))
                         contrib_l.append(np.outer(wa, norm).ravel())
                     if all_bulk:
                         continue
@@ -1763,7 +1808,7 @@ def bm25_topk_batch(
                         )
                         docs_l.append(ds)
                         tidx_l.append(
-                            np.full(ds.size, ti, dtype=np.int32)
+                            np.full(ds.size, m["midx"][j], dtype=np.int32)
                         )
                         contrib_l.append(w_arr[j] * norm[s])
             if not docs_l:
@@ -1772,20 +1817,35 @@ def bm25_topk_batch(
                 {
                     "qidx": np.concatenate(qidx_l),
                     "doc_id": np.concatenate(docs_l),
-                    "term_idx": np.concatenate(tidx_l),
+                    "midx": np.concatenate(tidx_l),
                     "contrib": np.concatenate(contrib_l),
                 }
             )
 
     scored = blocks.select(*cols).mapInPandas(
         score_fn,
-        schema="qidx int, doc_id long, term_idx int, contrib double",
+        schema="qidx int, doc_id long, midx int, contrib double",
     )
-    agg = scored.groupBy("qidx", "doc_id").agg(
-        F.sum("contrib").alias("score"),
-        F.countDistinct("term_idx").alias("n_terms"),
-    )
-    if conjunctive:
+    agg_exprs = [F.sum("contrib").alias("score")]
+    if conjunctive and use_mask:
+        agg_exprs.append(
+            F.expr(
+                "bit_or(shiftleft(CAST(1 AS BIGINT), midx))"
+            ).alias("tmask")
+        )
+    elif conjunctive:
+        agg_exprs.append(F.countDistinct("midx").alias("n_terms"))
+    agg = scored.groupBy("qidx", "doc_id").agg(*agg_exprs)
+    if conjunctive and use_mask:
+        need = F.create_map(
+            *[
+                F.lit(x)
+                for q in active
+                for x in (qidx_of[q], (1 << len(q_w[q])) - 1)
+            ]
+        )
+        agg = agg.where(F.col("tmask") == need[F.col("qidx")])
+    elif conjunctive:
         need = F.create_map(
             *[
                 F.lit(x)

@@ -200,3 +200,38 @@ def test_batch_theta_is_sound_lower_bound(narrow_eng):
         true = eng.bm25_topk_disjunctive(terms, k).collect()
         if len(true) >= k:
             assert theta <= true[-1]["score"] + 1e-9, qid
+
+
+def test_batch_random_query_shapes_match_single(narrow_eng):
+    """Seeded-random query bags over the narrow-block fixture: every
+    shape (rare/hot mixes, duplicates for weighting, absent terms,
+    single-term, 1..4 terms) must match the single-query path doc-for-
+    doc in both modes with pruning on. Guards the batch kernel's mode
+    dispatch (exact-id / range / theta / stand-down) across shapes no
+    hand-written case covers."""
+    eng = narrow_eng
+    rng = np.random.RandomState(99)
+    pool = ["Azeph", "Adata", "Acode", "Aline", "Afile", "Azzzz", "Bk"]
+    qmaps = {}
+    for i in range(14):
+        n = rng.randint(1, 5)
+        qmaps[f"r{i}"] = [pool[j] for j in rng.randint(0, len(pool), n)]
+    for conj in (True, False):
+        rows = bm25_topk_batch(
+            eng, qmaps, k=4, conjunctive=conj, prune=True
+        ).collect()
+        by_q: dict = {}
+        for r in sorted(rows, key=lambda r: (r["query_id"], r["rank"])):
+            by_q.setdefault(r["query_id"], []).append(
+                (r["doc_id"], r["score"])
+            )
+        for qid, terms in qmaps.items():
+            single = (
+                eng.bm25_topk(terms, k=4, conjunctive=conj)
+            ).collect()
+            got = by_q.get(qid, [])
+            assert [d for d, _ in got] == [
+                r["doc_id"] for r in single
+            ], (conj, qid, terms)
+            for (_, gs), r in zip(got, single):
+                assert gs == pytest.approx(r["score"], rel=1e-9)

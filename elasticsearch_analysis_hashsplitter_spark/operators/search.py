@@ -788,6 +788,30 @@ class SearchEngine:
             .mapInPandas(_decode_docs_with_term, schema=_TERM_DOC_SCHEMA)
         )
         if node.conjunctive and len(terms) > 1:
+            if len(terms) <= 63:
+                # bitmask membership in ONE aggregation — countDistinct
+                # on the term STRING compiled to a double exchange with
+                # strings in the wide leg (see bm25_scores)
+                tmap = F.create_map(
+                    *[
+                        x
+                        for i, t in enumerate(terms)
+                        for x in (F.lit(t), F.lit(i))
+                    ]
+                )
+                return (
+                    hits.select(
+                        "doc_id", tmap[F.col("term")].alias("tidx")
+                    )
+                    .groupBy("doc_id")
+                    .agg(
+                        F.expr(
+                            "bit_or(shiftleft(CAST(1 AS BIGINT), tidx))"
+                        ).alias("tmask")
+                    )
+                    .where(F.col("tmask") == (1 << len(terms)) - 1)
+                    .select("doc_id")
+                )
             return (
                 hits.groupBy("doc_id")
                 .agg(F.countDistinct("term").alias("n"))

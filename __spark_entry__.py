@@ -643,6 +643,25 @@ def _q_multifield_scored(spark, sf_dir):
     )
 
 
+SERVE_VALUES = ["join", "spark"]
+
+
+def _q_serve(spark, sf_dir):
+    """Concurrent-serving gate: SearchEngine.serve (thread pool,
+    per-thread scheduler pools) reassembled into a DataFrame must match
+    the per-value BM25 oracle — the concurrent path runs the same
+    compile+execution as search(), and this gates it end to end."""
+    eng = _engine(spark, sf_dir, "tokens")
+    served = eng.serve({v: v for v in SERVE_VALUES}, k=10, max_workers=2)
+    rows = []
+    for v in SERVE_VALUES:
+        for rank, (doc, score) in enumerate(served[v], 1):
+            rows.append((v, int(doc), round(score, 4), rank))
+    return spark.createDataFrame(
+        rows, "query_id string, doc_id long, score double, rank long"
+    ).orderBy("query_id", "rank")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "lexicon_top100": _q_lexicon,
@@ -673,6 +692,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_near_dup_lsh": _q_embedding_near_dup_lsh,
         "multifield_and_query": _q_multifield,
         "multifield_scored": _q_multifield_scored,
+        "serve_search": _q_serve,
         "windowed_event_stats": _q_windowed_events,
         "sessionize_events": _q_sessionize,
         "text_metrics": _q_text_metrics,
@@ -982,6 +1002,43 @@ SELECT doc_id FROM (
 WHERE doc_id IN (SELECT doc_id FROM documents WHERE md5(text) LIKE '0%')
 ORDER BY doc_id"""
 
+    # concurrent serving: per-value conjunctive BM25 top-10 with ranks
+    serve_parts = []
+    for vi, v in enumerate(SERVE_VALUES):
+        v_terms = sorted(set(qc.field_query(v, TOK_CFG).terms))
+        v_in = ", ".join("'" + t + "'" for t in v_terms)
+        serve_parts.append(f"""
+SELECT '{v}' AS query_id, doc_id, round(score, 4) AS score, rank
+FROM (
+  SELECT doc_id, score,
+         row_number() OVER (ORDER BY score DESC, doc_id) AS rank
+  FROM (
+    SELECT tf.doc_id,
+           sum(ln(1 + (s.n - d{vi}.df + 0.5) / (d{vi}.df + 0.5))
+               * tf.tf * ({TOK_CFG.bm25_k1} + 1)
+               / (tf.tf + {TOK_CFG.bm25_k1}
+                  * (1 - {TOK_CFG.bm25_b}
+                     + {TOK_CFG.bm25_b} * dl.dl / s.avgdl))) AS score,
+           count(DISTINCT tf.term) AS nt
+    FROM tf
+    JOIN (SELECT term, count(*) AS df FROM tf
+          WHERE term IN ({v_in}) GROUP BY term) d{vi}
+      ON tf.term = d{vi}.term
+    JOIN dl USING (doc_id)
+    CROSS JOIN stats s
+    GROUP BY tf.doc_id
+  ) h
+  WHERE nt = {len(v_terms)}
+) r
+WHERE rank <= 10""")
+    serve_search = f"""
+WITH {_TOK_CTE},
+tf AS (SELECT doc_id, term, count(*) AS tf FROM chunks GROUP BY doc_id, term),
+dl AS (SELECT doc_id, count(*) AS dl FROM chunks GROUP BY doc_id),
+stats AS (SELECT (SELECT count(*) FROM documents) AS n, avg(dl) AS avgdl FROM dl)
+{" UNION ALL ".join(serve_parts)}
+ORDER BY query_id, rank"""
+
     # cross-field scored: per-field BM25 against each field's OWN stats
     # (content token chunks vs md5-hash chunks), summed on doc_id
     mfs_terms = sorted(set(qc.field_query("spark", TOK_CFG).terms))
@@ -1110,6 +1167,7 @@ FROM reach GROUP BY src ORDER BY doc_id""",
         "embedding_near_dup_lsh": near_dup_lsh,
         "multifield_and_query": multifield,
         "multifield_scored": multifield_scored,
+        "serve_search": serve_search,
         "ann_cosine_topk": ann,
         "embedding_near_dup": """
 SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,

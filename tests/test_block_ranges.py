@@ -167,3 +167,36 @@ def test_tiny_caps_stay_exact(narrow, monkeypatch, cap, query, k):
         assert [r["doc_id"] for r in got] == [d for d, _ in want]
         for r, (_, s) in zip(got, want):
             assert r["score"] == pytest.approx(s, abs=1e-9)
+
+
+def test_coarsen_intervals_properties():
+    """Property-based: for ANY interval set and cap, the kernel returns
+    <= cap sorted non-overlapping covering intervals whose boundaries
+    come from the inputs (the soundness contract every prune relies
+    on)."""
+    from hypothesis import given, settings, strategies as st
+
+    iv = st.tuples(
+        st.integers(0, 10_000), st.integers(0, 5_000)
+    ).map(lambda t: (t[0], t[0] + t[1]))
+
+    @settings(max_examples=200, deadline=None)
+    @given(st.lists(iv, min_size=1, max_size=80), st.integers(1, 12))
+    def check(ivs, cap):
+        mins = np.asarray([a for a, _ in ivs], dtype=np.int64)
+        maxs = np.asarray([b for _, b in ivs], dtype=np.int64)
+        out = search_mod._coarsen_intervals(mins, maxs, cap)
+        assert 1 <= len(out) <= cap
+        for lo, hi in out:
+            assert lo <= hi
+            assert lo in set(mins.tolist())
+            assert hi in set(maxs.tolist())
+        for (l1, h1), (l2, h2) in zip(out, out[1:]):
+            assert h1 + 1 < l2  # sorted, non-adjacent
+        # covering: every input interval inside some output interval
+        for a, b in ivs:
+            assert any(lo <= a and b <= hi for lo, hi in out), (
+                (a, b), out
+            )
+
+    check()

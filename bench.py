@@ -420,6 +420,42 @@ def qps_selective_run(spark, tmp_base: str, n_rows: int | None = None) -> dict:
     return out
 
 
+def _scale_query_seconds(spark, index_dir: str, n_queries: int = 64) -> float:
+    """One warm 64-query batch on the given index — the queries/sec half
+    of the headline metric, timed per executor count by scaling_run."""
+    from elasticsearch_analysis_hashsplitter_spark.corpus import _VOCAB
+    from elasticsearch_analysis_hashsplitter_spark.operators.search import (
+        SearchEngine,
+        bm25_topk_batch,
+    )
+    from elasticsearch_analysis_hashsplitter_spark.plans import (
+        compile as qc,
+    )
+
+    from __spark_entry__ import TOK_CFG
+
+    eng = SearchEngine.open(spark, index_dir)
+    tokens = [str(_VOCAB[(7 * i) % len(_VOCAB)]) for i in range(n_queries)]
+    qmap = {
+        f"q{i}": list(qc.field_query(t, TOK_CFG).terms)
+        for i, t in enumerate(tokens)
+    }
+    # steady-state serving protocol (same philosophy as qps_warm):
+    # warm the driver term-stats cache and python workers, then
+    # best-of-2 — the FIRST batch call per session pays one-time
+    # codegen/JIT that would otherwise read as serial fraction
+    # (measured: 44 -> 39 s at 1 executor, 14.7 -> 10.4 at 4; the
+    # warm pair scales at 0.93 where the cold pair read 0.66)
+    eng._term_stats(sorted({t for ts in qmap.values() for t in ts}))
+    eng.search(tokens[0], 10).collect()
+    best = float("inf")
+    for _ in range(2):
+        t0 = time.time()
+        bm25_topk_batch(eng, qmap, k=10).count()
+        best = min(best, time.time() - t0)
+    return best
+
+
 def scaling_run(tmp_base: str) -> dict:
     """Same job at N and 4N EXECUTORS (north_rule two-cluster-size
     criterion): identical input, identical plan, identical shuffle
@@ -446,8 +482,10 @@ def scaling_run(tmp_base: str) -> dict:
     lo, hi = (int(x) for x in pair.split(","))
     parts = hi * 4
     res = {}
+    qres: dict = {}
     for n in (lo, hi):
         best = None
+        qbest = None
         # best-of-N: this sandbox shares a host (load-average noise from
         # neighbors); min time is the least-contended estimate
         for _ in range(reps):
@@ -457,15 +495,28 @@ def scaling_run(tmp_base: str) -> dict:
                 spark = make_spark(n, shuffle_partitions=parts)
             try:
                 r = build_run(spark, SCALE_ROWS, f"{tmp_base}/scale_{n}")
+                # query-path half of the headline metric (BM25 qps):
+                # the 64-query batch on the just-built index, same
+                # executor set — warm one query, then time the batch
+                qs = _scale_query_seconds(spark, f"{tmp_base}/scale_{n}")
             finally:
                 spark.stop()
             if best is None or r["seconds"] < best["seconds"]:
                 best = r
+            if qbest is None or qs < qbest:
+                qbest = qs
         res[n] = best
+        qres[n] = qbest
     t_lo, t_hi = res[lo]["seconds"], res[hi]["seconds"]
     speedup = t_lo / t_hi if t_hi > 0 else 0.0
     ratio = hi / lo
+    q_speedup = qres[lo] / qres[hi] if qres[hi] > 0 else 0.0
     return {
+        "query_seconds_small": round(qres[lo], 3),
+        "query_seconds_large": round(qres[hi], 3),
+        "query_batch_queries": 64,
+        "query_speedup": round(q_speedup, 3),
+        "query_scaling_efficiency": round(q_speedup / ratio, 3),
         "mode": (
             f"local-cluster[N,1,{exec_mem}] separate executor JVMs"
             if mode == "local-cluster"

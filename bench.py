@@ -449,7 +449,7 @@ def _scale_query_seconds(spark, index_dir: str, n_queries: int = 64) -> float:
     eng._term_stats(sorted({t for ts in qmap.values() for t in ts}))
     eng.search(tokens[0], 10).collect()
     best = float("inf")
-    for _ in range(2):
+    for _ in range(3):
         t0 = time.time()
         bm25_topk_batch(eng, qmap, k=10).count()
         best = min(best, time.time() - t0)

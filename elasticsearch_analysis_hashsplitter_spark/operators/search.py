@@ -260,6 +260,15 @@ class SearchEngine:
         #: case at the default 32k-id cutoff).
         self._term_docs_cache: dict[str, np.ndarray] = {}
         self._term_docs_cache_max = 256
+        #: cost-based switch for disjunctive queries: below this TOTAL
+        #: posting count the exhaustive single-pass OR beats the
+        #: two-phase MaxScore machinery (bootstrap + rescore decode the
+        #: lists twice and pay two extra driver jobs — measured 0.84 s
+        #: two-phase vs 0.58 s single-pass for a rare-OR-hot pair over
+        #: ~0.36M postings). At corpus scale hot disjunctions clear the
+        #: cutoff immediately and keep the pruned path. Tests that
+        #: exercise the pruning machinery set this to 0.
+        self.disjunctive_exhaustive_cutoff = 1_000_000
 
     def _ranges_for_terms(self, terms: list[str]) -> list:
         """Cached :func:`_collect_block_ranges` over the blocks of the
@@ -895,7 +904,12 @@ class SearchEngine:
         if not present:
             return self._empty_scored()
         min_df = min(info[t][0] for t in present)
-        if len(present) == 1 or min_df > 0.5 * n_docs:
+        sum_df = sum(info[t][0] for t in present)
+        if (
+            len(present) == 1
+            or min_df > 0.5 * n_docs
+            or sum_df <= self.disjunctive_exhaustive_cutoff
+        ):
             # Every term is dense: nearly every doc is a candidate, theta
             # lands near the global k-th score, and neither the MaxScore
             # S-partition nor the block-range overlap can drop much — but
@@ -932,17 +946,43 @@ class SearchEngine:
         if not essential:
             return boot  # no doc outside the strongest term can beat theta
 
+        cand_ids = None
+        cand_terms = set(essential) | {strongest}
         if non_essential:
-            # ranges come from essential AND strongest blocks: every
-            # candidate doc (one touching an essential-or-strongest term)
-            # then lies inside some collected range, so every retained
-            # candidate's non-essential contributions are complete — the
-            # soundness condition for the theta prune. (Essential-only
-            # ranges mis-ranked docs holding strongest + non-essential
-            # terms but no essential term.) _collect_block_ranges always
-            # returns <= 256 covering intervals (coarsened, never
-            # abandoned), so the prune stays on at any scale.
-            ranges = self._ranges_for_terms(essential + [strongest])
+            # Candidate set = docs touching an essential-or-strongest
+            # term (docs only in non-essential terms are pruned by the
+            # theta bound). When that set is RARE and the non-essential
+            # terms are much hotter (the reference's hash-OR use case),
+            # block-granularity ranges skip nothing — a rare term's one
+            # block spans the whole docID space — so fetch the
+            # candidates' EXACT doc ids and posting-filter the
+            # non-essential decode before the shuffle, exactly like the
+            # conjunctive anchor filter. Otherwise: docID-range overlap
+            # with the essential+strongest blocks (every candidate lies
+            # inside some collected range, so every retained candidate's
+            # non-essential contributions stay complete — the soundness
+            # condition; essential-only ranges mis-ranked docs holding
+            # strongest + non-essential terms but no essential term).
+            cand_df = sum(info[t][0] for t in cand_terms)
+            if cand_df <= 32768 and min(
+                info[t][0] for t in non_essential
+            ) >= 4 * cand_df:
+                id_map = self._term_doc_ids_many(sorted(cand_terms))
+                if len(id_map) == len(cand_terms):
+                    cand_ids = (
+                        np.unique(np.concatenate(list(id_map.values())))
+                        if id_map
+                        else None
+                    )
+            if cand_ids is not None:
+                ranges = [
+                    {"min_doc": lo, "max_doc": hi}
+                    for lo, hi in _coarsen_intervals(
+                        cand_ids, cand_ids, 256
+                    )
+                ]
+            else:
+                ranges = self._ranges_for_terms(sorted(cand_terms))
             cond = F.col("term").isin(essential + [strongest])
             overlap = _overlap_condition(ranges)
             if overlap is not None:
@@ -957,7 +997,10 @@ class SearchEngine:
         blocks = self._block_max_prune(
             blocks, present, weights, info, ub, theta, n_docs
         )
-        scored = self._score_blocks(blocks, weights, info, n_docs)
+        scored = self._score_blocks(
+            blocks, weights, info, n_docs,
+            cand_ids=cand_ids, cand_terms=cand_terms,
+        )
         # candidates must touch an essential or strongest term (docs only
         # in non-essential terms are pruned by the theta bound)
         ess_ids = {
@@ -1051,8 +1094,19 @@ class SearchEngine:
             block_ub + rest_map[F.col("term")] >= F.lit(float(theta))
         )
 
-    def _score_blocks(self, blocks, weights, info, n_docs) -> DataFrame:
-        """Decode + per-posting BM25 contributions for the given blocks."""
+    def _score_blocks(
+        self, blocks, weights, info, n_docs,
+        cand_ids: np.ndarray | None = None,
+        cand_terms: set | None = None,
+    ) -> DataFrame:
+        """Decode + per-posting BM25 contributions for the given blocks.
+
+        ``cand_ids`` (sorted) with ``cand_terms``: postings of terms
+        OUTSIDE ``cand_terms`` are filtered to the candidate doc set
+        before being emitted — sound whenever the caller discards
+        non-candidate docs after aggregation anyway (the disjunctive
+        is_cand filter), and it shrinks the shuffle from O(df_hot) to
+        O(|candidates|) per hot term."""
         k1, b = self.cfg.bm25_k1, self.cfg.bm25_b
         avgdl = self.stats["avgdl"] or 1.0
         distinct = sorted(set(weights))
@@ -1079,14 +1133,34 @@ class SearchEngine:
                 ):
                     w_idf, t_idx = params[term]
                     d = decode_doc_ids(dblob)
+                    sel = None
+                    if (
+                        cand_ids is not None
+                        and term not in cand_terms
+                    ):
+                        if cand_ids.size == 0:
+                            continue
+                        pos = np.minimum(
+                            np.searchsorted(cand_ids, d),
+                            cand_ids.size - 1,
+                        )
+                        sel = cand_ids[pos] == d
+                        if not sel.any():
+                            continue
+                        d = d[sel]
                     tf = decode_counts(tblob).astype(np.float64)
                     dl = decode_counts(lblob).astype(np.float64)
+                    if sel is not None:
+                        tf = tf[sel]
+                        dl = dl[sel]
                     c = w_idf * tf * (k1 + 1.0) / (
                         tf + k1 * (1.0 - b + b * dl / avgdl)
                     )
                     docs_l.append(d)
                     idx_l.append(np.full(d.size, t_idx, dtype=np.int32))
                     contrib_l.append(c)
+                if not docs_l:
+                    continue
                 yield pd.DataFrame(
                     {
                         "doc_id": np.concatenate(docs_l),

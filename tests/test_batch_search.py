@@ -96,8 +96,10 @@ def narrow_eng(spark):
     df = spark.createDataFrame(
         list(docs.items()), "doc_id long, content string"
     )
-    return SearchEngine.from_corpus(df, TOKEN_CFG, num_partitions=4,
-                                    block_size=4)
+    eng = SearchEngine.from_corpus(df, TOKEN_CFG, num_partitions=4,
+                                   block_size=4)
+    eng.disjunctive_exhaustive_cutoff = 0  # force the pruned path
+    return eng
 
 
 _NARROW_QS = {

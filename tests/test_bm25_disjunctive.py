@@ -45,6 +45,7 @@ def setup(spark):
         list(docs.items()), "doc_id long, content string"
     )
     eng = SearchEngine.from_corpus(df, CFG, num_partitions=4)
+    eng.disjunctive_exhaustive_cutoff = 0  # force the pruned two-phase path
     orc = OracleIndex(docs, CFG)
     return eng, orc
 
@@ -107,6 +108,7 @@ def narrow_setup(spark):
         list(docs.items()), "doc_id long, content string"
     )
     eng = SearchEngine.from_corpus(df, CFG, num_partitions=4, block_size=1)
+    eng.disjunctive_exhaustive_cutoff = 0  # force the pruned two-phase path
     orc = OracleIndex(docs, CFG)
     return eng, orc
 

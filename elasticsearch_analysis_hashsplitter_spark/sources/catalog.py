@@ -87,14 +87,32 @@ def write_stats(index_dir: str, stats: dict[str, Any]) -> None:
     # recover_compaction.healthy), so its existence must imply a
     # complete file — a crash mid-json.dump must never leave a
     # truncated stats.json that marks a corrupt dir "healthy".
-    # Write to a sibling temp file and rename over (same filesystem).
+    # Write to a sibling temp file and rename over (same filesystem);
+    # fsync the directory after the rename so the rename itself is
+    # durable across power loss (a data-fsync alone only makes the
+    # CONTENT durable under the temp name).
     os.makedirs(index_dir, exist_ok=True)
     tmp = stats_file(index_dir) + ".tmp"
+    try:
+        # a crash between a previous write and its rename leaves a
+        # stale .tmp (a non-core entry, otherwise preserved forever
+        # across compactions)
+        os.unlink(tmp)
+    except OSError:
+        pass
     with open(tmp, "w") as f:
         json.dump(stats, f, indent=2, sort_keys=True)
         f.flush()
         os.fsync(f.fileno())
     os.rename(tmp, stats_file(index_dir))
+    try:
+        dfd = os.open(index_dir, os.O_RDONLY)
+        try:
+            os.fsync(dfd)
+        finally:
+            os.close(dfd)
+    except OSError:
+        pass  # directory fsync unsupported on this filesystem
 
 
 def read_stats(index_dir: str) -> dict[str, Any]:
@@ -156,12 +174,19 @@ def recover_compaction(index_dir: str) -> bool:
     Concurrent-reader safe: this runs from ``SearchEngine.open`` (a
     reader API), so two readers may race through the same repair. Every
     rename is wrapped so the loser treats "someone else already
-    recovered" (OSError + index now healthy) as success, and stale
-    siblings are only deleted once the index dir is confirmed healthy —
-    never while another reader could still be completing a rename out of
-    them. Writer concurrency is still single-writer: never run a
-    compaction concurrently with another compaction."""
+    recovered" (OSError + index now healthy) as success. Stale-sibling
+    cleanup first CLAIMS the sibling by renaming it to a
+    process-unique tombstone — the rename is atomic, so exactly one
+    cleaner ever salvages/deletes a given sibling (two racing cleaners
+    previously could interleave: A's rmtree deleting entries B was
+    still iterating, losing un-moved non-core entries such as a
+    streaming checkpoint). A cleaner that crashes mid-salvage leaves a
+    tombstone behind; tombstones of dead pids are adopted (salvaged +
+    removed) by later callers. Writer concurrency is still
+    single-writer: never run a compaction concurrently with another
+    compaction."""
     import shutil
+    import uuid
 
     base = index_dir.rstrip("/")
     bak, tmp = base + ".pre_compact", base + ".compact_tmp"
@@ -185,20 +210,57 @@ def recover_compaction(index_dir: str) -> bool:
         if not restored and not healthy(index_dir):
             return False
         # fall through: index dir healthy now — clean up like any reader
-    for stale in (bak, tmp):
-        if os.path.isdir(stale) and healthy(stale):
-            # pre-swap crash: non-core entries may already have moved
-            # into tmp — bring back any the index dir lacks
-            for name in list(os.listdir(stale)):
+    def salvage_and_remove(claimed: str) -> None:
+        # pre-swap crash: non-core entries may already have moved
+        # into tmp — bring back any the index dir lacks
+        if healthy(claimed):
+            for name in list(os.listdir(claimed)):
                 if name in CORE_ENTRIES:
                     continue
                 dst = os.path.join(index_dir, name)
                 if not os.path.exists(dst):
                     try:
-                        os.rename(os.path.join(stale, name), dst)
+                        os.rename(os.path.join(claimed, name), dst)
                     except OSError:
-                        pass  # concurrent reader moved it first
-        shutil.rmtree(stale, ignore_errors=True)
+                        pass
+        shutil.rmtree(claimed, ignore_errors=True)
+
+    for stale in (bak, tmp):
+        # atomically claim the sibling before touching its contents:
+        # only the claim winner salvages/deletes it
+        if os.path.isdir(stale):
+            claim = f"{stale}.claim-{os.getpid()}-{uuid.uuid4().hex[:8]}"
+            try:
+                os.rename(stale, claim)
+            except OSError:
+                pass  # another cleaner claimed it first
+            else:
+                salvage_and_remove(claim)
+        # adopt tombstones abandoned by a cleaner that died mid-salvage
+        parent = os.path.dirname(base) or "."
+        prefix = os.path.basename(stale) + ".claim-"
+        try:
+            entries = os.listdir(parent)
+        except OSError:
+            entries = []
+        for name in entries:
+            if not name.startswith(prefix):
+                continue
+            try:
+                pid = int(name[len(prefix):].split("-", 1)[0])
+                os.kill(pid, 0)
+                continue  # claimer still alive — leave it alone
+            except ProcessLookupError:
+                pass  # dead claimer: adopt
+            except (OSError, ValueError):
+                continue  # alive-but-not-ours / unparseable: leave it
+            orphan = os.path.join(parent, name)
+            mine = f"{stale}.claim-{os.getpid()}-{uuid.uuid4().hex[:8]}"
+            try:
+                os.rename(orphan, mine)  # re-claim before touching
+            except OSError:
+                continue
+            salvage_and_remove(mine)
     return was_unhealthy and healthy(index_dir)
 
 

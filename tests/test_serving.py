@@ -1,29 +1,150 @@
-"""Concurrent query serving: SearchEngine.serve must return exactly the
-sequential search() answers for every client, with requests running from
-a thread pool (scheduler-pool-tagged jobs)."""
+"""Concurrent query serving: SearchEngine.serve must return the
+sequential search() answers for every client — same docs in the same
+order, scores to 1e-9 (the coalesced path aggregates through the batch
+kernel, which may sum a doc's per-term contributions in a different
+float order than the single-query plan).
+
+Also pins the coalescer plumbing itself: request dedup, empty/absent
+queries, the collect-variant's identity with the Window-ranked batch,
+and the driver-side caches staying coherent under concurrent clients.
+"""
+
+import pytest
 
 from elasticsearch_analysis_hashsplitter_spark.operators.search import (
     SearchEngine,
+    ServeCoalescer,
+    bm25_topk_batch,
+    bm25_topk_batch_collect,
 )
+from elasticsearch_analysis_hashsplitter_spark.plans import compile as qc
 
 from .test_spark_engine import SMALL_CORPUS, TOKEN_CFG, _corpus_df
 
 
-def test_serve_matches_sequential(spark):
-    eng = SearchEngine.from_corpus(
+@pytest.fixture(scope="module")
+def eng(spark):
+    return SearchEngine.from_corpus(
         _corpus_df(spark, SMALL_CORPUS), TOKEN_CFG, num_partitions=4
     )
-    values = ["spark", "join", "window", "stream", "spark join", "merge"]
-    reqs = {f"c{i}": values[i % len(values)] for i in range(12)}
-    served = eng.serve(reqs, k=5, max_workers=4)
-    assert set(served) == set(reqs)
+
+
+VALUES = ["spark", "join", "window", "stream", "spark join", "merge"]
+
+
+def _assert_matches_sequential(eng, served, reqs, k):
     for qid, value in reqs.items():
         want = [
             (r["doc_id"], r["score"])
-            for r in eng.search(value, 5).collect()
+            for r in eng.search(value, k).collect()
         ]
-        assert served[qid] == want, qid
+        got = served[qid]
+        assert [d for d, _ in got] == [d for d, _ in want], qid
+        for (_, gs), (_, es) in zip(got, want):
+            assert gs == pytest.approx(es, rel=1e-9), qid
+
+
+@pytest.mark.parametrize("coalesce", [True, False])
+def test_serve_matches_sequential(eng, coalesce):
+    spark = eng.spark
+    reqs = {f"c{i}": VALUES[i % len(VALUES)] for i in range(12)}
+    served = eng.serve(reqs, k=5, max_workers=4, coalesce=coalesce)
+    assert set(served) == set(reqs)
+    _assert_matches_sequential(eng, served, reqs, 5)
     # scheduler-pool property is cleared after serving
     assert (
         spark.sparkContext.getLocalProperty("spark.scheduler.pool") is None
     )
+
+
+def test_serve_coalesced_handles_empty_and_absent(eng):
+    # "" analyzes to MatchNone; "zzzznope" compiles but matches nothing
+    served = eng.serve(
+        {"a": "spark", "b": "", "c": "zzzznope"}, k=5, max_workers=3
+    )
+    assert served["b"] == []
+    assert served["c"] == []
+    assert len(served["a"]) > 0
+
+
+def test_coalescer_long_lived_and_dedup(eng):
+    """One coalescer instance serves several waves; identical values in
+    one wave share a batch slot yet every future resolves."""
+    coal = ServeCoalescer(eng, k=5, window_ms=50.0)
+    try:
+        import concurrent.futures as cf
+
+        with cf.ThreadPoolExecutor(max_workers=6) as ex:
+            futs = [
+                ex.submit(coal.request, "spark") for _ in range(6)
+            ]
+            first = [f.result() for f in futs]
+        assert all(r == first[0] for r in first)
+        # second wave on the same instance
+        again = coal.request("join")
+        want = [
+            (r["doc_id"], r["score"])
+            for r in eng.search("join", 5).collect()
+        ]
+        assert [d for d, _ in again] == [d for d, _ in want]
+    finally:
+        coal.close()
+
+
+def test_batch_collect_matches_window_rank(eng):
+    """bm25_topk_batch_collect (partition top-k combine + driver merge)
+    must return exactly the Window-ranked bm25_topk_batch answers —
+    same docs, same order, identical score floats (both read the same
+    aggregated score rows)."""
+    qs = {
+        "q_spark": list(qc.field_query("spark", TOKEN_CFG).terms),
+        "q_both": list(qc.field_query("spark join", TOKEN_CFG).terms),
+        "q_miss": ["Azzzz"],
+    }
+    ranked = bm25_topk_batch(eng, qs, k=5).collect()
+    by_q: dict = {}
+    for r in sorted(ranked, key=lambda r: (r["query_id"], r["rank"])):
+        by_q.setdefault(r["query_id"], []).append((r["doc_id"], r["score"]))
+    got = bm25_topk_batch_collect(eng, qs, k=5)
+    assert set(got) == set(by_q)  # q_miss absent from both
+    for qid in by_q:
+        assert [d for d, _ in got[qid]] == [d for d, _ in by_q[qid]], qid
+        for (_, gs), (_, es) in zip(got[qid], by_q[qid]):
+            assert gs == es, qid
+
+
+def test_batch_plan_cache_returns_same_object(eng):
+    qs = {"q": list(qc.field_query("spark", TOKEN_CFG).terms)}
+    a = bm25_topk_batch(eng, qs, k=5)
+    b = bm25_topk_batch(eng, qs, k=5)
+    assert a is b  # compiled plan reused
+    c = bm25_topk_batch(eng, qs, k=7)
+    assert c is not a
+    # knob changes invalidate (cutoffs are part of the plan shape)
+    old = eng.conjunctive_exhaustive_cutoff
+    try:
+        eng.conjunctive_exhaustive_cutoff = 0
+        d = bm25_topk_batch(eng, qs, k=5)
+        assert d is not a
+    finally:
+        eng.conjunctive_exhaustive_cutoff = old
+
+
+def test_cache_overflow_during_ranges_for_each_term(eng):
+    """ADVICE r4: the overflow clear() inside _ranges_for_each_term must
+    not evict already-cached terms out from under the same call's
+    result (previously a KeyError once a long-lived server crossed the
+    cache cap)."""
+    terms = sorted(
+        {t for v in VALUES for t in qc.field_query(v, TOKEN_CFG).terms}
+    )
+    warm = terms[: len(terms) // 2] or terms
+    eng._ranges_for_each_term(warm)
+    old_max = eng._block_ranges_cache_max
+    try:
+        # next insert overflows: clear() fires with `warm` already cached
+        eng._block_ranges_cache_max = len(eng._block_ranges_cache)
+        out = eng._ranges_for_each_term(terms)
+    finally:
+        eng._block_ranges_cache_max = old_max
+    assert set(out) == set(terms)

@@ -25,9 +25,14 @@ def main(argv=None) -> int:
     p.add_argument("--values", default=None,
                    help="comma-separated query values for --op batch "
                         "(one BM25 top-k per value, ONE Spark job total) "
-                        "or --op serve (concurrent per-request jobs)")
+                        "or --op serve (concurrent clients, coalesced "
+                        "into micro-batched jobs by a dispatcher)")
     p.add_argument("--workers", type=int, default=8,
-                   help="client threads for --op serve (pair with "
+                   help="client threads for --op serve")
+    p.add_argument("--no-coalesce", dest="coalesce", action="store_false",
+                   default=True,
+                   help="serve with per-request jobs instead of the "
+                        "micro-batching dispatcher (pair with "
                         "--conf spark.scheduler.mode=FAIR)")
     p.add_argument("--lower", default=None)
     p.add_argument("--upper", default=None)
@@ -78,6 +83,7 @@ def main(argv=None) -> int:
             {v: v for v in (args.values or "").split(",") if v},
             k=args.k,
             max_workers=args.workers,
+            coalesce=args.coalesce,
         )
         print(json.dumps(served))
     elif args.op == "range":

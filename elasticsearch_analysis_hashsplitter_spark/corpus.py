@@ -119,3 +119,57 @@ def generate_corpus(
             "lang string, content string"
         ),
     )
+
+
+def _unit_rows(ids: np.ndarray, dim: int, salt: int, seed: int) -> np.ndarray:
+    """(len(ids), dim) unit vectors, each a pure function of (id, salt,
+    seed): splitmix-mixed uniforms in [-1, 1), row-normalized."""
+    j = np.arange(dim, dtype=np.uint64)
+    raw = _mix(
+        ids.astype(np.uint64)[:, None] * np.uint64(0x100000001B3) + j[None, :],
+        salt,
+        seed,
+    )
+    m = raw.astype(np.float64) / float(2**63) - 1.0
+    m /= np.linalg.norm(m, axis=1, keepdims=True)
+    return m
+
+
+def generate_embeddings(
+    spark: SparkSession,
+    n_rows: int,
+    dim: int = 64,
+    seed: int = 7,
+    dup_every: int = 10,
+    noise: float = 0.15,
+    partitions: int | None = None,
+) -> DataFrame:
+    """-> DataFrame(vec_id long, embedding array<double>) — deterministic
+    synthetic embedding table for the near-dup/ANN scale probes.
+
+    Counter-based like :func:`generate_corpus` (every row a pure
+    function of vec_id + seed, identical under any partitioning).
+    Rows with ``vec_id % dup_every == dup_every - 1`` are PLANTED
+    near-duplicates: ``normalize(base + noise * unit_perturbation)``
+    of the vector at ``vec_id - (dup_every - 1)``, cosine ~= 0.99 at
+    the default noise — so a probe knows exactly which pairs a
+    near-dup operator must find and can measure recall at scale, not
+    just wall time. All other rows are independent uniform unit
+    vectors (random cosine concentrates at 0 +- 1/sqrt(dim))."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids = pdf["id"].to_numpy(dtype=np.int64)
+            is_dup = ids % dup_every == dup_every - 1
+            base_ids = np.where(is_dup, ids - (dup_every - 1), ids)
+            m = _unit_rows(base_ids, dim, 11, seed)
+            if is_dup.any():
+                pert = _unit_rows(ids[is_dup], dim, 13, seed)
+                v = m[is_dup] + noise * pert
+                m[is_dup] = v / np.linalg.norm(v, axis=1, keepdims=True)
+            yield pd.DataFrame(
+                {"vec_id": ids, "embedding": list(m)}
+            )
+
+    rng = spark.range(n_rows, numPartitions=partitions)
+    return rng.mapInPandas(gen, schema="vec_id long, embedding array<double>")

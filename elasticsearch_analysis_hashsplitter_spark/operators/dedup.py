@@ -23,6 +23,7 @@ from collections.abc import Iterator
 import numpy as np
 import pandas as pd
 
+from pyspark import StorageLevel
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
@@ -215,6 +216,25 @@ def minhash_signatures(
     return per_doc.select("doc_id", sig("hs").alias("sig"))
 
 
+def minhash_band_buckets(
+    sigs: DataFrame, bands: int = 16, rows: int = 4
+) -> DataFrame:
+    """-> (doc_id, band, bucket): one row per signature band, bucket =
+    hash of the band's signature slice. The banding half of MinHash-LSH,
+    exposed separately so scale probes can audit the bucket-size
+    distribution (the quantity that decides whether the candidate
+    self-join stays linear) without recomputing signatures."""
+    return sigs.select(
+        "doc_id",
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(bands - 1)),
+                lambda i: F.hash(F.slice("sig", i * rows + 1, rows)),
+            )
+        ).alias("band", "bucket"),
+    )
+
+
 def minhash_lsh_candidates(
     sigs: DataFrame,
     bands: int = 16,
@@ -240,15 +260,7 @@ def minhash_lsh_candidates(
       candidate generation entirely (their members' pairs can still be
       found through the other bands).
     """
-    banded = sigs.select(
-        "doc_id",
-        F.posexplode(
-            F.transform(
-                F.sequence(F.lit(0), F.lit(bands - 1)),
-                lambda i: F.hash(F.slice("sig", i * rows + 1, rows)),
-            )
-        ).alias("band", "bucket"),
-    )
+    banded = minhash_band_buckets(sigs, bands, rows)
     if max_bucket_size is not None:
         ok = (
             banded.groupBy("band", "bucket")
@@ -293,16 +305,38 @@ def minhash_dedup_pairs(
     seed: int = 42,
     id_col: str = "doc_id",
     text_col: str = "text",
+    max_bucket_size: int | None = None,
+    pair_mode: str = "all",
 ) -> DataFrame:
     """MinHash-LSH candidates verified with exact shingle Jaccard.
 
     -> (doc_a, doc_b, jaccard >= threshold). Exact-verify keeps the
     result deterministic (LSH affects recall only, never precision).
-    """
+
+    The verify stage is CANDIDATE-proportional, not corpus-proportional
+    (r5 1M-doc probe finding): the candidate pairs are persisted once
+    (Spark's ContextCleaner drops the blocks when the result goes out
+    of scope) and the corpus is semi-joined down to docs that appear in
+    some candidate pair BEFORE the shingle explode — so the two
+    shingle-join inputs and the size table carry only candidate docs
+    instead of re-exploding the full corpus three more times after the
+    signature pass. On a mostly-unique corpus that removes most of the
+    verify shuffle; on a dup-heavy corpus it degrades to the old plan.
+    ``max_bucket_size`` / ``pair_mode`` pass through to
+    :func:`minhash_lsh_candidates` (hot-bucket scale knobs — note
+    'star' weakens pair-level verification, see there)."""
     sigs = minhash_signatures(df, num_perm, n, seed, id_col, text_col)
-    cand = minhash_lsh_candidates(sigs, bands, rows)
-    sh = _shingle_rows(df, id_col, text_col, n)
-    sizes = _shingle_sizes(df, id_col, text_col, n)
+    cand = minhash_lsh_candidates(
+        sigs, bands, rows, max_bucket_size, pair_mode
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    cand_ids = (
+        cand.select(F.col("doc_a").alias("cand_id"))
+        .unionByName(cand.select(F.col("doc_b").alias("cand_id")))
+        .distinct()
+    )
+    cand_docs = df.join(cand_ids, df[id_col] == F.col("cand_id"), "left_semi")
+    sh = _shingle_rows(cand_docs, id_col, text_col, n)
+    sizes = _shingle_sizes(cand_docs, id_col, text_col, n)
     a = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
     b = sh.select(F.col("doc_id").alias("doc_b"), "shingle")
     common = (

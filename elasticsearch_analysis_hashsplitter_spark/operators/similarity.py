@@ -172,14 +172,36 @@ def cosine_near_duplicates_lsh(
     seed: int = 42,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    max_bucket_size: int | None = None,
 ) -> DataFrame:
     """Scale path: random-hyperplane LSH band buckets generate candidate
     pairs (equality join on (band, key) — never an all-pairs product),
     exact cosine verifies. Precision is exact; recall < 1 by LSH
-    construction (more bands -> higher recall)."""
+    construction (more bands -> higher recall).
+
+    SIZE the band keys to the corpus: a band key has ``n_bits/bands``
+    bits, i.e. ``2^(n_bits/bands)`` buckets per band, and the self-join
+    is quadratic in bucket occupancy — the r5 1M-vector probe measured
+    the 32/8 default (16 buckets/band, ~62k vectors each) at ~1.6e12
+    candidate pairs, an all-pairs product in disguise. Pick
+    ``n_bits/bands >= log2(n_vectors) + 4`` (e.g. 192/8 at 1M) so the
+    expected bucket occupancy stays O(1); recall for pairs AT the
+    threshold drops as keys widen, so re-check the planted-pair recall
+    the probe measures. ``max_bucket_size`` drops over-cap buckets from
+    candidate generation entirely (same knob as MinHash LSH): a natural
+    embedding cluster bigger than the cap can't go quadratic — its
+    pairs can still surface through the other bands."""
     if dim is None:
         dim = len(df.select(vec_col).first()[0])
     buckets = rp_lsh_buckets(df, dim, n_bits, bands, seed, id_col, vec_col)
+    if max_bucket_size is not None:
+        ok = (
+            buckets.groupBy("band", "key")
+            .agg(F.count("*").alias("n"))
+            .where(F.col("n") <= max_bucket_size)
+            .select("band", "key")
+        )
+        buckets = buckets.join(ok, ["band", "key"])
     a = buckets.alias("a")
     b = buckets.alias("b")
     cand = (
@@ -226,6 +248,11 @@ def rp_lsh_buckets(
     """
     planes = _planes(dim, n_bits, seed)
     rows = n_bits // bands
+    if rows > 31:
+        raise ValueError(
+            f"n_bits//bands = {rows} bits per band key overflows the "
+            "int32 key column (max 31); raise bands or lower n_bits"
+        )
 
     @F.pandas_udf(T.ArrayType(T.IntegerType()))
     def band_keys(vecs: pd.Series) -> pd.Series:

@@ -621,3 +621,112 @@ def test_dedup_clusters_raises_on_nonconvergence(spark):
     )
     with _pytest.raises(RuntimeError, match="not converged"):
         dedup_clusters(pairs, max_iterations=2)
+
+
+def test_generate_embeddings_deterministic_planted(spark):
+    """Partition-invariant counter-based generation + the planted
+    near-dup contract the 1M scale probe's recall measurement rests on:
+    (i, i+9) for i % 10 == 0 at cosine ~0.99, everything else far."""
+    from elasticsearch_analysis_hashsplitter_spark.corpus import (
+        generate_embeddings,
+    )
+
+    a = {
+        r.vec_id: r.embedding
+        for r in generate_embeddings(spark, 200, dim=32, partitions=3).collect()
+    }
+    b = {
+        r.vec_id: r.embedding
+        for r in generate_embeddings(spark, 200, dim=32, partitions=11).collect()
+    }
+    assert a == b
+    m = np.array([a[i] for i in range(200)])
+    assert np.allclose(np.linalg.norm(m, axis=1), 1.0)
+    planted = [float(m[i] @ m[i + 9]) for i in range(0, 200, 10)]
+    assert min(planted) > 0.95
+    # non-planted neighbors stay far from the near-dup threshold
+    others = [float(m[i] @ m[i + 1]) for i in range(0, 198) if i % 10 != 1]
+    assert max(others) < 0.9
+
+
+def test_cosine_near_dup_lsh_bucket_cap(spark):
+    """max_bucket_size drops over-cap buckets from candidate generation
+    (identical vectors collide in EVERY band, so a giant identical
+    cluster caps out everywhere); under-cap structure is unaffected and
+    precision stays exact (subset of the uncapped result)."""
+    from elasticsearch_analysis_hashsplitter_spark.operators.similarity import (
+        cosine_near_duplicates_lsh,
+    )
+
+    rng = np.random.RandomState(9)
+    base = rng.normal(size=(10, 16))
+    rows = [(i, [float(x) for x in base[i]]) for i in range(10)]
+    # a 6-member identical hot cluster + one small planted pair
+    for j in range(6):
+        rows.append((100 + j, rows[0][1]))
+    rows.append((200, [float(x) for x in base[3] + 0.005 * rng.normal(size=16)]))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+    full = {
+        (r.vec_a, r.vec_b)
+        for r in cosine_near_duplicates_lsh(df, threshold=0.95).collect()
+    }
+    capped = {
+        (r.vec_a, r.vec_b)
+        for r in cosine_near_duplicates_lsh(
+            df, threshold=0.95, max_bucket_size=4
+        ).collect()
+    }
+    assert capped <= full
+    assert (3, 200) in capped  # 2-member buckets survive the cap
+    # the 7-member identical cluster (0 + 6 copies) is over-cap in every
+    # band -> none of its pairs can surface
+    cluster = {0} | {100 + j for j in range(6)}
+    assert not any(a in cluster and b in cluster for a, b in capped)
+    assert any(a in cluster and b in cluster for a, b in full)
+
+
+def test_rp_lsh_band_key_width_guard(spark):
+    from elasticsearch_analysis_hashsplitter_spark.operators.similarity import (
+        rp_lsh_buckets,
+    )
+
+    df = spark.createDataFrame(
+        [(0, [0.1] * 8)], "vec_id long, embedding array<double>"
+    )
+    with pytest.raises(ValueError, match="int32"):
+        rp_lsh_buckets(df, dim=8, n_bits=256, bands=4)
+
+
+def test_minhash_dedup_pairs_scale_knobs(spark):
+    """The r5 candidate-proportional verify rewrite + knob passthrough:
+    a generous cap changes nothing; pair_mode='star' still verifies
+    center-leaf duplicate pairs."""
+    from elasticsearch_analysis_hashsplitter_spark.operators.dedup import (
+        minhash_dedup_pairs,
+    )
+
+    words = [f"w{i}" for i in range(40)]
+    text = " ".join(words)
+    rows = [(0, text), (1, text + " extra token here"),
+            (2, " ".join(words[::-1])), (3, "short unrelated doc entirely"),
+            (4, text)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    base = {
+        (r.doc_a, r.doc_b): r.jaccard
+        for r in minhash_dedup_pairs(df, threshold=0.5).collect()
+    }
+    capped = {
+        (r.doc_a, r.doc_b): r.jaccard
+        for r in minhash_dedup_pairs(
+            df, threshold=0.5, max_bucket_size=1000
+        ).collect()
+    }
+    assert base == capped and (0, 4) in base
+    star = {
+        (r.doc_a, r.doc_b)
+        for r in minhash_dedup_pairs(
+            df, threshold=0.5, pair_mode="star"
+        ).collect()
+    }
+    assert (0, 4) in star and star <= set(base)

@@ -131,20 +131,44 @@ def test_batch_plan_cache_returns_same_object(eng):
 
 
 def test_cache_overflow_during_ranges_for_each_term(eng):
-    """ADVICE r4: the overflow clear() inside _ranges_for_each_term must
-    not evict already-cached terms out from under the same call's
-    result (previously a KeyError once a long-lived server crossed the
-    cache cap)."""
+    """ADVICE r4 (adapted to the r5 LRU caches): evictions inside
+    _ranges_for_each_term must not drop already-cached terms out from
+    under the same call's result (the clear-on-overflow predecessor
+    raised KeyError here once a long-lived server crossed the cache
+    cap; LRU evicts one-at-a-time but the locals-snapshot contract is
+    the same). Shrinking the cap below the working set forces evictions
+    on every insert."""
     terms = sorted(
         {t for v in VALUES for t in qc.field_query(v, TOKEN_CFG).terms}
     )
     warm = terms[: len(terms) // 2] or terms
     eng._ranges_for_each_term(warm)
-    old_max = eng._block_ranges_cache_max
+    old_max = eng._block_ranges_cache.max
     try:
-        # next insert overflows: clear() fires with `warm` already cached
-        eng._block_ranges_cache_max = len(eng._block_ranges_cache)
+        # every insert past this point evicts the LRU entry, including
+        # entries for terms this very call already snapshotted
+        eng._block_ranges_cache.max = max(len(eng._block_ranges_cache) - 1, 1)
         out = eng._ranges_for_each_term(terms)
     finally:
-        eng._block_ranges_cache_max = old_max
+        eng._block_ranges_cache.max = old_max
     assert set(out) == set(terms)
+
+
+def test_lru_cache_eviction_order():
+    """_LruCache: recently-touched entries survive; size never exceeds
+    max; get() refreshes recency."""
+    from elasticsearch_analysis_hashsplitter_spark.operators.search import (
+        _LruCache,
+    )
+
+    c = _LruCache(3)
+    c["a"] = 1
+    c["b"] = 2
+    c["c"] = 3
+    assert c.get("a") == 1  # touch a -> b is now LRU
+    c["d"] = 4
+    assert "b" not in c and "a" in c and len(c) == 3
+    c.update({"e": 5, "f": 6})
+    assert len(c) == 3 and "f" in c and "e" in c and "d" in c
+    c.clear()
+    assert len(c) == 0 and c.get("a") is None

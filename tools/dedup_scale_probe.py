@@ -1,0 +1,244 @@
+"""1M-row scale probe for the dedup/ANN tier (r4 judge next-round #4).
+
+The search path has 1M/4M-file evidence; this gives the LLM-pipeline
+operators the same: run MinHash-LSH dedup, near-dup clustering, and
+embedding near-dup LSH at ~1M rows with PLANTED near-duplicates, and
+record
+
+* wall time + rows/s per operator,
+* the band-bucket size distribution (max / p99 / total candidate-pair
+  mass = sum n*(n-1)/2 over buckets) — the quantity that decides
+  whether the LSH self-join stays linear or goes quadratic,
+* measured RECALL of the planted near-dup pairs (the corpus
+  synthesizers plant them deterministically, so the probe knows the
+  full truth set — wall time alone can't tell a fast-but-blind knob
+  setting from a working one),
+* for embeddings, the counterfactual candidate mass the 32-bit/8-band
+  DEFAULT key width would have produced at this scale (computed from
+  bucket counts only — the join itself would be an all-pairs product
+  in disguise).
+
+Usage:
+    python tools/dedup_scale_probe.py [--docs 1000000] [--vecs 1000000]
+        [--section all|minhash|embed] [--cpus N]
+
+Prints one JSON line per section; paste-ready for BENCH.md.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark import StorageLevel
+from pyspark.sql import functions as F
+
+
+def make_spark(cpus: int, shuffle_partitions: int):
+    from pyspark.sql import SparkSession
+
+    return (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g"))
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
+        .config("spark.ui.enabled", "false")
+        .appName("dedup-scale-probe")
+        .getOrCreate()
+    )
+
+
+def _bucket_stats(banded, key_cols=("band", "bucket")) -> dict:
+    """Bucket occupancy distribution + candidate-pair mass from ONE
+    aggregation job (never materializes a pair)."""
+    sizes = banded.groupBy(*key_cols).agg(F.count("*").alias("n"))
+    row = sizes.agg(
+        F.count("*").alias("n_buckets"),
+        F.max("n").alias("max"),
+        F.expr("percentile_approx(n, 0.99)").alias("p99"),
+        F.sum(F.col("n") * (F.col("n") - 1) / 2).alias("pair_mass"),
+    ).collect()[0]
+    return {
+        "n_buckets": int(row["n_buckets"]),
+        "max_bucket": int(row["max"]),
+        "p99_bucket": int(row["p99"]),
+        "candidate_pair_mass": int(row["pair_mass"]),
+    }
+
+
+def _planted_text_corpus(spark, n_docs: int):
+    """generate_corpus(n_docs) + a near-copy of every doc_id % 10 == 0
+    doc at doc_id + n_docs (three tokens appended -> word-3-shingle
+    Jaccard ~0.9 for the shortest 50-token docs, well over the 0.7
+    operator threshold). Truth set: (i, i + n_docs) for i % 10 == 0."""
+    from elasticsearch_analysis_hashsplitter_spark.corpus import generate_corpus
+
+    base = generate_corpus(spark, n_docs)
+    dups = (
+        base.where(F.col("doc_id") % 10 == 0)
+        .withColumn("doc_id", F.col("doc_id") + F.lit(n_docs))
+        .withColumn(
+            "content", F.concat(F.col("content"), F.lit(" probe dup marker"))
+        )
+    )
+    return base.unionByName(dups).select(
+        "doc_id", F.col("content").alias("text")
+    )
+
+
+def minhash_probe(spark, n_docs: int) -> dict:
+    from elasticsearch_analysis_hashsplitter_spark.operators.dedup import (
+        dedup_clusters,
+        minhash_band_buckets,
+        minhash_dedup_pairs,
+        minhash_signatures,
+    )
+
+    docs = _planted_text_corpus(spark, n_docs).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    n_total = docs.count()  # materialize: probe times operators, not gen
+    n_planted = n_docs // 10 if n_docs % 10 == 0 else len(
+        range(0, n_docs, 10)
+    )
+
+    t0 = time.time()
+    sigs = minhash_signatures(docs, num_perm=64, n=3).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    sigs.count()
+    t_sig = time.time() - t0
+    bstats = _bucket_stats(minhash_band_buckets(sigs, bands=16, rows=4))
+
+    t0 = time.time()
+    pairs = minhash_dedup_pairs(docs, threshold=0.7).persist()
+    n_pairs = pairs.count()
+    t_pairs = time.time() - t0
+
+    found_planted = pairs.where(
+        (F.col("doc_b") - F.col("doc_a") == n_docs)
+        & (F.col("doc_a") % 10 == 0)
+    ).count()
+
+    t0 = time.time()
+    clusters = dedup_clusters(pairs).persist()
+    n_labeled = clusters.count()
+    t_cl = time.time() - t0
+    crow = (
+        clusters.groupBy("cluster_id")
+        .agg(F.count("*").alias("n"))
+        .agg(F.count("*").alias("n_clusters"), F.max("n").alias("max_sz"))
+        .collect()[0]
+    )
+
+    out = {
+        "section": "minhash+clusters",
+        "docs": int(n_total),
+        "planted_pairs": int(n_planted),
+        "signatures_seconds": round(t_sig, 1),
+        "signatures_docs_per_sec": int(n_total / t_sig),
+        "bucket_stats_16x4": bstats,
+        "dedup_pairs_seconds": round(t_pairs, 1),
+        "dedup_pairs_docs_per_sec": int(n_total / t_pairs),
+        "pairs_found": int(n_pairs),
+        "planted_found": int(found_planted),
+        "planted_recall": round(found_planted / n_planted, 4),
+        "clusters_seconds": round(t_cl, 1),
+        "docs_labeled": int(n_labeled),
+        "n_clusters": int(crow["n_clusters"]),
+        "max_cluster_size": int(crow["max_sz"]),
+    }
+    pairs.unpersist()
+    clusters.unpersist()
+    sigs.unpersist()
+    docs.unpersist()
+    return out
+
+
+def embed_probe(
+    spark, n_vecs: int, dim: int = 64, n_bits: int = 192, bands: int = 8,
+    cap: int = 64,
+) -> dict:
+    from elasticsearch_analysis_hashsplitter_spark.corpus import (
+        generate_embeddings,
+    )
+    from elasticsearch_analysis_hashsplitter_spark.operators.similarity import (
+        cosine_near_duplicates_lsh,
+        rp_lsh_buckets,
+    )
+
+    vecs = generate_embeddings(spark, n_vecs, dim=dim).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    vecs.count()
+    n_planted = n_vecs // 10
+
+    # scale-sized keys: occupancy ~n_vecs/2^(n_bits/bands)
+    bstats = _bucket_stats(
+        rp_lsh_buckets(vecs, dim, n_bits, bands), key_cols=("band", "key")
+    )
+    # counterfactual: the 32/8 default at this scale (bucket counts only)
+    bstats_default = _bucket_stats(
+        rp_lsh_buckets(vecs, dim, 32, 8), key_cols=("band", "key")
+    )
+
+    t0 = time.time()
+    pairs = cosine_near_duplicates_lsh(
+        vecs, threshold=0.9, dim=dim, n_bits=n_bits, bands=bands,
+        max_bucket_size=cap,
+    ).persist()
+    n_pairs = pairs.count()
+    t_pairs = time.time() - t0
+    found_planted = pairs.where(
+        (F.col("vec_b") - F.col("vec_a") == 9) & (F.col("vec_a") % 10 == 0)
+    ).count()
+
+    out = {
+        "section": "embedding_near_dup_lsh",
+        "vectors": int(n_vecs),
+        "dim": dim,
+        "n_bits": n_bits,
+        "bands": bands,
+        "max_bucket_size": cap,
+        "planted_pairs": int(n_planted),
+        "bucket_stats": bstats,
+        "bucket_stats_default_32x8": bstats_default,
+        "near_dup_seconds": round(t_pairs, 1),
+        "vectors_per_sec": int(n_vecs / t_pairs),
+        "pairs_found": int(n_pairs),
+        "planted_found": int(found_planted),
+        "planted_recall": round(found_planted / n_planted, 4),
+    }
+    pairs.unpersist()
+    vecs.unpersist()
+    return out
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--docs", type=int, default=1_000_000)
+    ap.add_argument("--vecs", type=int, default=1_000_000)
+    ap.add_argument("--cpus", type=int,
+                    default=int(os.environ.get("SPARK_GRAFT_CPUS", "32")))
+    ap.add_argument("--shuffle-partitions", type=int, default=128)
+    ap.add_argument("--section", choices=["all", "minhash", "embed"],
+                    default="all")
+    args = ap.parse_args()
+    spark = make_spark(args.cpus, args.shuffle_partitions)
+    try:
+        if args.section in ("all", "minhash"):
+            print(json.dumps(minhash_probe(spark, args.docs)), flush=True)
+        if args.section in ("all", "embed"):
+            print(json.dumps(embed_probe(spark, args.vecs)), flush=True)
+    finally:
+        spark.stop()
+
+
+if __name__ == "__main__":
+    main()

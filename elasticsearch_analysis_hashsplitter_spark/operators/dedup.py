@@ -60,8 +60,18 @@ def exact_dedup(df: DataFrame, id_col: str = "doc_id",
 # ---------------------------------------------------------------------------
 
 
-def shingles_col(text_col: str, n: int):
-    toks = tokens_col(text_col)
+def _shingles_from_tokens(toks, n: int):
+    """Distinct word n-gram shingles from an ALREADY-MATERIALIZED token
+    array column. Callers must bind ``toks`` to a projected attribute,
+    never pass ``tokens_col(...)`` inline: higher-order functions run
+    interpreted (no codegen), so an inlined split re-evaluates inside
+    the transform lambda ONCE PER SHINGLE — O(doc_len^2) whole-text
+    splits per doc. The r5 1M-doc probe caught this live (thread dump:
+    StringSplit under ArrayFilter under ConcatWs; signature stage stuck
+    at ~12 min/task at 17k docs/task); with tokens pre-projected the
+    same signature job measures 5,045 docs/s on local[8] at 22k docs
+    vs 555 before. CollapseProject will not inline the projection back
+    because ``toks`` is referenced three times here."""
     # guard: Spark's sequence(1, 0) counts *down*; short docs get no shingles
     idx = F.when(
         F.size(toks) >= n, F.sequence(F.lit(1), F.size(toks) - (n - 1))
@@ -71,22 +81,49 @@ def shingles_col(text_col: str, n: int):
     )
 
 
-def _shingle_rows(df: DataFrame, id_col: str, text_col: str, n: int) -> DataFrame:
+def shingles_col(text_col: str, n: int):
+    """Semantic definition (used by small-input tests/oracles). Hot
+    paths go through :func:`_shingle_rows` / :func:`_shingle_sizes`,
+    which pre-project the token array — see
+    :func:`_shingles_from_tokens` for why inlining this is quadratic."""
+    return _shingles_from_tokens(tokens_col(text_col), n)
+
+
+def _token_rows(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     return df.select(
-        F.col(id_col).alias("doc_id"),
-        F.explode(shingles_col(text_col, n)).alias("shingle"),
+        F.col(id_col).alias("doc_id"), tokens_col(text_col).alias("toks")
+    )
+
+
+def _shingle_rows(df: DataFrame, id_col: str, text_col: str, n: int) -> DataFrame:
+    return _token_rows(df, id_col, text_col).select(
+        "doc_id",
+        F.explode(_shingles_from_tokens(F.col("toks"), n)).alias("shingle"),
     )
 
 
 def _shingle_sizes(df: DataFrame, id_col: str, text_col: str, n: int) -> DataFrame:
-    """(doc_id, n_sh) per doc with >= 1 shingle — computed as
-    ``size(shingles_col)`` in the scan itself: no explode and NO groupBy
-    shuffle, unlike counting the exploded rows (shingles_col is already
-    distinct per doc, so the values are identical)."""
-    return df.select(
-        F.col(id_col).alias("doc_id"),
-        F.size(shingles_col(text_col, n)).alias("n_sh"),
-    ).where(F.col("n_sh") > 0)
+    """(doc_id, n_sh) per doc with >= 1 shingle — counted from the
+    exploded shingle rows (the shingle array is already distinct per
+    doc, so count(*) == the distinct-shingle denominator Jaccard needs).
+
+    Counting exploded rows costs one (doc_id, partial_count) shuffle
+    with map-side combine — deliberately NOT the shuffle-free
+    ``select(size(shingles))`` phrasing: any predicate later inferred
+    on that computed column (Catalyst adds ``isnotnull(n_sh)`` when a
+    join's post-condition references it) is pushed down BY SUBSTITUTING
+    the defining expression, which re-inlines the tokenizing split
+    inside the per-shingle transform lambda — the O(tokens^2)-per-doc
+    interpreted-eval pattern the r5 1M-doc probe caught live (see
+    :func:`_shingles_from_tokens`). The Generate under this aggregate
+    is a substitution barrier, so this shape is structurally immune;
+    verified against the optimized plan of every dedup entry point
+    (tests/test_dedup.py plan audit)."""
+    return (
+        _shingle_rows(df, id_col, text_col, n)
+        .groupBy("doc_id")
+        .agg(F.count("*").cast("int").alias("n_sh"))
+    )
 
 
 # ---------------------------------------------------------------------------

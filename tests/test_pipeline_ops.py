@@ -730,3 +730,39 @@ def test_minhash_dedup_pairs_scale_knobs(spark):
         ).collect()
     }
     assert (0, 4) in star and star <= set(base)
+
+
+def test_dedup_plans_never_reinline_split_per_shingle(spark):
+    """Plan audit for the r5 1M-doc probe finding: interpreted
+    higher-order lambdas re-evaluate any expression Catalyst inlines
+    into them ONCE PER ELEMENT, so a tokenizing split() appearing
+    inside the per-shingle slice lambda is O(tokens^2) per doc (12-min
+    tasks at 1M docs, measured). The token pre-projection plus the
+    aggregate-based _shingle_sizes keep split() out of every lambda;
+    this pins that across every text-dedup entry point's OPTIMIZED
+    plan, where CollapseProject / predicate-pushdown substitution are
+    the re-inlining culprits."""
+    from elasticsearch_analysis_hashsplitter_spark.operators import dedup
+
+    df = spark.createDataFrame(
+        [(i, "a b c d e f g h i j") for i in range(4)],
+        "doc_id long, text string",
+    )
+    frames = {
+        "shingle_sizes": dedup._shingle_sizes(df, "doc_id", "text", 3),
+        "signatures": dedup.minhash_signatures(df, num_perm=8, n=3),
+        "ngram_exact": dedup.ngram_jaccard_pairs(df, n=3, threshold=0.5),
+        "ngram_capped": dedup.ngram_jaccard_pairs(
+            df, n=3, threshold=0.5, max_shingle_df=2
+        ),
+        "minhash_pairs": dedup.minhash_dedup_pairs(
+            df, num_perm=16, bands=4, rows=4, n=3, threshold=0.5
+        ),
+        "simhash_nd": dedup.simhash_near_duplicates(df, max_hamming=3),
+    }
+    for name, fr in frames.items():
+        plan = fr._jdf.queryExecution().optimizedPlan().toString()
+        assert "slice(filter(split(" not in plan, (
+            f"{name}: tokenizing split re-inlined into the per-shingle "
+            "lambda (O(tokens^2) per doc) — see _shingles_from_tokens"
+        )

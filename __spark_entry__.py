@@ -510,6 +510,43 @@ def _q_text_metrics(spark, sf_dir):
     return text_metrics(_docs(spark, sf_dir)).orderBy("doc_id")
 
 
+def _q_iceberg_scan(spark, sf_dir):
+    """Iceberg source gate (BASELINE.json input_hint names the corpus an
+    Iceberg table; no Iceberg jars ship in this container, so the
+    metadata layer is the engine's pure-python spec implementation,
+    sources/iceberg.py): documents -> a v2 table written in TWO commits
+    (create + append, so the manifest-list carry-forward is on the
+    hot path), read back via the snapshot-resolving metadata reader,
+    compared hash-exact against DuckDB over the ORIGINAL parquet.
+    Snapshot time travel is asserted inside the gate (the first
+    snapshot must see exactly the first commit's rows)."""
+    import tempfile
+
+    from elasticsearch_analysis_hashsplitter_spark.sources import (
+        iceberg as ice,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    tbl = tempfile.mkdtemp(prefix="hs_iceberg_gate_") + "/docs"
+    first = docs.where(F.col("doc_id") % 5 != 0)
+    s1 = ice.write_table(first, tbl, mode="create")
+    ice.write_table(docs.where(F.col("doc_id") % 5 == 0), tbl, mode="append")
+    n1 = ice.read_table(spark, tbl, snapshot_id=s1).count()
+    expect1 = first.count()
+    if n1 != expect1:
+        raise AssertionError(
+            f"iceberg snapshot pinning broken: snapshot {s1} reads "
+            f"{n1} rows, the create commit wrote {expect1}"
+        )
+    return ice.read_table(spark, tbl).select(
+        "doc_id",
+        F.md5("text").alias("text_md5"),
+        F.length("text").alias("text_len"),
+    )
+
+
 def _q_quality_filter(spark, sf_dir):
     """Pre-training corpus cut: quality >= 2/3 heuristics AND lang 'en'
     AND >= 20 tokens; oracled by the same metric formulas in SQL."""
@@ -700,6 +737,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_token_count": _q_bpe_token_count,
         "multimodal_features": _q_multimodal_features,
         "streaming_term_query": _q_streaming_term,
+        "iceberg_scan": _q_iceberg_scan,
     }
 
 
@@ -1219,4 +1257,8 @@ SELECT doc_id FROM ({_text_metrics_oracle()}) m
 WHERE quality >= 0.66 AND lang_id = 'en' AND n_tokens >= 20
 ORDER BY doc_id""",
         "bpe_token_count": _bpe_oracle(),
+        "iceberg_scan": (
+            "SELECT doc_id, md5(text) AS text_md5, "
+            "length(text)::INTEGER AS text_len FROM documents"
+        ),
     }

@@ -9,9 +9,11 @@ Usage (north_rule launch shape):
       --chunk-length 4 --token-mode tokens --n-slices 8
 
 Reads the corpus (parquet directly, or an Iceberg table via
-``--format iceberg --table db.tbl`` when an Iceberg catalog is on the
-classpath), builds the positioned-chunk inverted index, verifies the
-sha256(content) row invariant, and prints the stats JSON.
+``--format iceberg``: a catalog table name when the Iceberg runtime is
+on the classpath, else a filesystem table path through the engine's
+pure-python metadata reader — sources/iceberg.py, snapshot-pinnable
+with ``--snapshot-id``), builds the positioned-chunk inverted index,
+verifies the sha256(content) row invariant, and prints the stats JSON.
 """
 
 from __future__ import annotations
@@ -35,6 +37,8 @@ def main(argv=None) -> int:
     p.add_argument("--n-slices", type=int, default=1)
     p.add_argument("--block-size", type=int, default=4096)
     p.add_argument("--num-partitions", type=int, default=None)
+    p.add_argument("--snapshot-id", type=int, default=None,
+                   help="iceberg: pin a snapshot instead of the current one")
     p.add_argument("--synthetic-rows", type=int, default=None,
                    help="generate the deterministic synthetic corpus instead"
                         " of reading --input")
@@ -67,7 +71,19 @@ def main(argv=None) -> int:
 
         docs = generate_corpus(spark, args.synthetic_rows)
     elif args.format == "iceberg":
-        docs = spark.read.format("iceberg").load(args.input)
+        # the official Iceberg runtime when its DataSource is on the
+        # classpath (catalog table names); otherwise the engine's
+        # pure-python metadata reader over a filesystem table path
+        # (sources/iceberg.py — snapshot-pinned manifest walk, data
+        # read as one spark.read.parquet over the live file set)
+        try:
+            docs = spark.read.format("iceberg").load(args.input)
+        except Exception:
+            from elasticsearch_analysis_hashsplitter_spark.sources.iceberg import (
+                read_table,
+            )
+
+            docs = read_table(spark, args.input, snapshot_id=args.snapshot_id)
     else:
         docs = spark.read.parquet(args.input)
 

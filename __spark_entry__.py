@@ -684,11 +684,13 @@ SERVE_VALUES = ["join", "spark"]
 
 
 def _q_serve(spark, sf_dir):
-    """Concurrent-serving gate: SearchEngine.serve (thread pool,
-    per-thread scheduler pools) reassembled into a DataFrame must match
-    the per-value BM25 oracle — the concurrent path runs the same
-    compile+execution as search(), and this gates it end to end."""
+    """Concurrent-serving gate: SearchEngine.serve (thread pool +
+    coalescer) over the DOC-SHARDED serving layout reassembled into a
+    DataFrame must match the per-value BM25 oracle — this gates the
+    production serving plan (shard-local score/conjunction/top-k,
+    zero shuffle) end to end, not just the shuffle plan."""
     eng = _engine(spark, sf_dir, "tokens")
+    eng.enable_serving_layout(8)
     served = eng.serve({v: v for v in SERVE_VALUES}, k=10, max_workers=2)
     rows = []
     for v in SERVE_VALUES:

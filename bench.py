@@ -189,13 +189,34 @@ def qps_warm_run(
     n_rows = bm25_topk_batch(eng, qmap, k=10).count()
     batch_dt = time.time() - t0
 
+    # doc-sharded serving layout (ES's shard model): posting blocks
+    # split at doc-shard boundaries and co-partitioned by shard, so the
+    # coalescer's batches run as ONE shuffle-free stage (local score +
+    # conjunction check + top-k per shard, driver merge)
+    from elasticsearch_analysis_hashsplitter_spark.operators.search import (
+        bm25_topk_batch_collect,
+    )
+
+    t0 = time.time()
+    eng.enable_serving_layout(32)
+    layout_dt = time.time() - t0
+    bm25_topk_batch_collect(eng, qmap, k=10)  # untimed: compile + warm
+    t0 = time.time()
+    shard_rows = sum(
+        len(v) for v in bm25_topk_batch_collect(eng, qmap, k=10).values()
+    )
+    shard_batch_dt = time.time() - t0
+
     # concurrent serving: independent client requests overlapping as
     # FAIR-pool jobs from a thread pool (SearchEngine.serve) — the
     # middle ground between one-at-a-time sequential and one giant
-    # batch; answers are the sequential path's own
+    # batch; answers are the sequential path's own. One untimed warm
+    # call first: coalesced batches are formed dynamically, so the
+    # first wave pays plan compiles the steady state never re-pays.
     conc_n = 32
     conc_workers = 8
     conc_reqs = {f"c{i}": tokens[i % len(tokens)] for i in range(conc_n)}
+    eng.serve(conc_reqs, k=10, max_workers=conc_workers)  # warm
     t0 = time.time()
     served = eng.serve(conc_reqs, k=10, max_workers=conc_workers)
     conc_dt = time.time() - t0
@@ -216,12 +237,18 @@ def qps_warm_run(
         "batched_seconds": round(batch_dt, 3),
         "batched_qps": round(n_queries / batch_dt, 2),
         "batched_result_rows": n_rows,
+        "serving_layout_shards": 32,
+        "serving_layout_build_seconds": round(layout_dt, 3),
+        "sharded_batched_seconds": round(shard_batch_dt, 3),
+        "sharded_batched_qps": round(n_queries / shard_batch_dt, 2),
+        "sharded_batched_result_rows": shard_rows,
         "concurrent_clients": conc_workers,
         "concurrent_queries": conc_n,
         "concurrent_seconds": round(conc_dt, 3),
         "concurrent_qps": round(conc_n / conc_dt, 2),
         "concurrent_matches_sequential": got == ref,
     }
+    eng.disable_serving_layout()
     if postings_cached:
         eng.postings.unpersist()
     if eng.lexicon is not None:
@@ -535,13 +562,24 @@ def cache_policy_run(
 
 
 def _scale_query_seconds(spark, index_dir: str, n_queries: int = 64) -> float:
-    """One warm 64-query batch on the given index (best-of-3 on the
-    cached compiled plan) — the queries/sec half of the headline
-    metric, timed per executor count by scaling_run."""
+    """One warm 64-query batch on the SERVING surface (doc-sharded
+    layout, best-of-3 on the cached compiled plan) — the queries/sec
+    half of the headline metric, timed per executor count by
+    scaling_run.
+
+    The layout is FIXED at 32 shards at both executor counts (the
+    north rule's "identical partitioning"): the batch is one stage of
+    32 shard tasks, so the 1-executor run works the same task list
+    serially that the 4-executor run spreads — the shape whose
+    efficiency the rule measures. Serial fraction is driver prep +
+    the <= k * queries * shards-row merge; the r4 shuffle-plan
+    protocol still recorded 0.787 because ~3 s/batch of
+    scan-stage scheduling + two AQE job barriers + the Exchange
+    didn't parallelize — the sharded plan removes exactly those."""
     from elasticsearch_analysis_hashsplitter_spark.corpus import _VOCAB
     from elasticsearch_analysis_hashsplitter_spark.operators.search import (
         SearchEngine,
-        bm25_topk_batch,
+        bm25_topk_batch_collect,
     )
     from elasticsearch_analysis_hashsplitter_spark.plans import (
         compile as qc,
@@ -556,24 +594,23 @@ def _scale_query_seconds(spark, index_dir: str, n_queries: int = 64) -> float:
         for i, t in enumerate(tokens)
     }
     # steady-state serving protocol (same philosophy as qps_warm):
-    # warm the driver term-stats cache + python workers, then ONE
-    # untimed batch execution — the first call per session pays
-    # one-time plan analysis + codegen/JIT that would otherwise read
-    # as serial fraction (r4: the official artifact recorded 0.799
-    # efficiency while the warmed pair measured 0.93) — then
-    # best-of-3 timed runs. The engine's per-query-set plan cache
-    # (bm25_topk_batch) returns the SAME DataFrame object on every
-    # call, so the timed region is pure execution: exactly what a
-    # steady-state server re-running its compiled batch pays.
+    # warm the driver term-stats cache + python workers + the layout,
+    # then ONE untimed batch execution — the first call per session
+    # pays one-time plan analysis + codegen/JIT that would otherwise
+    # read as serial fraction — then best-of-3 timed runs. The
+    # engine's per-query-set plan cache returns the SAME frame on
+    # every call, so the timed region is pure execution: exactly what
+    # a steady-state server re-running its compiled batch pays.
     eng._term_stats(sorted({t for ts in qmap.values() for t in ts}))
     eng.search(tokens[0], 10).collect()
-    df = bm25_topk_batch(eng, qmap, k=10)
-    df.count()  # untimed: plan analysis + codegen + page-cache warm
+    eng.enable_serving_layout(32)
+    bm25_topk_batch_collect(eng, qmap, k=10)  # untimed warm-up
     best = float("inf")
     for _ in range(3):
         t0 = time.time()
-        df.count()
+        bm25_topk_batch_collect(eng, qmap, k=10)
         best = min(best, time.time() - t0)
+    eng.disable_serving_layout()
     return best
 
 

@@ -33,7 +33,12 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from ..config import HashSplitterConfig
-from ..functions.codec import decode_counts, decode_doc_ids
+from ..functions.codec import (
+    decode_counts,
+    decode_doc_ids,
+    encode_counts,
+    encode_doc_ids,
+)
 from ..plans import compile as qc
 from ..plans import ir
 from ..plans.pattern import glob_to_regex, literal_prefix
@@ -327,8 +332,15 @@ class SearchEngine:
         #: set -> the SAME DataFrame object, so Spark reuses the
         #: analyzed plan + generated code and a steady-state server
         #: pays zero driver plan work per re-run (see bm25_topk_batch).
-        self._batch_plan_cache: dict[tuple, DataFrame] = {}
+        self._batch_plan_cache: dict[tuple, object] = {}
         self._batch_plan_cache_max = 32
+        #: doc-sharded serving layout (None until
+        #: :meth:`enable_serving_layout`): posting blocks re-split at
+        #: doc-shard boundaries and co-partitioned by shard, so batch
+        #: scoring runs as ONE shuffle-free stage (ES's own serving
+        #: model — an index is served as document shards, each a
+        #: complete index over a doc subset; queries fan out and merge).
+        self.sharded: DataFrame | None = None
         #: cost-based switch for disjunctive queries: below this TOTAL
         #: posting count the exhaustive single-pass OR beats the
         #: two-phase MaxScore machinery (bootstrap + rescore decode the
@@ -484,6 +496,70 @@ class SearchEngine:
             HashSplitterConfig.from_json(stats["config"]),
             lexicon=lexicon,
         )
+
+    def enable_serving_layout(
+        self, n_shards: int | None = None
+    ) -> "SearchEngine":
+        """Build the doc-sharded serving layout — the reference's own
+        serving model re-expressed for Spark: an ES index is served as
+        document SHARDS, each a complete inverted index over a doc
+        subset; a search fans out to every shard, each computes its
+        local top-k, and the coordinating node merges (SURVEY §3.2).
+
+        Every posting block is split at doc-shard boundaries (one
+        decode + re-encode pass, sub-block stats recomputed so all
+        prune bounds stay tight) and hash-partitioned by shard id, so
+        ALL terms' postings for a given doc live in one partition.
+        Batch scoring then runs partition-locally: per-doc score sums,
+        the conjunction membership check, and the per-query top-k all
+        complete inside the shard's task — a query batch is ONE
+        shuffle-free stage emitting <= k rows per (query, shard),
+        versus scan -> Exchange -> aggregate -> combine. The per-task
+        working set is the shard's slice of the query terms' postings
+        — exactly the rows the unsharded plan would shuffle, now
+        consumed in place — and shard count tracks cluster size, so
+        the layout is the 1000-executor serving story, not a
+        small-index trick.
+
+        Shard boundaries come from docstats doc_id quantiles
+        (equal-population shards regardless of docID distribution —
+        skew-safe). Idempotent; the layout is cached until
+        :meth:`disable_serving_layout`. The engine's snapshot argument
+        (fixed file listing at open) makes the cache safe, same as the
+        block-range cache.
+        """
+        if self.sharded is not None:
+            return self
+        if n_shards is None:
+            n_shards = self.spark.sparkContext.defaultParallelism
+        n_shards = max(1, int(n_shards))
+        if n_shards > 1:
+            qs = [i / n_shards for i in range(1, n_shards)]
+            bounds = sorted(
+                {
+                    int(b)
+                    for b in self.docstats.stat.approxQuantile(
+                        "doc_id", qs, 0.001
+                    )
+                }
+            )
+        else:
+            bounds = []
+        b_arr = np.asarray(bounds, dtype=np.int64)
+        sharded = (
+            self.postings.select("term", "docs", "tfs", "dls")
+            .mapInPandas(_shard_split_fn(b_arr), schema=_SHARDED_SCHEMA)
+            .repartition(n_shards, "shard")
+            .persist()
+        )
+        sharded.count()
+        self.sharded = sharded
+        return self
+
+    def disable_serving_layout(self) -> None:
+        if self.sharded is not None:
+            self.sharded.unpersist()
+            self.sharded = None
 
     def _term_stats(self, terms: list[str]) -> list:
         """(term, df, max_tf, min_dl) rows for a few query terms — from
@@ -1615,6 +1691,76 @@ class ServeCoalescer:
             sc.setLocalProperty("spark.scheduler.pool", None)
 
 
+_SHARDED_SCHEMA = T.StructType(
+    [T.StructField("shard", T.IntegerType(), False)]
+    + [f for f in catalog.BLOCK_SCHEMA.fields]
+)
+
+
+def _shard_split_fn(bounds: np.ndarray):
+    """mapInPandas kernel behind
+    :meth:`SearchEngine.enable_serving_layout`: split each posting
+    block at the doc-shard boundaries (postings are docID-sorted, so
+    one searchsorted per block), re-encode each piece, and tag it with
+    its shard id. Sub-block min/max_doc, df, max_tf, min_dl are
+    recomputed from the slice so every consumer bound (range prune,
+    block-max) stays as tight as the original block's."""
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            shard_l: list[int] = []
+            term_l: list = []
+            cols: dict[str, list] = {
+                k: []
+                for k in (
+                    "min_doc", "max_doc", "df", "max_tf", "min_dl",
+                    "docs", "tfs", "dls",
+                )
+            }
+            for term, dblob, tblob, lblob in zip(
+                pdf["term"], pdf["docs"], pdf["tfs"], pdf["dls"]
+            ):
+                d = decode_doc_ids(dblob)
+                if not d.size:
+                    continue
+                tf = decode_counts(tblob)
+                dl = decode_counts(lblob)
+                cut = (
+                    np.searchsorted(d, bounds, side="left")
+                    if bounds.size
+                    else np.empty(0, dtype=np.int64)
+                )
+                starts = np.concatenate(([0], cut))
+                ends = np.concatenate((cut, [d.size]))
+                for si in range(starts.size):
+                    s, e = int(starts[si]), int(ends[si])
+                    if s >= e:
+                        continue
+                    ds, ts, ls = d[s:e], tf[s:e], dl[s:e]
+                    shard_l.append(si)
+                    term_l.append(term)
+                    cols["min_doc"].append(int(ds[0]))
+                    cols["max_doc"].append(int(ds[-1]))
+                    cols["df"].append(e - s)
+                    cols["max_tf"].append(int(ts.max()))
+                    cols["min_dl"].append(int(ls.min()))
+                    cols["docs"].append(encode_doc_ids(ds))
+                    cols["tfs"].append(encode_counts(ts))
+                    cols["dls"].append(encode_counts(ls))
+            if shard_l:
+                yield pd.DataFrame(
+                    {
+                        "shard": np.asarray(shard_l, dtype=np.int32),
+                        "term": term_l,
+                        **cols,
+                    }
+                )
+
+    return fn
+
+
 def _batch_anchor_theta(
     engine: SearchEngine,
     anchors: dict[int, str],
@@ -1712,6 +1858,8 @@ def _batch_scores(
     prune: bool,
     anchor_df_frac: float,
     anchor_ids_cutoff: int,
+    source: DataFrame | None = None,
+    local_topk: bool = False,
 ):
     """Shared front half of the batch-retrieval paths: per-query prune
     metadata, pruned block scan, the vectorized scoring kernel, and the
@@ -1721,6 +1869,18 @@ def _batch_scores(
     :func:`bm25_topk_batch` (Window rank, DataFrame out — the gate /
     analytics surface) and :func:`bm25_topk_batch_collect` (partition
     top-k combine + driver merge — the serving surface).
+
+    ``source``/``local_topk`` select the doc-sharded serving plan
+    (:meth:`SearchEngine.enable_serving_layout`): with ``source`` set
+    to the sharded block table and ``local_topk=True``, every doc's
+    postings for ALL terms are co-located, so the kernel aggregates
+    per-doc scores, applies the conjunction membership check, and
+    keeps the per-query top-k entirely inside each partition — the
+    returned frame emits <= k rows per (query, partition) from ONE
+    shuffle-free stage (schema ``qidx, doc_id, score``), and the
+    caller merges. Same prune machinery either way: the sub-block
+    stats were recomputed at split time, so range masks and block-max
+    thresholds stay sound.
 
     Per-query jobs pay scheduler + Python-worker round-trips per query;
     at serving scale (training-data mining, dedup-by-search) the right
@@ -1986,8 +2146,9 @@ def _batch_scores(
         for ti, m in per_term.items()
     }
 
-    blocks = engine.postings.where(F.col("term").isin(term_list))
-    has_mdl = "min_dl" in engine.postings.columns
+    src = source if source is not None else engine.postings
+    blocks = src.where(F.col("term").isin(term_list))
+    has_mdl = "min_dl" in src.columns
     if prune and conjunctive and anchors:
         # coarse Catalyst prefilter: any conjunctive candidate of a
         # pruned query lies inside ITS anchor's intervals (block ranges
@@ -2065,134 +2226,239 @@ def _batch_scores(
             ["min_dl"] if has_mdl else []
         ) + ["docs", "tfs", "dls"]
 
+    def _score_pdf(pdf: pd.DataFrame):
+        """Per-Arrow-batch scoring body shared by the shuffle plan
+        (score_fn) and the doc-sharded local plan (score_local_fn):
+        returns concatenated (qidx, doc_id, midx, contrib) arrays, or
+        None when no posting of this batch survives the masks."""
+        qidx_l, docs_l, tidx_l, contrib_l = [], [], [], []
+        for term, sub in pdf.groupby("term", sort=False):
+            ti = term_idx[term]
+            m = per_term[ti]
+            q_arr, w_arr = m["q"], m["w"]
+            nrows = len(sub)
+            if not (prune and m["masked"]):
+                mask = None  # no query prunes this term
+            elif conjunctive:
+                # per-query row mask: always-pass rows (anchors and
+                # unpruned queries) skip the test; exact-id queries
+                # need an anchor doc inside the block's docID span;
+                # range queries need overlap with q's anchor ranges
+                # (sorted, disjoint -> one searchsorted each way)
+                lo_r = sub["min_doc"].to_numpy()
+                hi_r = sub["max_doc"].to_numpy()
+                mask = np.empty((q_arr.size, nrows), dtype=bool)
+                for j in range(q_arr.size):
+                    if m["pass"][j]:
+                        mask[j, :] = True
+                        continue
+                    ids = m["ids"][j]
+                    if ids is not None:
+                        if ids.size == 0:
+                            mask[j, :] = False
+                            continue
+                        i0 = np.searchsorted(ids, lo_r, side="left")
+                        ok = i0 < ids.size
+                        ok[ok] = (
+                            ids[i0[ok]] <= hi_r[ok]
+                        )
+                        mask[j, :] = ok
+                        continue
+                    los, his = q_ranges[q_arr[j]]
+                    i0 = np.searchsorted(los, hi_r, side="right") - 1
+                    ok = i0 >= 0
+                    ok[ok] = his[i0[ok]] >= lo_r[ok]
+                    mask[j, :] = ok
+            else:
+                mtf_r = sub["max_tf"].to_numpy().astype(np.float64)
+                mdl_r = (
+                    sub["min_dl"].to_numpy().astype(np.float64)
+                    if has_mdl
+                    else np.zeros(nrows)
+                )
+                fb = (
+                    mtf_r * (k1 + 1.0)
+                    / (mtf_r + k1 * (1.0 - b + b * mdl_r / avgdl))
+                )
+                mask = (
+                    np.outer(w_arr, fb) + m["rest"][:, None]
+                    >= m["th"][:, None]
+                )
+            bulk = m["bulk"]
+            all_bulk = bool(bulk.all())
+            for r, (dblob, tblob, lblob) in enumerate(
+                zip(sub["docs"], sub["tfs"], sub["dls"])
+            ):
+                if mask is not None:
+                    sel = mask[:, r]
+                    if not sel.any():
+                        continue  # no query needs this block
+                else:
+                    sel = None
+                d = decode_doc_ids(dblob)
+                tf = decode_counts(tblob).astype(np.float64)
+                dl = decode_counts(lblob).astype(np.float64)
+                norm = tf * (k1 + 1.0) / (
+                    tf + k1 * (1.0 - b + b * dl / avgdl)
+                )
+                # bulk queries (no posting filter): vectorized
+                # (query, posting) cross product
+                bsel = (
+                    sel if all_bulk
+                    else (bulk if sel is None else bulk & sel)
+                )
+                if bsel is None:
+                    qa, wa, ma = q_arr, w_arr, m["midx"]
+                else:
+                    qa, wa, ma = (
+                        q_arr[bsel],
+                        w_arr[bsel],
+                        m["midx"][bsel],
+                    )
+                if qa.size:
+                    qidx_l.append(np.repeat(qa, d.size))
+                    docs_l.append(np.tile(d, qa.size))
+                    tidx_l.append(np.repeat(ma, d.size))
+                    contrib_l.append(np.outer(wa, norm).ravel())
+                if all_bulk:
+                    continue
+                # exact-id queries: emit only postings whose doc
+                # contains the query's anchor (candidate filter
+                # BEFORE the shuffle — the rare-AND-hot win)
+                isel = ~bulk if sel is None else (~bulk & sel)
+                for j in np.flatnonzero(isel):
+                    ids = m["ids"][j]
+                    if ids.size == 0:
+                        continue
+                    pos = np.minimum(
+                        np.searchsorted(ids, d), ids.size - 1
+                    )
+                    s = ids[pos] == d
+                    if not s.any():
+                        continue
+                    ds = d[s]
+                    qidx_l.append(
+                        np.full(ds.size, q_arr[j], dtype=np.int32)
+                    )
+                    docs_l.append(ds)
+                    tidx_l.append(
+                        np.full(ds.size, m["midx"][j], dtype=np.int32)
+                    )
+                    contrib_l.append(w_arr[j] * norm[s])
+        if not docs_l:
+            return None
+        return (
+            np.concatenate(qidx_l),
+            np.concatenate(docs_l),
+            np.concatenate(tidx_l),
+            np.concatenate(contrib_l),
+        )
+
     def score_fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             if not len(pdf):
                 continue
-            qidx_l, docs_l, tidx_l, contrib_l = [], [], [], []
-            for term, sub in pdf.groupby("term", sort=False):
-                ti = term_idx[term]
-                m = per_term[ti]
-                q_arr, w_arr = m["q"], m["w"]
-                nrows = len(sub)
-                if not (prune and m["masked"]):
-                    mask = None  # no query prunes this term
-                elif conjunctive:
-                    # per-query row mask: always-pass rows (anchors and
-                    # unpruned queries) skip the test; exact-id queries
-                    # need an anchor doc inside the block's docID span;
-                    # range queries need overlap with q's anchor ranges
-                    # (sorted, disjoint -> one searchsorted each way)
-                    lo_r = sub["min_doc"].to_numpy()
-                    hi_r = sub["max_doc"].to_numpy()
-                    mask = np.empty((q_arr.size, nrows), dtype=bool)
-                    for j in range(q_arr.size):
-                        if m["pass"][j]:
-                            mask[j, :] = True
-                            continue
-                        ids = m["ids"][j]
-                        if ids is not None:
-                            if ids.size == 0:
-                                mask[j, :] = False
-                                continue
-                            i0 = np.searchsorted(ids, lo_r, side="left")
-                            ok = i0 < ids.size
-                            ok[ok] = (
-                                ids[i0[ok]] <= hi_r[ok]
-                            )
-                            mask[j, :] = ok
-                            continue
-                        los, his = q_ranges[q_arr[j]]
-                        i0 = np.searchsorted(los, hi_r, side="right") - 1
-                        ok = i0 >= 0
-                        ok[ok] = his[i0[ok]] >= lo_r[ok]
-                        mask[j, :] = ok
-                else:
-                    mtf_r = sub["max_tf"].to_numpy().astype(np.float64)
-                    mdl_r = (
-                        sub["min_dl"].to_numpy().astype(np.float64)
-                        if has_mdl
-                        else np.zeros(nrows)
-                    )
-                    fb = (
-                        mtf_r * (k1 + 1.0)
-                        / (mtf_r + k1 * (1.0 - b + b * mdl_r / avgdl))
-                    )
-                    mask = (
-                        np.outer(w_arr, fb) + m["rest"][:, None]
-                        >= m["th"][:, None]
-                    )
-                bulk = m["bulk"]
-                all_bulk = bool(bulk.all())
-                for r, (dblob, tblob, lblob) in enumerate(
-                    zip(sub["docs"], sub["tfs"], sub["dls"])
-                ):
-                    if mask is not None:
-                        sel = mask[:, r]
-                        if not sel.any():
-                            continue  # no query needs this block
-                    else:
-                        sel = None
-                    d = decode_doc_ids(dblob)
-                    tf = decode_counts(tblob).astype(np.float64)
-                    dl = decode_counts(lblob).astype(np.float64)
-                    norm = tf * (k1 + 1.0) / (
-                        tf + k1 * (1.0 - b + b * dl / avgdl)
-                    )
-                    # bulk queries (no posting filter): vectorized
-                    # (query, posting) cross product
-                    bsel = (
-                        sel if all_bulk
-                        else (bulk if sel is None else bulk & sel)
-                    )
-                    if bsel is None:
-                        qa, wa, ma = q_arr, w_arr, m["midx"]
-                    else:
-                        qa, wa, ma = (
-                            q_arr[bsel],
-                            w_arr[bsel],
-                            m["midx"][bsel],
-                        )
-                    if qa.size:
-                        qidx_l.append(np.repeat(qa, d.size))
-                        docs_l.append(np.tile(d, qa.size))
-                        tidx_l.append(np.repeat(ma, d.size))
-                        contrib_l.append(np.outer(wa, norm).ravel())
-                    if all_bulk:
-                        continue
-                    # exact-id queries: emit only postings whose doc
-                    # contains the query's anchor (candidate filter
-                    # BEFORE the shuffle — the rare-AND-hot win)
-                    isel = ~bulk if sel is None else (~bulk & sel)
-                    for j in np.flatnonzero(isel):
-                        ids = m["ids"][j]
-                        if ids.size == 0:
-                            continue
-                        pos = np.minimum(
-                            np.searchsorted(ids, d), ids.size - 1
-                        )
-                        s = ids[pos] == d
-                        if not s.any():
-                            continue
-                        ds = d[s]
-                        qidx_l.append(
-                            np.full(ds.size, q_arr[j], dtype=np.int32)
-                        )
-                        docs_l.append(ds)
-                        tidx_l.append(
-                            np.full(ds.size, m["midx"][j], dtype=np.int32)
-                        )
-                        contrib_l.append(w_arr[j] * norm[s])
-            if not docs_l:
+            r = _score_pdf(pdf)
+            if r is None:
                 continue
             yield pd.DataFrame(
                 {
-                    "qidx": np.concatenate(qidx_l),
-                    "doc_id": np.concatenate(docs_l),
-                    "midx": np.concatenate(tidx_l),
-                    "contrib": np.concatenate(contrib_l),
+                    "qidx": r[0],
+                    "doc_id": r[1],
+                    "midx": r[2],
+                    "contrib": r[3],
                 }
             )
+
+    if local_topk:
+        # doc-sharded plan: all of a doc's postings are in this
+        # partition, so aggregate + conjunction-check + top-k locally.
+        # Per-task memory is the shard's slice of the query terms'
+        # postings — the same rows the shuffle plan would move.
+        need_arr = np.zeros(len(active), dtype=np.int64)
+        for q in active:
+            need_arr[qidx_of[q]] = (
+                ((1 << len(q_w[q])) - 1) if use_mask else len(q_w[q])
+            )
+
+        def score_local_fn(
+            batches: Iterator[pd.DataFrame],
+        ) -> Iterator[pd.DataFrame]:
+            qs, ds, ms, cs = [], [], [], []
+            for pdf in batches:
+                if not len(pdf):
+                    continue
+                r = _score_pdf(pdf)
+                if r is not None:
+                    qs.append(r[0])
+                    ds.append(r[1])
+                    ms.append(r[2])
+                    cs.append(r[3])
+            if not ds:
+                return
+            q = np.concatenate(qs)
+            d = np.concatenate(ds)
+            mi = np.concatenate(ms)
+            c = np.concatenate(cs)
+            order = np.lexsort((d, q))
+            q, d, mi, c = q[order], d[order], mi[order], c[order]
+            new = np.empty(q.size, dtype=bool)
+            new[0] = True
+            new[1:] = (q[1:] != q[:-1]) | (d[1:] != d[:-1])
+            starts = np.flatnonzero(new)
+            score = np.add.reduceat(c, starts)
+            gq, gd = q[starts], d[starts]
+            if conjunctive:
+                if use_mask:
+                    bits = np.int64(1) << mi.astype(np.int64)
+                    got = np.bitwise_or.reduceat(bits, starts)
+                else:
+                    # >63-terms fallback: distinct-midx count per
+                    # (q, doc) group — dedupe sorted (group, midx)
+                    # pairs, then sum the "first of pair" flags per
+                    # group (groups stay contiguous + in order under
+                    # the stable secondary sort)
+                    gi = np.cumsum(new) - 1
+                    o2 = np.lexsort((mi, gi))
+                    g2, m2 = gi[o2], mi[o2]
+                    first = np.empty(g2.size, dtype=bool)
+                    first[0] = True
+                    first[1:] = (g2[1:] != g2[:-1]) | (m2[1:] != m2[:-1])
+                    gstart = np.flatnonzero(
+                        np.concatenate(([True], g2[1:] != g2[:-1]))
+                    )
+                    got = np.add.reduceat(
+                        first.astype(np.int64), gstart
+                    )
+                keep = got == need_arr[gq]
+                gq, gd, score = gq[keep], gd[keep], score[keep]
+            if not gq.size:
+                return
+            qb = np.flatnonzero(
+                np.concatenate(([True], gq[1:] != gq[:-1]))
+            )
+            qe = np.concatenate((qb[1:], [gq.size]))
+            out_q, out_d, out_s = [], [], []
+            for s_, e_ in zip(qb, qe):
+                dd, ss = gd[s_:e_], score[s_:e_]
+                if dd.size > k:
+                    sel = np.lexsort((dd, -ss))[:k]
+                    dd, ss = dd[sel], ss[sel]
+                out_q.append(np.full(dd.size, gq[s_], dtype=np.int32))
+                out_d.append(dd)
+                out_s.append(ss)
+            yield pd.DataFrame(
+                {
+                    "qidx": np.concatenate(out_q),
+                    "doc_id": np.concatenate(out_d),
+                    "score": np.concatenate(out_s),
+                }
+            )
+
+        local = blocks.select(*cols).mapInPandas(
+            score_local_fn, schema="qidx int, doc_id long, score double"
+        )
+        return local, active, qidx_of
 
     scored = blocks.select(*cols).mapInPandas(
         score_fn,
@@ -2322,7 +2588,45 @@ def bm25_topk_batch_collect(
     bm25_topk_batch ordering (score desc, doc_id asc); queries that can
     match nothing are omitted. Driver merge sees <= k * |queries| *
     n_partitions rows — bounded by the partition count, not data size.
+
+    When the engine has a doc-sharded serving layout
+    (:meth:`SearchEngine.enable_serving_layout`), the whole batch runs
+    as ONE shuffle-free stage: each shard scores its docs, applies the
+    conjunction check, and emits its local top-k (every doc's postings
+    are shard-local, so the local sums and masks are complete), and
+    the identical driver merge finishes. Repeated batches reuse the
+    compiled plan from the engine's plan cache — the serving
+    steady-state pays only execution.
     """
+    if engine.sharded is not None:
+        key = ("sharded-collect",) + _batch_plan_key(
+            engine, queries, k, conjunctive, prune,
+            anchor_df_frac, anchor_ids_cutoff,
+        )
+        with engine._cache_lock:
+            hit = engine._batch_plan_cache.get(key)
+        if hit is not None:
+            frame, active, qidx_of = hit
+        else:
+            frame, active, qidx_of = _batch_scores(
+                engine, queries, k, conjunctive, prune,
+                anchor_df_frac, anchor_ids_cutoff,
+                source=engine.sharded, local_topk=True,
+            )
+            if frame is not None:
+                with engine._cache_lock:
+                    if (
+                        len(engine._batch_plan_cache)
+                        >= engine._batch_plan_cache_max
+                    ):
+                        engine._batch_plan_cache.clear()
+                    engine._batch_plan_cache[key] = (
+                        frame, active, qidx_of,
+                    )
+        if frame is None:
+            return {}
+        return _merge_topk_pdf(frame.toPandas(), active, qidx_of, k)
+
     agg, active, qidx_of = _batch_scores(
         engine, queries, k, conjunctive, prune,
         anchor_df_frac, anchor_ids_cutoff,
@@ -2364,6 +2668,13 @@ def bm25_topk_batch_collect(
     pdf = agg.mapInPandas(
         combine, schema="qidx int, doc_id long, score double"
     ).toPandas()
+    return _merge_topk_pdf(pdf, active, qidx_of, k)
+
+
+def _merge_topk_pdf(pdf, active, qidx_of, k: int) -> dict:
+    """Driver merge shared by both batch-collect plans: per-partition
+    top-k candidate rows -> final {query_id: [(doc_id, score), ...]}
+    with (score desc, doc_id asc) ordering."""
     qid_of = {qidx_of[q]: q for q in active}
     out: dict = {}
     if len(pdf):

@@ -172,3 +172,163 @@ def test_lru_cache_eviction_order():
     assert len(c) == 3 and "f" in c and "e" in c and "d" in c
     c.clear()
     assert len(c) == 0 and c.get("a") is None
+
+
+# ---------------------------------------------------------------------------
+# Doc-sharded serving layout (enable_serving_layout): the ES-shard model —
+# every doc's postings co-located, batch scoring one shuffle-free stage.
+# ---------------------------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def eng_sharded(spark):
+    e = SearchEngine.from_corpus(
+        _corpus_df(spark, SMALL_CORPUS), TOKEN_CFG, num_partitions=4
+    )
+    e.enable_serving_layout(7)
+    return e
+
+
+def _qmap(values):
+    return {v: list(qc.field_query(v, TOKEN_CFG).terms) for v in values}
+
+
+@pytest.mark.parametrize("conjunctive", [True, False])
+def test_sharded_collect_matches_unsharded(eng, eng_sharded, conjunctive):
+    """The doc-sharded plan must return the shuffle plan's answers for
+    every query shape: same docs, same order, scores to 1e-9 (local
+    reduceat sums may order floats differently than the hash agg)."""
+    qmap = _qmap(VALUES)
+    qmap["q_miss"] = ["Azzzz"]
+    ref = bm25_topk_batch_collect(eng, qmap, k=5, conjunctive=conjunctive)
+    got = bm25_topk_batch_collect(
+        eng_sharded, qmap, k=5, conjunctive=conjunctive
+    )
+    assert set(ref) == set(got)
+    for q in ref:
+        assert [d for d, _ in ref[q]] == [d for d, _ in got[q]], q
+        for (_, a), (_, b) in zip(ref[q], got[q]):
+            assert b == pytest.approx(a, rel=1e-9), q
+
+
+@pytest.mark.parametrize("conjunctive", [True, False])
+def test_sharded_collect_forced_prune(eng, eng_sharded, conjunctive):
+    """Prune machinery forced on (cutoff 0): the sharded kernel applies
+    the same per-query masks / exact-id filters, and sub-block stats
+    recomputed at split time keep every bound sound — rank identity."""
+    qmap = _qmap(VALUES)
+    saved = (
+        eng.conjunctive_exhaustive_cutoff,
+        eng.disjunctive_exhaustive_cutoff,
+        eng_sharded.conjunctive_exhaustive_cutoff,
+        eng_sharded.disjunctive_exhaustive_cutoff,
+    )
+    try:
+        for e in (eng, eng_sharded):
+            e.conjunctive_exhaustive_cutoff = 0
+            e.disjunctive_exhaustive_cutoff = 0
+            e._batch_plan_cache.clear()
+        ref = bm25_topk_batch_collect(
+            eng, qmap, k=5, conjunctive=conjunctive, prune=True
+        )
+        got = bm25_topk_batch_collect(
+            eng_sharded, qmap, k=5, conjunctive=conjunctive, prune=True
+        )
+    finally:
+        (
+            eng.conjunctive_exhaustive_cutoff,
+            eng.disjunctive_exhaustive_cutoff,
+            eng_sharded.conjunctive_exhaustive_cutoff,
+            eng_sharded.disjunctive_exhaustive_cutoff,
+        ) = saved
+        for e in (eng, eng_sharded):
+            e._batch_plan_cache.clear()
+    assert set(ref) == set(got)
+    for q in ref:
+        assert [d for d, _ in ref[q]] == [d for d, _ in got[q]], q
+
+
+def test_sharded_serve_matches_sequential(eng_sharded):
+    """serve() auto-routes coalesced batches through the sharded plan;
+    answers stay the sequential search() answers."""
+    reqs = {f"c{i}": VALUES[i % len(VALUES)] for i in range(12)}
+    served = eng_sharded.serve(reqs, k=5, max_workers=4)
+    assert set(served) == set(reqs)
+    _assert_matches_sequential(eng_sharded, served, reqs, 5)
+
+
+def test_sharded_batch_is_single_shuffle_free_job(eng_sharded):
+    """Zero-shuffle audit by execution (the plan string contains the
+    cached layout's build lineage, so substring checks lie): a warm
+    sharded batch must be exactly ONE job with ONE stage — scan the
+    co-located shard partitions, score, emit local top-k, collect."""
+    st = eng_sharded.spark.sparkContext.statusTracker()
+    qmap = _qmap(["merge", "stream", "spark join"])
+    bm25_topk_batch_collect(eng_sharded, qmap, k=5)  # warm: stats+plan
+    before = set(st.getJobIdsForGroup(None) or [])
+    bm25_topk_batch_collect(eng_sharded, qmap, k=5)
+    new = sorted(set(st.getJobIdsForGroup(None) or []) - before)
+    assert len(new) == 1, f"expected 1 job, got {new}"
+    info = st.getJobInfo(new[0])
+    assert info is not None
+    # stageIds lists the whole DAG including stages SKIPPED because the
+    # layout's partitions are cached; exactly one stage may actually run
+    # and its task count is the shard partition count
+    ran = [
+        si
+        for si in (st.getStageInfo(s) for s in info.stageIds)
+        if si is not None and si.numCompletedTasks > 0
+    ]
+    assert len(ran) == 1, [(s.stageId, s.numCompletedTasks) for s in ran]
+    assert ran[0].numCompletedTasks == eng_sharded.sharded.rdd.getNumPartitions()
+
+
+def test_sharded_more_shards_than_docs(spark):
+    """Degenerate sharding (n_shards >> n_docs): singleton/empty shards
+    still reassemble the exact answers."""
+    e_ref = SearchEngine.from_corpus(
+        _corpus_df(spark, SMALL_CORPUS), TOKEN_CFG, num_partitions=2
+    )
+    e_sh = SearchEngine.from_corpus(
+        _corpus_df(spark, SMALL_CORPUS), TOKEN_CFG, num_partitions=2
+    )
+    e_sh.enable_serving_layout(64)
+    qmap = _qmap(VALUES)
+    ref = bm25_topk_batch_collect(e_ref, qmap, k=5)
+    got = bm25_topk_batch_collect(e_sh, qmap, k=5)
+    assert set(ref) == set(got)
+    for q in ref:
+        assert [d for d, _ in ref[q]] == [d for d, _ in got[q]], q
+    e_sh.disable_serving_layout()
+    assert e_sh.sharded is None
+
+
+def test_sharded_conjunctive_fallback_many_terms(spark):
+    """A query with > 63 distinct terms drops the bitmask membership
+    check for the distinct-count fallback; the sharded kernel's local
+    dedupe-and-count must agree with the shuffle plan's countDistinct
+    (a doc containing the full value is planted so the conjunction
+    actually matches)."""
+    big_val = "".join(f"{i:04d}" for i in range(80))
+    corpus = [big_val, big_val[:160], "spark join window"]
+    e_ref = SearchEngine.from_corpus(
+        _corpus_df(spark, corpus), TOKEN_CFG, num_partitions=3
+    )
+    e_sh = SearchEngine.from_corpus(
+        _corpus_df(spark, corpus), TOKEN_CFG, num_partitions=3
+    )
+    e_sh.enable_serving_layout(5)
+    big_terms = list(qc.field_query(big_val, TOKEN_CFG).terms)
+    assert len(set(big_terms)) > 63
+    qmap = {
+        "big": big_terms,
+        "small": list(qc.field_query("spark", TOKEN_CFG).terms),
+    }
+    ref = bm25_topk_batch_collect(e_ref, qmap, k=5)
+    got = bm25_topk_batch_collect(e_sh, qmap, k=5)
+    assert set(ref) == set(got)
+    assert len(got["big"]) >= 1  # the planted full-value doc matches
+    for q in ref:
+        assert [d for d, _ in ref[q]] == [d for d, _ in got[q]], q
+        for (_, a), (_, b) in zip(ref[q], got[q]):
+            assert b == pytest.approx(a, rel=1e-9), q

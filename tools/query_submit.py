@@ -29,6 +29,11 @@ def main(argv=None) -> int:
                         "into micro-batched jobs by a dispatcher)")
     p.add_argument("--workers", type=int, default=8,
                    help="client threads for --op serve")
+    p.add_argument("--shards", type=int, default=0,
+                   help="enable the doc-sharded serving layout with "
+                        "this many shards before serving (0 = off); "
+                        "coalesced batches then run as one "
+                        "shuffle-free stage")
     p.add_argument("--no-coalesce", dest="coalesce", action="store_false",
                    default=True,
                    help="serve with per-request jobs instead of the "
@@ -79,6 +84,8 @@ def main(argv=None) -> int:
             )
         print(json.dumps(out))
     elif args.op == "serve":
+        if args.shards:
+            eng.enable_serving_layout(args.shards)
         served = eng.serve(
             {v: v for v in (args.values or "").split(",") if v},
             k=args.k,

@@ -341,6 +341,13 @@ class SearchEngine:
         #: model — an index is served as document shards, each a
         #: complete index over a doc subset; queries fan out and merge).
         self.sharded: DataFrame | None = None
+        #: bumped every enable/disable_serving_layout; part of the
+        #: sharded batch-plan cache key, so plans compiled over a
+        #: previous (since-unpersisted) layout can never be served —
+        #: a stale hit would silently recompute the shard split from
+        #: parquet on every call instead of scanning the persisted
+        #: layout (caught by the r5 scaling probe).
+        self._layout_epoch = 0
         #: cost-based switch for disjunctive queries: below this TOTAL
         #: posting count the exhaustive single-pass OR beats the
         #: two-phase MaxScore machinery (bootstrap + rescore decode the
@@ -554,12 +561,24 @@ class SearchEngine:
         )
         sharded.count()
         self.sharded = sharded
+        self._layout_epoch += 1
         return self
 
     def disable_serving_layout(self) -> None:
         if self.sharded is not None:
             self.sharded.unpersist()
             self.sharded = None
+            self._layout_epoch += 1
+            # drop plans compiled over the now-unpersisted layout: a
+            # later epoch can never hit them (epoch is in the key) and
+            # keeping them would only evict live entries
+            with self._cache_lock:
+                for key in [
+                    k
+                    for k in self._batch_plan_cache
+                    if k[0] == "sharded-collect"
+                ]:
+                    del self._batch_plan_cache[key]
 
     def _term_stats(self, terms: list[str]) -> list:
         """(term, df, max_tf, min_dl) rows for a few query terms — from
@@ -2599,7 +2618,7 @@ def bm25_topk_batch_collect(
     steady-state pays only execution.
     """
     if engine.sharded is not None:
-        key = ("sharded-collect",) + _batch_plan_key(
+        key = ("sharded-collect", engine._layout_epoch) + _batch_plan_key(
             engine, queries, k, conjunctive, prune,
             anchor_df_frac, anchor_ids_cutoff,
         )

@@ -332,3 +332,33 @@ def test_sharded_conjunctive_fallback_many_terms(spark):
         assert [d for d, _ in ref[q]] == [d for d, _ in got[q]], q
         for (_, a), (_, b) in zip(ref[q], got[q]):
             assert b == pytest.approx(a, rel=1e-9), q
+
+
+def test_relayout_invalidates_sharded_plan_cache(spark):
+    """Resizing the serving layout must not serve plans compiled over
+    the previous (unpersisted) layout: a stale hit silently recomputes
+    the shard split from source on every call (caught by the r5
+    scaling probe — the 32-shard timing was executing the 8-shard
+    plan's lineage). The epoch in the cache key pins this."""
+    e = SearchEngine.from_corpus(
+        _corpus_df(spark, SMALL_CORPUS), TOKEN_CFG, num_partitions=2
+    )
+    qmap = _qmap(VALUES)
+    e.enable_serving_layout(3)
+    ref = bm25_topk_batch_collect(e, qmap, k=5)
+    stale_keys = [k for k in e._batch_plan_cache if k[0] == "sharded-collect"]
+    assert stale_keys, "sharded plan should have been cached"
+    e.disable_serving_layout()
+    assert not [
+        k for k in e._batch_plan_cache if k[0] == "sharded-collect"
+    ], "disable_serving_layout must drop sharded plan entries"
+    e.enable_serving_layout(8)
+    got = bm25_topk_batch_collect(e, qmap, k=5)
+    live = [k for k in e._batch_plan_cache if k[0] == "sharded-collect"]
+    assert live and live[0][1] == e._layout_epoch
+    frame, _, _ = e._batch_plan_cache[live[0]]
+    # the cached frame must read the LIVE 8-shard persisted layout
+    assert frame.rdd.getNumPartitions() == e.sharded.rdd.getNumPartitions()
+    assert set(ref) == set(got)
+    for q in ref:
+        assert [d for d, _ in ref[q]] == [d for d, _ in got[q]], q

@@ -21,9 +21,11 @@ Spark-first physical strategy (SURVEY.md §3.2 "Spark equivalent"):
 from __future__ import annotations
 
 import math
+import re
 import threading
 from collections.abc import Iterator
 from functools import reduce
+from urllib.parse import unquote
 
 import numpy as np
 import pandas as pd
@@ -277,6 +279,22 @@ class _LruCache:
         self._d.clear()
 
 
+def _df_slice_keys(df: DataFrame) -> set[str]:
+    """Slice partition keys covered by a file-backed DataFrame's OWN
+    snapshot (``inputFiles`` — the listing Spark fixed at read time).
+    Used instead of re-listing the directory so the layout's coverage
+    set can never drift from what the DataFrame actually scans: a
+    segment appended between ``open`` and ``enable_serving_layout``
+    must count as NOT covered (it isn't in the snapshot), and a fresh
+    listing would silently claim it."""
+    keys: set[str] = set()
+    for p in df.inputFiles():
+        m = re.search(r"/slice=([^/]+)/", p)
+        if m:
+            keys.add(unquote(m.group(1)))
+    return keys
+
+
 class SearchEngine:
     """Query executor over a built index.
 
@@ -341,6 +359,18 @@ class SearchEngine:
         #: model — an index is served as document shards, each a
         #: complete index over a doc subset; queries fan out and merge).
         self.sharded: DataFrame | None = None
+        #: the index directory this engine was opened from (None for
+        #: from_corpus engines); refresh() re-lists it for appended
+        #: segments
+        self.index_dir: str | None = None
+        #: independently persisted layout pieces (one per
+        #: enable/refresh increment) whose union is ``sharded``; each
+        #: shards its own doc population with its own quantile bounds
+        self._layout_pieces: list[DataFrame] = []
+        #: postings slices covered by the current layout, and its shard
+        #: count — refresh() shard-splits only what's new
+        self._layout_slices: set[str] = set()
+        self._layout_shards: int | None = None
         #: bumped every enable/disable_serving_layout; part of the
         #: sharded batch-plan cache key, so plans compiled over a
         #: previous (since-unpersisted) layout can never be served —
@@ -495,7 +525,7 @@ class SearchEngine:
             lexicon = catalog.read_lexicon(spark, index_dir)
         except Exception:
             lexicon = None
-        return cls(
+        eng = cls(
             spark,
             catalog.read_postings(spark, index_dir),
             catalog.read_docstats(spark, index_dir),
@@ -503,6 +533,8 @@ class SearchEngine:
             HashSplitterConfig.from_json(stats["config"]),
             lexicon=lexicon,
         )
+        eng.index_dir = index_dir
+        return eng
 
     def enable_serving_layout(
         self, n_shards: int | None = None
@@ -540,12 +572,30 @@ class SearchEngine:
         if n_shards is None:
             n_shards = self.spark.sparkContext.defaultParallelism
         n_shards = max(1, int(n_shards))
+        piece = self._split_to_shards(self.postings, self.docstats, n_shards)
+        self.sharded = piece
+        self._layout_pieces = [piece]
+        self._layout_shards = n_shards
+        self._layout_slices = (
+            _df_slice_keys(self.postings) if self.index_dir else set()
+        )
+        self._layout_epoch += 1
+        return self
+
+    def _split_to_shards(
+        self, blocks: DataFrame, stats_src: DataFrame, n_shards: int
+    ) -> DataFrame:
+        """Shard-split one set of posting blocks: quantile doc-shard
+        bounds from ``stats_src`` (equal-population over ITS docs —
+        each layout piece shards its own doc population, so appended
+        segments never skew an old piece's bounds), split + re-encode,
+        co-partition by shard, persist + materialize."""
         if n_shards > 1:
             qs = [i / n_shards for i in range(1, n_shards)]
             bounds = sorted(
                 {
                     int(b)
-                    for b in self.docstats.stat.approxQuantile(
+                    for b in stats_src.stat.approxQuantile(
                         "doc_id", qs, 0.001
                     )
                 }
@@ -553,32 +603,114 @@ class SearchEngine:
         else:
             bounds = []
         b_arr = np.asarray(bounds, dtype=np.int64)
-        sharded = (
-            self.postings.select("term", "docs", "tfs", "dls")
+        piece = (
+            blocks.select("term", "docs", "tfs", "dls")
             .mapInPandas(_shard_split_fn(b_arr), schema=_SHARDED_SCHEMA)
             .repartition(n_shards, "shard")
             .persist()
         )
-        sharded.count()
-        self.sharded = sharded
-        self._layout_epoch += 1
-        return self
+        piece.count()
+        return piece
 
     def disable_serving_layout(self) -> None:
         if self.sharded is not None:
-            self.sharded.unpersist()
-            self.sharded = None
-            self._layout_epoch += 1
-            # drop plans compiled over the now-unpersisted layout: a
-            # later epoch can never hit them (epoch is in the key) and
-            # keeping them would only evict live entries
-            with self._cache_lock:
-                for key in [
-                    k
-                    for k in self._batch_plan_cache
-                    if k[0] == "sharded-collect"
-                ]:
-                    del self._batch_plan_cache[key]
+            for piece in self._layout_pieces:
+                piece.unpersist()
+            self._detach_layout()
+
+    def _detach_layout(self) -> None:
+        """Drop this engine's layout bookkeeping WITHOUT unpersisting
+        the pieces (used when ownership moves to a refreshed engine —
+        :meth:`disable_serving_layout` is the unpersisting variant)."""
+        self.sharded = None
+        self._layout_pieces = []
+        self._layout_slices = set()
+        self._layout_shards = None
+        self._layout_epoch += 1
+        # drop plans compiled over the detached layout: a later epoch
+        # can never hit them (epoch is in the key) and keeping them
+        # would only evict live entries
+        with self._cache_lock:
+            for key in [
+                k
+                for k in self._batch_plan_cache
+                if k[0] == "sharded-collect"
+            ]:
+                del self._batch_plan_cache[key]
+
+    def refresh(self) -> "SearchEngine":
+        """Pick up segments appended since :meth:`open` — ES's refresh
+        operation (new segments become searchable; SURVEY §3.1 step 4)
+        for a long-lived serving engine.
+
+        Returns a NEW engine over the current file listing — fresh
+        snapshot, stats, and caches, which is forced: every append
+        moves the GLOBAL n_docs/avgdl/df, so every cached
+        score-bearing value in the old engine is stale by
+        construction. If this engine has a serving layout it is
+        carried forward INCREMENTALLY and ownership moves to the new
+        engine: only slices added since the layout was built are
+        shard-split (one pruned scan over just those slice
+        directories, quantile bounds over just their docs), and the
+        already-persisted pieces are reused with zero recompute — the
+        refresh cost is O(new segment), not O(index). The old engine's
+        layout is detached (re-enable it if the old engine stays in
+        use).
+
+        Partition-completeness argument: a segment indexes exactly the
+        docs ingested with it, so a doc's postings never span layout
+        pieces; the per-doc score sums and conjunction masks the
+        sharded kernel computes per partition stay complete under a
+        union of independently-sharded pieces, and cross-partition
+        ranking was already the driver merge's job. This requires
+        doc-unique ingest (``stream_index(on_duplicate=
+        "skip_existing")`` or naturally unique ids): an append-mode
+        re-ingest of an existing doc_id leaves the copies in different
+        pieces, where the full relayout (and the shuffle plan) would
+        merge their contributions into one score. Compaction rewrites
+        slices; a layout whose covered slices are gone falls back to a
+        full rebuild at the same shard count.
+        """
+        if self.index_dir is None:
+            raise ValueError(
+                "refresh() requires an engine opened with "
+                "SearchEngine.open (from_corpus engines have no "
+                "on-disk listing to refresh from)"
+            )
+        new = SearchEngine.open(self.spark, self.index_dir)
+        if self.sharded is None:
+            return new
+        n_shards = self._layout_shards or 1
+        current = _df_slice_keys(new.postings)
+        if not (self._layout_slices <= current):
+            # covered slices were compacted/rewritten: the persisted
+            # pieces describe files that no longer exist
+            self.disable_serving_layout()
+            new.enable_serving_layout(n_shards)
+            return new
+        fresh = sorted(current - self._layout_slices)
+        pieces = list(self._layout_pieces)
+        if fresh:
+            # `slice` is a partition column, so both scans prune to
+            # the new segment directories only
+            sel = F.col("slice").cast("string").isin(fresh)
+            pieces.append(
+                new._split_to_shards(
+                    new.postings.where(sel),
+                    new.docstats.where(sel),
+                    n_shards,
+                )
+            )
+        sharded = pieces[0]
+        for piece in pieces[1:]:
+            sharded = sharded.unionByName(piece)
+        new.sharded = sharded
+        new._layout_pieces = pieces
+        new._layout_shards = n_shards
+        new._layout_slices = current
+        new._layout_epoch += 1
+        self._detach_layout()
+        return new
 
     def _term_stats(self, terms: list[str]) -> list:
         """(term, df, max_tf, min_dl) rows for a few query terms — from

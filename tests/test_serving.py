@@ -362,3 +362,152 @@ def test_relayout_invalidates_sharded_plan_cache(spark):
     assert set(ref) == set(got)
     for q in ref:
         assert [d for d, _ in ref[q]] == [d for d, _ in got[q]], q
+
+
+# ---------------------------------------------------------------------------
+# refresh(): a long-lived serving engine picks up appended segments — ES's
+# refresh operation (SURVEY §3.1 step 4). The serving layout carries forward
+# incrementally: only new slices are shard-split; persisted pieces are reused.
+# ---------------------------------------------------------------------------
+
+from elasticsearch_analysis_hashsplitter_spark.config import (  # noqa: E402
+    HashSplitterConfig,
+)
+from elasticsearch_analysis_hashsplitter_spark.streaming.incremental import (  # noqa: E402
+    maybe_compact,
+    refresh_stats,
+    stream_index,
+)
+
+SCFG = HashSplitterConfig(
+    chunk_length=4, token_mode="tokens", apply_input_cap=False
+)
+S_SCHEMA = "doc_id long, content string"
+S_BATCH1 = [
+    (0, "spark join window merge"),
+    (1, "spark spark filter scan"),
+    (2, "join window batch"),
+]
+S_BATCH2 = [
+    (3, "window window spark"),
+    (4, "merge sort scan filter spark join"),
+]
+S_QUERIES = ["spark", "join", "window", "merge", "scan"]
+
+
+def _ingest(spark, tmp_path, batch, n):
+    """Append one micro-batch segment to the index under tmp_path."""
+    src = tmp_path / "src"
+    idx = str(tmp_path / "idx")
+    ckpt = str(tmp_path / "ckpt")
+    spark.createDataFrame(batch, S_SCHEMA).write.parquet(str(src / f"b{n}"))
+    q = stream_index(
+        spark, str(src / "*"), S_SCHEMA, SCFG, idx, ckpt,
+        num_partitions=2, on_duplicate="skip_existing",
+    )
+    q.awaitTermination()
+    refresh_stats(spark, idx, SCFG)
+    return idx
+
+
+def _sharded_answers(eng, values, k=5):
+    qmap = {v: list(qc.field_query(v, SCFG).terms) for v in values}
+    return bm25_topk_batch_collect(eng, qmap, k=k)
+
+
+def test_refresh_requires_open(eng):
+    with pytest.raises(ValueError, match="open"):
+        eng.refresh()
+
+
+def test_refresh_without_layout_sees_new_segment(spark, tmp_path):
+    idx = _ingest(spark, tmp_path, S_BATCH1, 0)
+    old = SearchEngine.open(spark, idx)
+    assert old.stats["n_docs"] == 3
+    _ingest(spark, tmp_path, S_BATCH2, 1)
+    new = old.refresh()
+    assert new.stats["n_docs"] == 5
+    assert sorted(r.doc_id for r in new.term("spark").collect()) == [0, 1, 3, 4]
+
+
+def test_refresh_carries_layout_incrementally(spark, tmp_path):
+    """Only the appended slice is shard-split; the already-persisted
+    piece is reused by OBJECT identity; scores use the refreshed global
+    stats, matching the unsharded plan over the full index to 1e-9."""
+    idx = _ingest(spark, tmp_path, S_BATCH1, 0)
+    old = SearchEngine.open(spark, idx)
+    old.enable_serving_layout(4)
+    piece0 = old._layout_pieces[0]
+    assert old._layout_slices  # coverage recorded from the snapshot
+
+    _ingest(spark, tmp_path, S_BATCH2, 1)
+    new = old.refresh()
+
+    # ownership moved: old engine detached, piece reused not rebuilt
+    assert old.sharded is None and old._layout_pieces == []
+    assert new._layout_shards == 4
+    assert len(new._layout_pieces) == 2
+    assert new._layout_pieces[0] is piece0
+
+    # answers: sharded refreshed engine == unsharded full rebuild
+    full = SearchEngine.open(spark, idx)
+    got = _sharded_answers(new, S_QUERIES)
+    ref = _sharded_answers(full, S_QUERIES)
+    assert set(got) == set(ref)
+    for q in ref:
+        assert [d for d, _ in got[q]] == [d for d, _ in ref[q]], q
+        for (_, a), (_, b) in zip(got[q], ref[q]):
+            assert a == pytest.approx(b, rel=1e-9), q
+    # docs from the appended segment are served
+    assert {d for d, _ in got["window"]} >= {3}
+
+    # a second refresh with nothing new appended reuses BOTH pieces
+    pieces_before = list(new._layout_pieces)
+    newer = new.refresh()
+    assert new._layout_pieces == []  # ownership moved again
+    assert newer._layout_pieces == pieces_before
+    newer.disable_serving_layout()
+
+
+def test_refresh_after_compaction_rebuilds_layout(spark, tmp_path):
+    """Compaction rewrites the covered slices, so the persisted pieces
+    describe files that no longer exist — refresh must fall back to a
+    full relayout at the same shard count, and still answer exactly."""
+    idx = _ingest(spark, tmp_path, S_BATCH1, 0)
+    old = SearchEngine.open(spark, idx)
+    old.enable_serving_layout(3)
+    _ingest(spark, tmp_path, S_BATCH2, 1)
+    assert maybe_compact(spark, idx, SCFG, max_slices=1) is not None
+
+    new = old.refresh()
+    assert old.sharded is None
+    assert len(new._layout_pieces) == 1  # full rebuild, not carry-forward
+    assert new._layout_shards == 3
+    assert new._layout_slices == {"compacted"}
+
+    full = SearchEngine.open(spark, idx)
+    got = _sharded_answers(new, S_QUERIES)
+    ref = _sharded_answers(full, S_QUERIES)
+    assert set(got) == set(ref)
+    for q in ref:
+        assert [d for d, _ in got[q]] == [d for d, _ in ref[q]], q
+    new.disable_serving_layout()
+
+
+def test_enable_layout_covers_only_the_snapshot(spark, tmp_path):
+    """A segment appended between open() and enable_serving_layout()
+    must NOT be claimed as covered (the engine's snapshot predates it):
+    the next refresh() shard-splits it instead of silently dropping it."""
+    idx = _ingest(spark, tmp_path, S_BATCH1, 0)
+    old = SearchEngine.open(spark, idx)
+    _ingest(spark, tmp_path, S_BATCH2, 1)  # after open, before enable
+    old.enable_serving_layout(2)
+    assert len(old._layout_slices) == 1  # only the snapshot's slice
+
+    new = old.refresh()
+    assert len(new._layout_pieces) == 2  # the missed slice was split
+    got = _sharded_answers(new, S_QUERIES)
+    ref = _sharded_answers(SearchEngine.open(spark, idx), S_QUERIES)
+    for q in ref:
+        assert [d for d, _ in got[q]] == [d for d, _ in ref[q]], q
+    new.disable_serving_layout()

@@ -85,9 +85,18 @@ def _content_for_ids(ids: np.ndarray, seed: int) -> list[str]:
 
 
 def generate_corpus(
-    spark: SparkSession, n_rows: int, seed: int = 42, partitions: int | None = None
+    spark: SparkSession,
+    n_rows: int,
+    seed: int = 42,
+    partitions: int | None = None,
+    start: int = 0,
 ) -> DataFrame:
-    """-> DataFrame(doc_id, repo, path, commit, lang, content)."""
+    """-> DataFrame(doc_id, repo, path, commit, lang, content).
+
+    ``start`` offsets the doc_id range (rows are a pure function of id +
+    seed, so ``start=N`` yields exactly the rows a ``start=0`` corpus of
+    ``N + n_rows`` would add after its first N — an append batch for
+    refresh/ingest probes)."""
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -111,7 +120,7 @@ def generate_corpus(
                 }
             )
 
-    rng = spark.range(n_rows, numPartitions=partitions)
+    rng = spark.range(start, start + n_rows, numPartitions=partitions)
     return rng.mapInPandas(
         gen,
         schema=(

@@ -24,6 +24,7 @@ from __future__ import annotations
 import json
 import os
 import sys
+import threading
 import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
@@ -228,6 +229,63 @@ def qps_warm_run(
         for r in eng.search(conc_reqs["c0"], 10).collect()
     ]
     got = [(d, round(s, 6)) for d, s in served["c0"]]
+
+    # per-request latency under sustained load: a long-lived coalescer
+    # serving N client threads that each issue a back-to-back stream of
+    # requests (an open server session, not one serve() burst) — what a
+    # client actually observes: enqueue -> coalesced batch -> fan-out.
+    from elasticsearch_analysis_hashsplitter_spark.operators.search import (
+        ServeCoalescer,
+    )
+    import concurrent.futures as cf
+
+    per_client = max(conc_n // conc_workers, 4)
+    coal = ServeCoalescer(eng, k=10)
+    lat_lock = threading.Lock()
+    lats: list = []
+
+    def client_session(ci: int) -> None:
+        for j in range(per_client):
+            v = tokens[(ci * per_client + j) % len(tokens)]
+            t1 = time.monotonic()
+            coal.request(v)
+            dt = time.monotonic() - t1
+            with lat_lock:
+                lats.append(dt)
+
+    try:
+        with cf.ThreadPoolExecutor(max_workers=conc_workers) as ex:
+            list(ex.map(client_session, range(conc_workers)))  # warm
+        lats.clear()
+        t0 = time.time()
+        with cf.ThreadPoolExecutor(max_workers=conc_workers) as ex:
+            list(ex.map(client_session, range(conc_workers)))
+        sess_dt = time.time() - t0
+    finally:
+        coal.close()
+    lats.sort()
+
+    def pct(p: float) -> float:
+        return round(lats[min(int(p * len(lats)), len(lats) - 1)], 3)
+
+    p50, p95, p99 = pct(0.50), pct(0.95), pct(0.99)
+    lats = []  # hot-tier sessions append here too; percentiles captured
+
+    # hot-repeat tier: the request-result cache (ES request-cache
+    # analogue) answers repeated queries driver-side with no job — the
+    # first session populates it, the second measures pure cache serving
+    coal = ServeCoalescer(eng, k=10, result_cache=True)
+    try:
+        with cf.ThreadPoolExecutor(max_workers=conc_workers) as ex:
+            list(ex.map(client_session, range(conc_workers)))  # populate
+        t0 = time.time()
+        with cf.ThreadPoolExecutor(max_workers=conc_workers) as ex:
+            list(ex.map(client_session, range(conc_workers)))
+        hot_dt = time.time() - t0
+        hot_hits = coal.cache_hits
+    finally:
+        coal.close()
+
     out = {
         "cached_blocks": n_blocks if postings_cached else 0,
         "total_blocks": n_blocks,
@@ -247,6 +305,13 @@ def qps_warm_run(
         "concurrent_seconds": round(conc_dt, 3),
         "concurrent_qps": round(conc_n / conc_dt, 2),
         "concurrent_matches_sequential": got == ref,
+        "session_queries": conc_workers * per_client,
+        "session_qps": round(conc_workers * per_client / sess_dt, 2),
+        "latency_p50_seconds": p50,
+        "latency_p95_seconds": p95,
+        "latency_p99_seconds": p99,
+        "hot_repeat_qps": round(conc_workers * per_client / hot_dt, 2),
+        "hot_repeat_cache_hits": hot_hits,
     }
     eng.disable_serving_layout()
     if postings_cached:

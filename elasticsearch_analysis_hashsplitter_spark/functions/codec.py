@@ -47,23 +47,43 @@ def varbyte_encode(values: np.ndarray) -> bytes:
 
 
 def varbyte_decode(blob: bytes) -> np.ndarray:
-    """Decode varbyte bytes back to a uint64 array."""
+    """Decode varbyte bytes back to a uint64 array.
+
+    Tiered by byte-width pattern — decode is the serving hot path (a
+    64-hot-query batch at 1M docs decodes ~half a billion values per
+    job, measured r5):
+
+    * all 1-byte (hot-term doc deltas — avg delta n_docs/df; tf
+      streams): the bytes ARE the values — one astype, 11x the general
+      path;
+    * all 2-byte (dl streams at avgdl ~350; mid-df deltas): two strided
+      views + shift-or, 4-7x;
+    * mixed: loop over byte position within value (<= 10 vector ops,
+      each touching only values that long), which also avoids the old
+      ``np.add.at`` unbuffered scatter — 1.1-2x and far fewer temp
+      allocations (less GC churn under a 32-thread local run).
+    """
     raw = np.frombuffer(blob, dtype=np.uint8)
-    if raw.size == 0:
+    n = raw.size
+    if n == 0:
         return np.empty(0, dtype=np.uint64)
-    is_last = (raw & 0x80) == 0
+    hi = raw & 0x80
+    if not hi.any():
+        return raw.astype(np.uint64)
+    if n % 2 == 0 and (hi[0::2] == 0x80).all() and not hi[1::2].any():
+        lo = (raw[0::2] & 0x7F).astype(np.uint64)
+        return lo | (raw[1::2].astype(np.uint64) << np.uint64(7))
+    is_last = hi == 0
     ends = np.flatnonzero(is_last)
     starts = np.empty_like(ends)
     starts[0] = 0
     starts[1:] = ends[:-1] + 1
     payload = (raw & 0x7F).astype(np.uint64)
-    # position of each byte within its value
-    byte_pos = np.arange(raw.size, dtype=np.int64)
-    value_idx = np.cumsum(np.concatenate(([0], is_last[:-1].astype(np.int64))))
-    within = byte_pos - starts[value_idx]
-    contrib = payload << (np.uint64(7) * within.astype(np.uint64))
-    out = np.zeros(ends.size, dtype=np.uint64)
-    np.add.at(out, value_idx, contrib)
+    out = payload[starts].copy()
+    lens = ends - starts  # extra bytes beyond the first, per value
+    for j in range(1, int(lens.max()) + 1):
+        sel = np.flatnonzero(lens >= j)
+        out[sel] |= payload[starts[sel] + j] << np.uint64(7 * j)
     return out
 
 

@@ -352,6 +352,20 @@ class SearchEngine:
         #: pays zero driver plan work per re-run (see bm25_topk_batch).
         self._batch_plan_cache: dict[tuple, object] = {}
         self._batch_plan_cache_max = 32
+        #: request-result cache for the serving path (ES's request
+        #: cache, reference `README.md` serving model): finished top-k
+        #: answers keyed by (analyzed terms, k, layout epoch) — a
+        #: repeated hot query is answered driver-side with NO job.
+        #: Correctness: an opened engine's index is immutable (appends
+        #: require :meth:`refresh`, which returns a NEW engine with
+        #: fresh caches), so an entry can only go stale through a
+        #: layout switch — which doesn't change ranks but can change
+        #: float-sum order — and the epoch in the key covers that,
+        #: keeping served scores byte-stable against the CURRENT
+        #: plan's. Entries are k-row tuples (~100 floats); 4096 of
+        #: them is a few MB. Off by default in serve(); opt in with
+        #: ``result_cache=True``.
+        self._result_cache = _LruCache(4096)
         #: doc-sharded serving layout (None until
         #: :meth:`enable_serving_layout`): posting blocks re-split at
         #: doc-shard boundaries and co-partitioned by shard, so batch
@@ -570,7 +584,20 @@ class SearchEngine:
         if self.sharded is not None:
             return self
         if n_shards is None:
-            n_shards = self.spark.sparkContext.defaultParallelism
+            # default to 4x the core count, not 1x: shard tasks are
+            # Python-kernel-heavy (decode + emit + sort peak memory
+            # scales with the shard's posting slice), and 4x-smaller
+            # tasks measurably beat core-matched ones at 1M docs —
+            # mean 64-query batch latency roughly halved and
+            # rep-to-rep variance collapsed (r5 serving probe:
+            # 32 shards [9.9..54.9]s vs 128 shards [3.3..16.6]s vs
+            # 256 [6.1..13.2]s on local[32]) because smaller
+            # allocations sidestep the kernel-contention regime that
+            # 32 concurrent giant numpy workers trigger. On a real
+            # cluster the same rule bounds per-task memory as data
+            # grows; callers pin an explicit count for reproducible
+            # comparisons (bench fixes it across scaling levels).
+            n_shards = 4 * self.spark.sparkContext.defaultParallelism
         n_shards = max(1, int(n_shards))
         piece = self._split_to_shards(self.postings, self.docstats, n_shards)
         self.sharded = piece
@@ -603,10 +630,21 @@ class SearchEngine:
         else:
             bounds = []
         b_arr = np.asarray(bounds, dtype=np.int64)
+        # term-sorted within each shard partition: the in-memory
+        # columnar cache keeps per-batch min/max stats, so a query
+        # batch's `term IN (...)` scan deserializes ONLY the cached
+        # batches containing its terms instead of the whole layout —
+        # at 1M docs the unsorted layout's every-scan full
+        # deserialization (several GB of blob byte[] per query batch)
+        # drove 3-10x rep-to-rep GC variance (r5 serving probe). The
+        # sort runs once inside the persist job; scans hit the sorted
+        # cache, and no exchange is added (stage count stays 1,
+        # plan-audited).
         piece = (
             blocks.select("term", "docs", "tfs", "dls")
             .mapInPandas(_shard_split_fn(b_arr), schema=_SHARDED_SCHEMA)
             .repartition(n_shards, "shard")
+            .sortWithinPartitions("term")
             .persist()
         )
         piece.count()
@@ -910,6 +948,7 @@ class SearchEngine:
         coalesce: bool = True,
         window_ms: float = 4.0,
         max_batch: int = 64,
+        result_cache: bool = False,
     ) -> dict:
         """Concurrent query serving with adaptive request coalescing.
 
@@ -936,6 +975,11 @@ class SearchEngine:
         own FAIR scheduler pool via ``setLocalProperty`` (PySpark pins
         Python threads to JVM threads, so the property is per-request).
 
+        ``result_cache=True`` additionally serves repeated queries from
+        the engine's request-result cache (no job at all for a hot
+        repeat — see ``_result_cache`` init notes for why that is safe
+        on an immutable-once-opened index).
+
         ``requests``: dict query_id -> value (or iterable of (query_id,
         value) pairs), analyzed exactly like :meth:`search`. Returns
         query_id -> list of (doc_id, score) tuples.
@@ -959,7 +1003,7 @@ class SearchEngine:
         if coalesce:
             coal = ServeCoalescer(
                 self, k=k, window_ms=window_ms, max_batch=max_batch,
-                pool=pool_prefix,
+                pool=pool_prefix, result_cache=result_cache,
             )
             try:
                 # worker threads model concurrent clients: each blocks
@@ -1748,6 +1792,7 @@ class ServeCoalescer:
         window_ms: float = 4.0,
         max_batch: int = 64,
         pool: str = "hashsplitter-serve",
+        result_cache: bool = False,
     ):
         import queue
 
@@ -1756,6 +1801,10 @@ class ServeCoalescer:
         self.window_s = window_ms / 1000.0
         self.max_batch = max_batch
         self.pool = pool
+        self.result_cache = result_cache
+        #: requests answered from the engine's request-result cache
+        #: (diagnostics + pytest assertion hook)
+        self.cache_hits = 0
         self._q: "queue.Queue" = queue.Queue()
         self._thread = threading.Thread(
             target=self._loop, name="hashsplitter-coalescer", daemon=True
@@ -1815,6 +1864,7 @@ class ServeCoalescer:
         try:
             qmap: dict[str, list] = {}
             futs: dict[str, list] = {}
+            epoch = eng._layout_epoch
             for i, (value, fut) in enumerate(batch):
                 node = qc.field_query(value, eng.cfg, scored=True)
                 if isinstance(node, ir.MatchNone):
@@ -1823,6 +1873,15 @@ class ServeCoalescer:
                 # identical values share one batch slot (concurrent
                 # clients often ask the same hot query)
                 key = "\x00".join(node.terms)
+                if self.result_cache:
+                    with eng._cache_lock:
+                        hit = eng._result_cache.get(
+                            ("serve", epoch, key, self.k)
+                        )
+                    if hit is not None:
+                        self.cache_hits += 1
+                        fut.set_result(hit)
+                        continue
                 if key in futs:
                     futs[key].append(fut)
                 else:
@@ -1832,6 +1891,11 @@ class ServeCoalescer:
                 per = bm25_topk_batch_collect(eng, qmap, k=self.k)
                 for key, fs in futs.items():
                     res = per.get(key, [])
+                    if self.result_cache:
+                        with eng._cache_lock:
+                            eng._result_cache[
+                                ("serve", epoch, key, self.k)
+                            ] = res
                     for fut in fs:
                         fut.set_result(res)
         except BaseException as e:  # noqa: BLE001 — fan the error out
@@ -2466,7 +2530,14 @@ def _batch_scores(
                         w_arr[bsel],
                         m["midx"][bsel],
                     )
-                if qa.size:
+                if qa.size == 1:
+                    # most terms serve one query — skip the tile copy
+                    # and the outer-product machinery
+                    qidx_l.append(np.full(d.size, qa[0], dtype=np.int32))
+                    docs_l.append(d)
+                    tidx_l.append(np.full(d.size, ma[0], dtype=np.int32))
+                    contrib_l.append(wa[0] * norm)
+                elif qa.size:
                     qidx_l.append(np.repeat(qa, d.size))
                     docs_l.append(np.tile(d, qa.size))
                     tidx_l.append(np.repeat(ma, d.size))

@@ -53,6 +53,28 @@ def test_doc_ids_roundtrip(vals):
     assert np.array_equal(out, ids)
 
 
+def test_decode_tier_boundaries():
+    """The tiered decoder's three paths (all-1-byte, all-2-byte,
+    mixed byte-position loop) agree on vectors straddling the tier
+    boundaries, including patterns that LOOK like one tier but aren't
+    (e.g. an even-length mixed stream whose first byte has the high
+    bit set)."""
+    cases = [
+        [0], [127],                        # 1-byte tier
+        [128], [16383], [300, 5000],       # 2-byte tier
+        [127, 128], [128, 127],            # adjacent widths (mixed)
+        [16384], [2**63 - 1],              # 3+ bytes
+        [1, 2**62, 3],                     # width spread in one stream
+        [128, 16384, 0],                   # even byte count, mixed
+        list(range(120, 140)),             # crosses 1->2 byte boundary
+    ]
+    for vals in cases:
+        arr = np.array(vals, dtype=np.uint64)
+        assert np.array_equal(
+            varbyte_decode(varbyte_encode(arr)), arr
+        ), vals
+
+
 def test_counts_roundtrip():
     rng = np.random.RandomState(7)
     tfs = rng.randint(1, 1000, size=5000)

@@ -91,6 +91,44 @@ def test_coalescer_long_lived_and_dedup(eng):
         coal.close()
 
 
+def test_result_cache_serves_hot_repeats(eng):
+    """result_cache=True: a repeated query is answered driver-side from
+    the request-result cache (no batch job), byte-identical to the
+    uncached answer; the cache is keyed by layout epoch so a layout
+    switch can never serve the other plan's float-sum order."""
+    reqs = {f"c{i}": VALUES[i % len(VALUES)] for i in range(8)}
+    cold = eng.serve(reqs, k=5, max_workers=4, result_cache=True)
+    _assert_matches_sequential(eng, cold, reqs, 5)
+
+    coal = ServeCoalescer(eng, k=5, result_cache=True)
+    try:
+        hot = {qid: coal.request(v) for qid, v in reqs.items()}
+        # every request hit (entries were stored by the serve() above)
+        assert coal.cache_hits == len(reqs)
+        assert hot == cold
+    finally:
+        coal.close()
+
+    # epoch bump (layout switch) invalidates: same key, fresh compute
+    eng._layout_epoch += 1
+    coal2 = ServeCoalescer(eng, k=5, result_cache=True)
+    try:
+        again = coal2.request(reqs["c0"])
+        assert coal2.cache_hits == 0
+        assert [d for d, _ in again] == [d for d, _ in cold["c0"]]
+    finally:
+        coal2.close()
+        eng._layout_epoch -= 1
+
+    # default path stays uncached
+    coal3 = ServeCoalescer(eng, k=5)
+    try:
+        coal3.request(reqs["c0"])
+        assert coal3.cache_hits == 0
+    finally:
+        coal3.close()
+
+
 def test_batch_collect_matches_window_rank(eng):
     """bm25_topk_batch_collect (partition top-k combine + driver merge)
     must return exactly the Window-ranked bm25_topk_batch answers —

@@ -69,7 +69,10 @@ def main():
     ap.add_argument("--rows", type=int, default=1_000_000)
     ap.add_argument("--append-rows", type=int, default=100_000)
     ap.add_argument("--cores", type=int, default=int(os.environ.get("SPARK_GRAFT_CPUS", "32")))
-    ap.add_argument("--shards", type=int, default=32)
+    ap.add_argument(
+        "--shards", type=int, default=0,
+        help="0 = engine default (4x cores; bounds per-task memory)",
+    )
     ap.add_argument("--queries", type=int, default=64)
     ap.add_argument("--clients", type=int, default=8)
     ap.add_argument("--reps", type=int, default=3)
@@ -97,7 +100,7 @@ def main():
     out: dict = {
         "rows": args.rows,
         "cores": args.cores,
-        "shards": args.shards,
+        "shards": args.shards or "auto(4x cores)",
         "queries": args.queries,
         "clients": args.clients,
     }
@@ -145,7 +148,7 @@ def main():
 
         # ---- serving layout -----------------------------------------
         t0 = time.time()
-        eng.enable_serving_layout(args.shards)
+        eng.enable_serving_layout(args.shards or None)
         out["layout_build_seconds"] = round(time.time() - t0, 1)
         out["layout_sharded_blocks"] = eng.sharded.count()
 
@@ -222,7 +225,7 @@ def main():
         # O(new segment) vs O(index) comparison
         eng2.disable_serving_layout()
         t0 = time.time()
-        eng2.enable_serving_layout(args.shards)
+        eng2.enable_serving_layout(args.shards or None)
         out["full_relayout_seconds"] = round(time.time() - t0, 1)
         eng2.disable_serving_layout()
     finally:

@@ -389,14 +389,9 @@ def ivf_centroids(
     return c
 
 
-def ivf_assign(
-    df: DataFrame,
-    centroids: np.ndarray,
-    id_col: str = "vec_id",
-    vec_col: str = "embedding",
-) -> DataFrame:
-    """-> (vec_id, centroid): nearest-centroid assignment, one matrix
-    product per Arrow batch against the broadcast quantizer."""
+def _nearest_centroid_udf(centroids: np.ndarray):
+    """Arrow-batched nearest-centroid kernel against the broadcast
+    quantizer: one matrix product per batch."""
     c = np.asarray(centroids, dtype=np.float64)
 
     @F.pandas_udf(T.IntegerType())
@@ -405,6 +400,18 @@ def ivf_assign(
         m /= np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-12)
         return pd.Series((m @ c.T).argmax(axis=1).astype(np.int32))
 
+    return nearest
+
+
+def ivf_assign(
+    df: DataFrame,
+    centroids: np.ndarray,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """-> (vec_id, centroid): nearest-centroid assignment, one matrix
+    product per Arrow batch against the broadcast quantizer."""
+    nearest = _nearest_centroid_udf(centroids)
     return df.select(
         F.col(id_col).alias("vec_id"), nearest(F.col(vec_col)).alias("centroid")
     )
@@ -417,10 +424,26 @@ def ivf_index(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
-    """Persist the assignment table partitioned by centroid: a query
-    reads only its ``nprobe`` centroid partitions (partition pruning),
-    mirroring :func:`rp_lsh_index`."""
-    a = ivf_assign(df, centroids, id_col, vec_col)
+    """Persist (id, vector, centroid) partitioned by centroid — the
+    vectors THEMSELVES live in the index, so a query's candidate fetch
+    is a partition-pruned scan of its ``nprobe`` centroid partitions
+    and never touches the base table.
+
+    The 1M probe (BENCH.md, r5) caught the previous id-only layout:
+    with only (vec_id, centroid) persisted, :func:`ivf_topk` had to
+    semi-join the probed ids back against the FULL vector table — the
+    partition pruning saved nothing on the dominant scan, and the
+    probed path measured SLOWER than exact brute force (0.79 vs
+    0.55 s/query at 1M x 64-d, nprobe 32/256). Duplicating the vector
+    bytes into the index is the standard IVF trade: the index IS the
+    serving structure; at 100 TB the base table need not be read at
+    query time at all."""
+    nearest = _nearest_centroid_udf(centroids)
+    a = df.select(
+        F.col(id_col),
+        F.col(vec_col),
+        nearest(F.col(vec_col)).alias("centroid"),
+    )
     a.write.mode("overwrite").partitionBy("centroid").parquet(path)
     return df.sparkSession.read.parquet(path)
 
@@ -445,20 +468,29 @@ def ivf_topk(
     curve; pinned by tests/test_recall_defaults.py so knob drift is
     caught). Scale deployments raise n_centroids and keep nprobe/
     n_centroids near this ratio, or tune from their own recall curve
-    via tools/recall_report.py."""
+    via tools/recall_report.py.
+
+    Candidate fetch: when ``assignments`` carries the vector column
+    (an :func:`ivf_index` table), the probed centroids' partitions are
+    scanned directly (partition pruning — the only data read is
+    nprobe/n_centroids of the index; plan-audited in
+    tests/test_pipeline_ops.py). An id-only assignment table falls
+    back to a broadcast semi-join against the base table, which scans
+    the base table in full — fine ad hoc, wrong as a serving path."""
     c = np.asarray(centroids, dtype=np.float64)
     q = np.asarray(query, dtype=np.float64)
     q = q / max(np.linalg.norm(q), 1e-12)
     probe = np.argsort(-(c @ q))[: min(nprobe, len(c))]
     if assignments is None:
         assignments = ivf_assign(df, c, id_col, vec_col)
-    match = (
-        assignments.where(
-            F.col("centroid").isin([int(j) for j in probe])
+    probed = assignments.where(
+        F.col("centroid").isin([int(j) for j in probe])
+    )
+    if vec_col in assignments.columns:
+        cand = probed.select(id_col, vec_col)
+    else:
+        match = probed.select("vec_id")
+        cand = df.join(
+            F.broadcast(match), df[id_col] == match["vec_id"], "left_semi"
         )
-        .select("vec_id")
-    )
-    cand = df.join(
-        F.broadcast(match), df[id_col] == match["vec_id"], "left_semi"
-    )
     return cosine_topk(cand, query, k, id_col, vec_col)

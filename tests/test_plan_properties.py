@@ -81,3 +81,36 @@ def test_ann_index_partition_pruning(spark, tmp_path):
     plan = _plan(rp_lsh_topk(df, q, k=3, n_bits=16, bands=4, buckets=idx))
     assert "PartitionFilters" in plan and "band" in plan
     assert "EqualTo(key," in plan
+
+
+def test_ivf_index_pruned_scan_never_reads_base_table(spark, tmp_path):
+    """Serving from an ivf_index table: the probed read is a
+    partition-pruned scan of the nprobe centroid partitions carrying
+    the vectors themselves — NO join back to the base table (the 1M
+    probe measured the old id-only semi-join layout slower than exact
+    brute force, because the dominant scan was never pruned)."""
+    import numpy as np
+
+    from elasticsearch_analysis_hashsplitter_spark.operators.similarity import (
+        ivf_centroids,
+        ivf_index,
+        ivf_topk,
+    )
+
+    rng = np.random.RandomState(1)
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in rng.normal(size=8)]) for i in range(200)],
+        "vec_id long, embedding array<double>",
+    )
+    q = [float(x) for x in rng.normal(size=8)]
+    cents = ivf_centroids(df, n_centroids=8, sample_rows=200)
+    idx = ivf_index(df, cents, str(tmp_path / "ivf"))
+    served = ivf_topk(df, q, cents, k=3, nprobe=2, assignments=idx)
+
+    plan = _plan(served)
+    import re
+
+    assert re.search(r"PartitionFilters: \[centroid#\d+ IN \(", plan)
+    assert "Join" not in plan  # vectors come from the index partitions
+    # exactly one file-scan node: the index; the in-memory base df is absent
+    assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 1

@@ -220,6 +220,128 @@ def embed_probe(
     return out
 
 
+def ivf_probe(
+    spark, n_vecs: int, dim: int = 64, n_centroids: int = 256,
+    nprobes=(8, 16, 32), k: int = 10, n_queries: int = 32,
+) -> dict:
+    """IVF ANN at scale: quantizer train cost, assignment/index build
+    rate, per-centroid occupancy (the skew that decides probe-side
+    balance), and — against per-query EXACT brute-force truth — warm
+    latency + recall@k per nprobe. Completes the 1M evidence set for
+    the ANN tier (LSH was covered by embed_probe)."""
+    import shutil
+    import tempfile
+
+    from elasticsearch_analysis_hashsplitter_spark.corpus import (
+        generate_embeddings,
+    )
+    from elasticsearch_analysis_hashsplitter_spark.operators.similarity import (
+        cosine_topk,
+        ivf_centroids,
+        ivf_index,
+        ivf_topk,
+    )
+
+    vecs = generate_embeddings(spark, n_vecs, dim=dim).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    vecs.count()
+
+    t0 = time.time()
+    cents = ivf_centroids(
+        vecs, n_centroids=n_centroids, dim=dim, sample_rows=65536
+    )
+    t_train = time.time() - t0
+
+    idx_dir = tempfile.mkdtemp(prefix="hs_ivf_probe_")
+    try:
+        t0 = time.time()
+        assign = ivf_index(vecs, cents, os.path.join(idx_dir, "ivf"))
+        n_assigned = assign.count()
+        t_index = time.time() - t0
+
+        occ = (
+            assign.groupBy("centroid").count()
+            .agg(
+                F.max("count").alias("mx"),
+                F.expr("percentile_approx(count, 0.99)").alias("p99"),
+                F.avg("count").alias("mean"),
+                F.count("*").alias("n"),
+            )
+            .collect()[0]
+        )
+
+        # query at planted-pair BASES (vec_id % 10 == 0 has a near-copy
+        # at vec_id + 9, cosine ~0.99): recall over uniform-noise
+        # neighbors (cosine ~0 +- 1/sqrt(dim)) is a meaningless bar;
+        # the neighbor an LLM-dedup pipeline must find is the planted
+        # one, reported separately as planted_hit_rate.
+        step = (n_vecs // n_queries) // 10 * 10
+        qids = [int(i * step) for i in range(n_queries)]
+        qvecs = {
+            r["vec_id"]: list(r["embedding"])
+            for r in vecs.where(F.col("vec_id").isin(qids)).collect()
+        }
+        truth = {}
+        t0 = time.time()
+        for qid, qv in qvecs.items():
+            truth[qid] = [
+                r["vec_id"] for r in cosine_topk(vecs, qv, k=k).collect()
+            ]
+        t_exact = time.time() - t0
+
+        tiers = {}
+        for nprobe in nprobes:
+            # warm one query untimed (plan compile), then time the sweep
+            ivf_topk(
+                vecs, next(iter(qvecs.values())), cents, k=k,
+                nprobe=nprobe, assignments=assign,
+            ).collect()
+            hits = tot = planted = 0
+            t0 = time.time()
+            for qid, qv in qvecs.items():
+                got = [
+                    r["vec_id"]
+                    for r in ivf_topk(
+                        vecs, qv, cents, k=k, nprobe=nprobe,
+                        assignments=assign,
+                    ).collect()
+                ]
+                hits += len(set(got) & set(truth[qid]))
+                tot += k
+                planted += int(qid + 9 in got)
+            dt = time.time() - t0
+            tiers[str(nprobe)] = {
+                "recall_at_k": round(hits / tot, 4),
+                "planted_hit_rate": round(planted / n_queries, 4),
+                "mean_query_seconds": round(dt / n_queries, 3),
+            }
+
+        out = {
+            "section": "ann_ivf",
+            "vectors": int(n_vecs),
+            "dim": dim,
+            "n_centroids": n_centroids,
+            "k": k,
+            "queries": n_queries,
+            "train_seconds": round(t_train, 1),
+            "index_seconds": round(t_index, 1),
+            "index_vectors_per_sec": int(n_assigned / t_index),
+            "centroid_occupancy": {
+                "max": int(occ["mx"]),
+                "p99": int(occ["p99"]),
+                "mean": round(float(occ["mean"]), 1),
+                "centroids_used": int(occ["n"]),
+            },
+            "exact_mean_query_seconds": round(t_exact / n_queries, 3),
+            "nprobe_tiers": tiers,
+        }
+    finally:
+        shutil.rmtree(idx_dir, ignore_errors=True)
+    vecs.unpersist()
+    return out
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--docs", type=int, default=1_000_000)
@@ -227,7 +349,7 @@ def main():
     ap.add_argument("--cpus", type=int,
                     default=int(os.environ.get("SPARK_GRAFT_CPUS", "32")))
     ap.add_argument("--shuffle-partitions", type=int, default=128)
-    ap.add_argument("--section", choices=["all", "minhash", "embed"],
+    ap.add_argument("--section", choices=["all", "minhash", "embed", "ivf"],
                     default="all")
     args = ap.parse_args()
     spark = make_spark(args.cpus, args.shuffle_partitions)
@@ -236,6 +358,8 @@ def main():
             print(json.dumps(minhash_probe(spark, args.docs)), flush=True)
         if args.section in ("all", "embed"):
             print(json.dumps(embed_probe(spark, args.vecs)), flush=True)
+        if args.section in ("all", "ivf"):
+            print(json.dumps(ivf_probe(spark, args.vecs)), flush=True)
     finally:
         spark.stop()
 

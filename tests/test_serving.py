@@ -549,3 +549,44 @@ def test_enable_layout_covers_only_the_snapshot(spark, tmp_path):
     for q in ref:
         assert [d for d, _ in got[q]] == [d for d, _ in ref[q]], q
     new.disable_serving_layout()
+
+
+@pytest.mark.parametrize("n_lanes", [1, 2, 3])
+def test_serve_lanes_match_sequential(eng, n_lanes):
+    """Pipelined dispatch lanes change only WHEN batches execute
+    (overlapped vs sequential), never what they answer: every lane
+    count returns search()'s own answers for every client."""
+    reqs = {f"c{i}": VALUES[i % len(VALUES)] for i in range(12)}
+    served = eng.serve(reqs, k=5, max_workers=4, n_lanes=n_lanes)
+    assert set(served) == set(reqs)
+    _assert_matches_sequential(eng, served, reqs, 5)
+
+
+def test_coalescer_lanes_close_flushes_in_flight(eng):
+    """close() resolves every outstanding request across all lanes —
+    no future is left pending when batches are in flight on close."""
+    import concurrent.futures as cf
+
+    coal = ServeCoalescer(eng, k=5, n_lanes=2, window_ms=1.0)
+    try:
+        with cf.ThreadPoolExecutor(max_workers=6) as ex:
+            futs = [
+                ex.submit(coal.request, VALUES[i % len(VALUES)])
+                for i in range(18)
+            ]
+            results = [f.result(timeout=120) for f in futs]
+    finally:
+        coal.close()
+    assert all(isinstance(r, list) for r in results)
+    want = {
+        v: [
+            (r["doc_id"], r["score"])
+            for r in eng.search(v, 5).collect()
+        ]
+        for v in VALUES
+    }
+    for i, got in enumerate(results):
+        exp = want[VALUES[i % len(VALUES)]]
+        assert [d for d, _ in got] == [d for d, _ in exp]
+        for (_, gs), (_, es) in zip(got, exp):
+            assert gs == pytest.approx(es, rel=1e-9)

@@ -405,12 +405,14 @@ class SearchEngine:
         #: below this total posting count across all query terms the
         #: anchor machinery (id-fetch job + per-block masks + the
         #: kernel's per-query filtering) costs more than the shuffle
-        #: rows it saves — the r4 official qps_selective row measured
-        #: pruned 0.95x exhaustive at ~1.4M total postings once the
-        #: bitmask aggregation had halved the exhaustive shuffle.
-        #: Value re-measured this round (bench qps_selective probe);
-        #: tests that exercise the machinery set this to 0.
-        self.conjunctive_exhaustive_cutoff = 2_000_000
+        #: rows it saves. Set at the measured crossover of the
+        #: rare-AND-hot 8-query batch (best-of-5 per point, local[32],
+        #: BENCH.md r5 "prune crossover"): 0.22M postings 1.03x,
+        #: 0.45M 0.80x (prune loses), 0.90M 1.27x, 1.8M 2.09x (prune
+        #: wins) — the r4-era 2M value stood the prune down at 1.8M
+        #: where it measured 2x faster. Tests that exercise the
+        #: machinery set this to 0.
+        self.conjunctive_exhaustive_cutoff = 600_000
 
     def _ranges_for_terms(self, terms: list[str]) -> list:
         """Cached :func:`_collect_block_ranges` over the blocks of the

@@ -240,12 +240,14 @@ def rp_lsh_buckets(
     seed: int = 42,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    keep_vec: bool = False,
 ) -> DataFrame:
     """-> (vec_id, band, key): one row per signature band.
 
     Signature = sign bits of projections onto seed-deterministic random
     hyperplanes, computed as one matrix multiply per Arrow batch.
-    """
+    ``keep_vec`` carries the vector column through (the serving-index
+    shape — see :func:`rp_lsh_index`)."""
     planes = _planes(dim, n_bits, seed)
     rows = n_bits // bands
     if rows > 31:
@@ -263,8 +265,11 @@ def rp_lsh_buckets(
             keys = keys * 2 + bits[:, j::rows][:, :bands]
         return pd.Series(list(keys.astype(np.int32)))
 
+    cols = [F.col(id_col).alias("vec_id")]
+    if keep_vec:
+        cols.append(F.col(vec_col))
     return df.select(
-        F.col(id_col).alias("vec_id"),
+        *cols,
         F.posexplode(band_keys(F.col(vec_col))).alias("band", "key"),
     )
 
@@ -293,13 +298,21 @@ def rp_lsh_index(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
-    """Serving-path ANN index: compute the bucket table ONCE and persist
-    it partitioned by band — each query then reads only its matching
-    band partitions with a pushed-down key equality (partition pruning +
-    parquet min/max), instead of re-projecting every vector per query
-    (a full-corpus scan at 100 TB). Returns the reloaded bucket table;
-    pass it to :func:`rp_lsh_topk` via ``buckets=``."""
-    b = rp_lsh_buckets(df, dim, n_bits, bands, seed, id_col, vec_col)
+    """Serving-path ANN index: one row per (vector, band) carrying the
+    VECTOR ITSELF, persisted partitioned by band — a query reads only
+    its matching band partitions with a pushed-down key equality
+    (partition pruning + parquet min/max) and re-ranks straight off
+    those rows, never touching the base table. Same lesson the 1M IVF
+    probe taught (see :func:`ivf_index`): an id-only index leaves the
+    dominant scan unpruned — the candidate fetch semi-join still reads
+    the whole corpus. Storing the vector in every band row costs
+    ``bands``x vector storage; that duplication IS the speed tier (the
+    posting-list analogue: the index is the serving structure).
+    Returns the reloaded bucket table; pass it to :func:`rp_lsh_topk`
+    via ``buckets=``."""
+    b = rp_lsh_buckets(
+        df, dim, n_bits, bands, seed, id_col, vec_col, keep_vec=True
+    )
     b.write.mode("overwrite").partitionBy("band").parquet(path)
     return df.sparkSession.read.parquet(path)
 
@@ -329,7 +342,12 @@ def rp_lsh_topk(
 
     ``buckets``: a precomputed bucket table (:func:`rp_lsh_index`) — the
     serving path; omitted, the buckets are derived in-line (one pass
-    over ``df``, fine for ad-hoc use)."""
+    over ``df``, fine for ad-hoc use). An index table carries the
+    vectors, so candidates are re-ranked straight off the pruned band
+    partitions (a vector matching in several bands is deduped on the
+    TINY candidate set) — no join back to the base table; an id-only
+    bucket frame falls back to the broadcast semi-join, which scans
+    the base table in full — fine ad hoc, wrong as a serving path."""
     dim = len(query)
     qkeys = query_band_keys(query, n_bits, bands, seed)
     if buckets is None:
@@ -338,10 +356,17 @@ def rp_lsh_topk(
     for i, qk in enumerate(qkeys):
         c = (F.col("band") == i) & (F.col("key") == int(qk))
         cond = c if cond is None else (cond | c)
-    match = buckets.where(cond).select("vec_id").distinct()
-    cand = df.join(
-        F.broadcast(match), df[id_col] == match["vec_id"], "left_semi"
-    )
+    if vec_col in buckets.columns:
+        cand = (
+            buckets.where(cond)
+            .select(F.col("vec_id").alias(id_col), vec_col)
+            .dropDuplicates([id_col])
+        )
+    else:
+        match = buckets.where(cond).select("vec_id").distinct()
+        cand = df.join(
+            F.broadcast(match), df[id_col] == match["vec_id"], "left_semi"
+        )
     return cosine_topk(cand, query, k, id_col, vec_col)
 
 

@@ -81,6 +81,12 @@ def test_ann_index_partition_pruning(spark, tmp_path):
     plan = _plan(rp_lsh_topk(df, q, k=3, n_bits=16, bands=4, buckets=idx))
     assert "PartitionFilters" in plan and "band" in plan
     assert "EqualTo(key," in plan
+    # the index carries the vectors: candidates re-rank off the pruned
+    # band partitions, no join back to the (full-scan) base table
+    assert "Join" not in plan
+    import re
+
+    assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 1
 
 
 def test_ivf_index_pruned_scan_never_reads_base_table(spark, tmp_path):

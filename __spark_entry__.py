@@ -415,6 +415,41 @@ def _q_ann_lsh(spark, sf_dir):
     return out.select("vec_id", F.round("cos", 4).alias("cos"))
 
 
+def _q_ann_lsh_index(spark, sf_dir):
+    """The ANN SERVING path: same query + brute-force oracle as
+    ann_lsh_topk, but candidates come from a persisted rp_lsh_index —
+    band-partitioned parquet rows that carry the vectors, so the query
+    reads ONLY its matching band partitions and re-ranks off them (no
+    join back to the base table; see the r5 1M probe in BENCH.md for
+    why the id-only shape was the wrong serving structure)."""
+    import tempfile
+
+    from elasticsearch_analysis_hashsplitter_spark.operators.similarity import (
+        rp_lsh_index,
+        rp_lsh_topk,
+    )
+
+    emb = _emb(spark, sf_dir)
+    q = emb.where(F.col("vec_id") == 0).select("embedding").collect()[0][0]
+    union = _planted_union(spark, sf_dir)
+    idx = rp_lsh_index(
+        union,
+        dim=64,
+        path=tempfile.mkdtemp(prefix="hs_lsh_gate_") + "/idx",
+        n_bits=LSH_BITS,
+        bands=LSH_BANDS,
+    )
+    out = rp_lsh_topk(
+        union,
+        [float(x) for x in q],
+        k=10,
+        n_bits=LSH_BITS,
+        bands=LSH_BANDS,
+        buckets=idx,
+    )
+    return out.select("vec_id", F.round("cos", 4).alias("cos"))
+
+
 def _q_ann_ivf(spark, sf_dir):
     """IVF ANN over the planted union: the 13 near-copies of vec 0 (cos
     >= 0.995) quantize to the same coarse centroid as the query, so a
@@ -726,6 +761,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_pairs": _q_simhash_pairs,
         "ann_cosine_topk": _q_ann_cosine,
         "ann_lsh_topk": _q_ann_lsh,
+        "ann_lsh_index_topk": _q_ann_lsh_index,
         "ann_ivf_topk": _q_ann_ivf,
         "embedding_near_dup": _q_embedding_near_dup,
         "embedding_near_dup_lsh": _q_embedding_near_dup_lsh,
@@ -1203,6 +1239,7 @@ FROM reach GROUP BY src ORDER BY doc_id""",
         "simhash_pairs": _simhash_oracle(),
         "multimodal_features": _multimodal_oracle(),
         "ann_lsh_topk": ann_lsh,
+        "ann_lsh_index_topk": ann_lsh,
         "ann_ivf_topk": ann_lsh,
         "embedding_near_dup_lsh": near_dup_lsh,
         "multifield_and_query": multifield,

@@ -386,6 +386,90 @@ def test_rp_lsh_index_serving_path(spark, tmp_path):
     ]
 
 
+def test_query_probe_keys_properties():
+    """Pure driver-side checks of the multi-probe sequence: probe 0 is
+    the base band key, probes are distinct, and the shift/expand heap
+    yields flip subsets in ascending total-margin order (verified
+    against brute-force enumeration at small rows)."""
+    from itertools import combinations
+
+    from elasticsearch_analysis_hashsplitter_spark.operators.similarity import (
+        _planes,
+        query_band_keys,
+        query_probe_keys,
+    )
+
+    rng = np.random.RandomState(7)
+    for trial in range(20):
+        dim, n_bits, bands = 16, 24, 4  # rows=6 -> 64 keys per band
+        q = [float(x) for x in rng.normal(size=dim)]
+        base = query_band_keys(q, n_bits, bands)
+        seqs = query_probe_keys(q, n_bits, bands, n_probes=16)
+        rows = n_bits // bands
+        proj = np.asarray(q) @ _planes(dim, n_bits, 42)
+        for b, keys in enumerate(seqs):
+            assert keys[0] == base[b]
+            assert len(keys) == 16 and len(set(keys)) == 16
+            # brute-force: every subset of bit flips scored by total
+            # |margin|; the heap must emit the cheapest ones first
+            margins = [
+                (abs(float(proj[j + b * rows])), 1 << (rows - 1 - j))
+                for j in range(rows)
+            ]
+            scored = [(0.0, base[b])]
+            for r in range(1, rows + 1):
+                for sub in combinations(margins, r):
+                    k = base[b]
+                    for _, w in sub:
+                        k ^= w
+                    scored.append((sum(m for m, _ in sub), k))
+            scored.sort()
+            assert keys == [k for _, k in scored[:16]]
+
+
+def test_rp_lsh_multiprobe_recall_and_pruning(spark, tmp_path):
+    """n_probes widens the candidate set monotonically (recall can only
+    rise), answers stay exact-cosine-ranked, and the probed scan is
+    still partition-pruned on (band, kb) with key-IN pushdown."""
+    import re
+
+    from elasticsearch_analysis_hashsplitter_spark.operators.similarity import (
+        cosine_topk,
+        rp_lsh_index,
+        rp_lsh_topk,
+    )
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet").select(
+        "vec_id", pd_cast_embedding()
+    )
+    q = [float(x) for x in emb.where("vec_id = 3").first()["embedding"]]
+    exact = [r.vec_id for r in cosine_topk(emb, q, k=10).collect()]
+    idx = rp_lsh_index(
+        emb, dim=len(q), path=str(tmp_path / "mp"), n_bits=64, bands=8
+    )
+    got = {}
+    for p in (1, 4, 16):
+        rows = rp_lsh_topk(
+            emb, q, k=10, n_bits=64, bands=8, buckets=idx, n_probes=p
+        ).collect()
+        got[p] = [r.vec_id for r in rows]
+        # precision: candidates are re-ranked by exact cosine
+        cosines = [r.cos for r in rows]
+        assert cosines == sorted(cosines, reverse=True)
+    r1 = len(set(got[1]) & set(exact))
+    r16 = len(set(got[16]) & set(exact))
+    assert r16 >= r1
+    mp_df = rp_lsh_topk(
+        emb, q, k=10, n_bits=64, bands=8, buckets=idx, n_probes=4
+    )
+    plan = mp_df._sc._jvm.PythonSQLUtils.explainString(
+        mp_df._jdf.queryExecution(), "formatted"
+    )
+    m = re.search(r"PartitionFilters: \[([^\]]*)\]", plan)
+    assert m and "kb" in m.group(1) and "band" in m.group(1), plan
+    assert "In(key," in plan or "EqualTo(key," in plan
+
+
 def pd_cast_embedding():
     from pyspark.sql import functions as F
 

@@ -79,13 +79,20 @@ def test_ann_index_partition_pruning(spark, tmp_path):
     idx = rp_lsh_index(df, dim=8, path=str(tmp_path / "ann"), n_bits=16,
                        bands=4)
     plan = _plan(rp_lsh_topk(df, q, k=3, n_bits=16, bands=4, buckets=idx))
-    assert "PartitionFilters" in plan and "band" in plan
+    # the kb sub-bucket is what makes the filter PRUNE: every query
+    # probes all bands, so a band-only PartitionFilters matches every
+    # partition (the r5 1M probe measured that layout slower than exact
+    # brute force). Assert kb appears INSIDE the PartitionFilters clause
+    # — "PartitionFilters" merely being present is vacuous (it prints
+    # even when empty).
+    import re
+
+    m = re.search(r"PartitionFilters: \[([^\]]*)\]", plan)
+    assert m and "kb" in m.group(1) and "band" in m.group(1), plan
     assert "EqualTo(key," in plan
     # the index carries the vectors: candidates re-rank off the pruned
     # band partitions, no join back to the (full-scan) base table
     assert "Join" not in plan
-    import re
-
     assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 1
 
 

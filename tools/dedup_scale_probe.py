@@ -342,6 +342,123 @@ def ivf_probe(
     return out
 
 
+def rplsh_probe(
+    spark, n_vecs: int, dim: int = 64, n_bits: int = 192, bands: int = 8,
+    k: int = 10, n_queries: int = 32, only_modes: list[str] | None = None,
+) -> dict:
+    """RP-LSH ANN serving modes at scale, against per-query exact
+    brute-force truth:
+
+    * ``adhoc``      — buckets derived inline (one full projection pass
+      per query; the ad-hoc tier),
+    * ``index_ids``  — a persisted id-only bucket table: band/key
+      partition pruning finds candidates fast, but the vector fetch is
+      a semi-join back to the BASE table — the dominant scan is
+      unpruned (the r5 IVF probe's lesson, reproduced for LSH),
+    * ``index_vec``  — the serving index carrying vectors per band row:
+      candidates re-rank straight off the pruned partitions, no join.
+
+    Key sizing follows the operator docstring (n_bits/bands >=
+    log2(n)+4 -> 24-bit keys at 1M), so recall here measures the
+    SERVING operating point, not the sf0.1 default."""
+    import shutil
+    import tempfile
+
+    from elasticsearch_analysis_hashsplitter_spark.corpus import (
+        generate_embeddings,
+    )
+    from elasticsearch_analysis_hashsplitter_spark.operators.similarity import (
+        cosine_topk,
+        rp_lsh_buckets,
+        rp_lsh_index,
+        rp_lsh_topk,
+    )
+
+    vecs = generate_embeddings(spark, n_vecs, dim=dim).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    vecs.count()
+
+    step = (n_vecs // n_queries) // 10 * 10
+    qids = [int(i * step) for i in range(n_queries)]
+    qvecs = {
+        r["vec_id"]: list(r["embedding"])
+        for r in vecs.where(F.col("vec_id").isin(qids)).collect()
+    }
+    truth = {}
+    t0 = time.time()
+    for qid, qv in qvecs.items():
+        truth[qid] = [r["vec_id"] for r in cosine_topk(vecs, qv, k=k).collect()]
+    t_exact = time.time() - t0
+
+    idx_dir = tempfile.mkdtemp(prefix="hs_rplsh_probe_")
+    try:
+        t0 = time.time()
+        idx = rp_lsh_index(
+            vecs, dim, os.path.join(idx_dir, "vec"), n_bits=n_bits,
+            bands=bands,
+        )
+        t_index = time.time() - t0
+        # the old id-only index shape, persisted the same way
+        rp_lsh_buckets(vecs, dim, n_bits, bands).write.mode(
+            "overwrite"
+        ).partitionBy("band").parquet(os.path.join(idx_dir, "ids"))
+        idx_ids = spark.read.parquet(os.path.join(idx_dir, "ids"))
+
+        modes = {
+            "adhoc": (None, 1),
+            "index_ids": (idx_ids, 1),
+            "index_vec": (idx, 1),
+            "index_vec_p4": (idx, 4),
+            "index_vec_p16": (idx, 16),
+        }
+        if only_modes:
+            modes = {m: modes[m] for m in only_modes}
+        tiers = {}
+        for mode, (buckets, n_probes) in modes.items():
+            qv0 = next(iter(qvecs.values()))
+            rp_lsh_topk(
+                vecs, qv0, k=k, n_bits=n_bits, bands=bands, buckets=buckets,
+                n_probes=n_probes,
+            ).collect()  # warm plan compile untimed
+            hits = tot = planted = 0
+            t0 = time.time()
+            for qid, qv in qvecs.items():
+                got = [
+                    r["vec_id"]
+                    for r in rp_lsh_topk(
+                        vecs, qv, k=k, n_bits=n_bits, bands=bands,
+                        buckets=buckets, n_probes=n_probes,
+                    ).collect()
+                ]
+                hits += len(set(got) & set(truth[qid]))
+                tot += k
+                planted += int(qid + 9 in got)
+            dt = time.time() - t0
+            tiers[mode] = {
+                "recall_at_k": round(hits / tot, 4),
+                "planted_hit_rate": round(planted / n_queries, 4),
+                "mean_query_seconds": round(dt / n_queries, 3),
+            }
+
+        out = {
+            "section": "ann_rplsh_serving",
+            "vectors": int(n_vecs),
+            "dim": dim,
+            "n_bits": n_bits,
+            "bands": bands,
+            "k": k,
+            "queries": n_queries,
+            "index_seconds": round(t_index, 1),
+            "exact_mean_query_seconds": round(t_exact / n_queries, 3),
+            "modes": tiers,
+        }
+    finally:
+        shutil.rmtree(idx_dir, ignore_errors=True)
+    vecs.unpersist()
+    return out
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--docs", type=int, default=1_000_000)
@@ -349,8 +466,16 @@ def main():
     ap.add_argument("--cpus", type=int,
                     default=int(os.environ.get("SPARK_GRAFT_CPUS", "32")))
     ap.add_argument("--shuffle-partitions", type=int, default=128)
-    ap.add_argument("--section", choices=["all", "minhash", "embed", "ivf"],
-                    default="all")
+    ap.add_argument(
+        "--section",
+        choices=["all", "minhash", "embed", "ivf", "rplsh"],
+        default="all",
+    )
+    ap.add_argument(
+        "--rplsh-modes", default=None,
+        help="comma-separated subset of rplsh serving modes to time "
+        "(skip re-measuring unchanged tiers)",
+    )
     args = ap.parse_args()
     spark = make_spark(args.cpus, args.shuffle_partitions)
     try:
@@ -360,6 +485,21 @@ def main():
             print(json.dumps(embed_probe(spark, args.vecs)), flush=True)
         if args.section in ("all", "ivf"):
             print(json.dumps(ivf_probe(spark, args.vecs)), flush=True)
+        if args.section in ("all", "rplsh"):
+            print(
+                json.dumps(
+                    rplsh_probe(
+                        spark,
+                        args.vecs,
+                        only_modes=(
+                            args.rplsh_modes.split(",")
+                            if args.rplsh_modes
+                            else None
+                        ),
+                    )
+                ),
+                flush=True,
+            )
     finally:
         spark.stop()
 

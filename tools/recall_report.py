@@ -52,6 +52,7 @@ def main() -> dict:
         ivf_assign,
         ivf_centroids,
         query_band_keys,
+        query_probe_keys,
         rp_lsh_buckets,
     )
 
@@ -115,6 +116,7 @@ def main() -> dict:
 
         # ---- RP-LSH: one bucket collect per band count ------------------
         lsh_curve = {}
+        keymap8: dict[tuple, set] = {}
         for bands in (2, 4, 8, 16):
             b_rows = rp_lsh_buckets(
                 emb, dim, n_bits=N_BITS, bands=bands, seed=SEED
@@ -124,6 +126,8 @@ def main() -> dict:
                 keymap.setdefault(
                     (r["band"], r["key"]), set()
                 ).add(pos[int(r["vec_id"])])
+            if bands == 8:
+                keymap8 = keymap
             hits = tot = 0
             for qi in range(len(q_idx)):
                 qkeys = query_band_keys(
@@ -136,6 +140,26 @@ def main() -> dict:
                 tot += K
             lsh_curve[str(bands)] = round(hits / tot, 4)
         out["lsh_recall_at_k_by_bands"] = lsh_curve
+
+        # ---- multi-probe at the default speed tier (bands=8) ------------
+        # same membership argument: a neighbor is returned iff it lives in
+        # any probed (band, key) bucket — the probe sequence widens the
+        # visited keys per band in lowest-margin order
+        mp_curve = {}
+        for n_probes in (1, 2, 4, 8, 16):
+            hits = tot = 0
+            for qi in range(len(q_idx)):
+                seqs = query_probe_keys(
+                    list(mat[q_idx[qi]]), N_BITS, 8, SEED, n_probes
+                )
+                cand = set()
+                for b, keys in enumerate(seqs):
+                    for qk in keys:
+                        cand |= keymap8.get((b, qk), set())
+                hits += sum(1 for t in truth[qi] if int(t) in cand)
+                tot += K
+            mp_curve[str(n_probes)] = round(hits / tot, 4)
+        out["lsh_recall_at_k_by_n_probes_bands8"] = mp_curve
         return out
     finally:
         spark.stop()
@@ -173,15 +197,47 @@ def write_md(result: dict) -> None:
     ]
     for k, v in lsh.items():
         lines.append(f"| {k} | {result['n_bits'] // int(k)} | {v} |")
+    mp = result.get("lsh_recall_at_k_by_n_probes_bands8")
+    if mp:
+        lines += [
+            "",
+            f"## RP-LSH multi-probe (bands=8, n_bits={result['n_bits']}, "
+            "`rp_lsh_topk(n_probes=n)`)",
+            "",
+            "| n_probes | recall@10 |",
+            "|---|---|",
+        ]
+        for k, v in mp.items():
+            lines.append(f"| {k} | {v} |")
     lines += [
         "",
         "Reading the curves: IVF recall rises monotonically with nprobe "
         "and hits 1.0 at nprobe=n_centroids (the probed re-rank is exact, "
         "so missing mass is exactly the true neighbors living in "
         "unprobed partitions). LSH recall rises with band count (fewer "
-        "bits per band -> looser buckets -> more candidates); precision "
+        "bits per band -> looser buckets -> more candidates) and with "
+        "n_probes (more keys visited per band, lowest-margin flips "
+        "first) — multi-probe buys recall from the SAME index, where "
+        "more bands would multiply index storage; precision "
         "of what is returned is always exact because both paths re-rank "
         "with true cosines.",
+        "",
+        "## Shipped defaults (pinned by tests/test_recall_defaults.py)",
+        "",
+        "* `ivf_topk` defaults to `nprobe=12` (of the default 16 "
+        "centroids): recall@10 **0.95** here — the knee of the curve; "
+        "`nprobe=16` is exact. Scale deployments raise `n_centroids` "
+        "and keep the probe ratio.",
+        "* `rp_lsh_topk` defaults to `bands=8` over `n_bits=32`: "
+        "recall@10 **0.71** — the speed tier; `bands=16` measures 1.0 "
+        "with much looser buckets, and `n_probes` climbs the multi-probe "
+        "column from the same index. At corpus scale raise `n_bits` so "
+        "per-band keys keep selectivity, then re-measure.",
+        "",
+        "The tests assert IVF default recall >= 0.9 and the LSH default "
+        "inside its documented band on the natural sf0.1 embeddings, so "
+        "a default or plane-family change that moves recall off the "
+        "curve fails CI.",
         "",
     ]
     with open(

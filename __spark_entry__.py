@@ -450,6 +450,42 @@ def _q_ann_lsh_index(spark, sf_dir):
     return out.select("vec_id", F.round("cos", 4).alias("cos"))
 
 
+def _q_ann_lsh_batch(spark, sf_dir):
+    """Batch ANN serving: three query vectors (vec 0 and two of its
+    planted cluster copies — every member's true top-10 is other
+    cluster members, all sharing signature bands) answered in ONE
+    pruned scan + one query_id shuffle by ``rp_lsh_topk_batch``; the
+    oracle computes each query's top-10 independently by brute force
+    (QUALIFY window). Per-query semantics are pinned to rp_lsh_topk in
+    pytest; this gate pins the batch tier end-to-end against SQL."""
+    import tempfile
+
+    from elasticsearch_analysis_hashsplitter_spark.operators.similarity import (
+        rp_lsh_index,
+        rp_lsh_topk_batch,
+    )
+
+    union = _planted_union(spark, sf_dir)
+    qids = [0, PLANT_CLUSTER_BASE + 2, PLANT_CLUSTER_BASE + 7]
+    qs = {
+        int(r["vec_id"]): [float(x) for x in r["embedding"]]
+        for r in union.where(F.col("vec_id").isin(qids)).collect()
+    }
+    idx = rp_lsh_index(
+        union,
+        dim=64,
+        path=tempfile.mkdtemp(prefix="hs_lshb_gate_") + "/idx",
+        n_bits=LSH_BITS,
+        bands=LSH_BANDS,
+    )
+    out = rp_lsh_topk_batch(
+        union, qs, k=10, n_bits=LSH_BITS, bands=LSH_BANDS, buckets=idx
+    )
+    return out.select(
+        "query_id", "vec_id", F.round("cos", 4).alias("cos")
+    )
+
+
 def _q_ann_ivf(spark, sf_dir):
     """IVF ANN over the planted union: the 13 near-copies of vec 0 (cos
     >= 0.995) quantize to the same coarse centroid as the query, so a
@@ -467,6 +503,38 @@ def _q_ann_ivf(spark, sf_dir):
     cents = ivf_centroids(union, n_centroids=16)
     out = ivf_topk(union, [float(x) for x in q], cents, k=10, nprobe=6)
     return out.select("vec_id", F.round("cos", 4).alias("cos"))
+
+
+def _q_ann_ivf_batch(spark, sf_dir):
+    """Batch IVF serving from a persisted centroid-partitioned index:
+    same three cluster queries and brute-force QUALIFY oracle as
+    ann_lsh_batch_topk — all three answered by ONE pruned scan over the
+    union of probe sets + one query_id shuffle (ivf_topk_batch);
+    per-query equivalence to ivf_topk is pinned in pytest."""
+    import tempfile
+
+    from elasticsearch_analysis_hashsplitter_spark.operators.similarity import (
+        ivf_centroids,
+        ivf_index,
+        ivf_topk_batch,
+    )
+
+    union = _planted_union(spark, sf_dir)
+    qids = [0, PLANT_CLUSTER_BASE + 2, PLANT_CLUSTER_BASE + 7]
+    qs = {
+        int(r["vec_id"]): [float(x) for x in r["embedding"]]
+        for r in union.where(F.col("vec_id").isin(qids)).collect()
+    }
+    cents = ivf_centroids(union, n_centroids=16)
+    idx = ivf_index(
+        union, cents, tempfile.mkdtemp(prefix="hs_ivfb_gate_") + "/idx"
+    )
+    out = ivf_topk_batch(
+        union, qs, cents, k=10, nprobe=6, assignments=idx
+    )
+    return out.select(
+        "query_id", "vec_id", F.round("cos", 4).alias("cos")
+    )
 
 
 def _q_embedding_near_dup_lsh(spark, sf_dir):
@@ -762,7 +830,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_cosine_topk": _q_ann_cosine,
         "ann_lsh_topk": _q_ann_lsh,
         "ann_lsh_index_topk": _q_ann_lsh_index,
+        "ann_lsh_batch_topk": _q_ann_lsh_batch,
         "ann_ivf_topk": _q_ann_ivf,
+        "ann_ivf_batch_topk": _q_ann_ivf_batch,
         "embedding_near_dup": _q_embedding_near_dup,
         "embedding_near_dup_lsh": _q_embedding_near_dup_lsh,
         "multifield_and_query": _q_multifield,
@@ -1062,6 +1132,19 @@ FROM allv, q
 ORDER BY round(list_cosine_similarity(embedding, qe), 6) DESC, vec_id
 LIMIT 10"""
 
+    ann_lsh_batch = f"""
+WITH {_planted_cte()},
+q AS (SELECT vec_id AS query_id, embedding AS qe FROM allv
+      WHERE vec_id IN (0, {PLANT_CLUSTER_BASE + 2}, {PLANT_CLUSTER_BASE + 7}))
+SELECT query_id, vec_id,
+       round(list_cosine_similarity(embedding, qe), 4) AS cos
+FROM allv, q
+QUALIFY row_number() OVER (
+    PARTITION BY query_id
+    ORDER BY round(list_cosine_similarity(embedding, qe), 6) DESC, vec_id
+) <= 10
+ORDER BY query_id, cos DESC, vec_id"""
+
     near_dup_lsh = f"""
 WITH {_planted_cte()}
 SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
@@ -1240,7 +1323,9 @@ FROM reach GROUP BY src ORDER BY doc_id""",
         "multimodal_features": _multimodal_oracle(),
         "ann_lsh_topk": ann_lsh,
         "ann_lsh_index_topk": ann_lsh,
+        "ann_lsh_batch_topk": ann_lsh_batch,
         "ann_ivf_topk": ann_lsh,
+        "ann_ivf_batch_topk": ann_lsh_batch,
         "embedding_near_dup_lsh": near_dup_lsh,
         "multifield_and_query": multifield,
         "multifield_scored": multifield_scored,

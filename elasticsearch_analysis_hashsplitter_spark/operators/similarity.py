@@ -348,11 +348,28 @@ def query_probe_keys(
     return out
 
 
-#: Fixed sub-bucket fan-out inside each band partition of an
-#: :func:`rp_lsh_index` table. Fixed (not a knob) so the query side can
-#: reconstruct the partition value from the key alone — no metadata
-#: sidecar to keep in sync between writer and reader.
+#: Cap on the key-sub-bucket fan-out inside each band partition of an
+#: :func:`rp_lsh_index` table (64 = a 64x partition-pruning bound per
+#: probe at full fan-out).
 _KEY_BUCKETS = 64
+
+
+def _index_nkb(buckets: DataFrame) -> int:
+    """Recover the key-bucket fan-out an :func:`rp_lsh_index` table was
+    WRITTEN with, from its ``nkb=`` partition directory — driver-side
+    path parse of the already-listed file index, no Spark job. Keeping
+    nkb in the path (not a caller knob) means the query side can never
+    drift from the writer: a mismatched modulus would silently drop
+    candidates, not crash."""
+    import re
+
+    for f in buckets.inputFiles():
+        m = re.search(r"/nkb=(\d+)/", f)
+        if m:
+            return int(m.group(1))
+    # fallback (files relocated without the marker dir): one bounded
+    # job over the constant partition column
+    return int(buckets.select(F.max("nkb")).first()[0])
 
 
 def rp_lsh_index(
@@ -364,10 +381,11 @@ def rp_lsh_index(
     seed: int = 42,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    rows_per_bucket: int = 8192,
 ) -> DataFrame:
     """Serving-path ANN index: one row per (vector, band) carrying the
-    VECTOR ITSELF, persisted partitioned by ``(band, kb)`` where
-    ``kb = key mod 64`` — and key-sorted inside every partition. Same
+    VECTOR ITSELF, persisted partitioned by ``(nkb, band, kb)`` where
+    ``kb = key mod nkb`` — and key-sorted inside every partition. Same
     lesson the 1M IVF probe taught (see :func:`ivf_index`): an id-only
     index leaves the dominant scan unpruned — the candidate fetch
     semi-join still reads the whole corpus. Storing the vector in every
@@ -378,19 +396,36 @@ def rp_lsh_index(
     Why the ``kb`` sub-partition: a query probes ONE key in EVERY band,
     so partitioning by band alone prunes nothing — the r5 1M probe
     measured that layout at 5.5 s/query, 3x SLOWER than exact brute
-    force. With 64 key sub-buckets per band the query's partition
-    filter ``(band=i AND kb=key_i mod 64)`` touches ~1/64 of the index,
-    and the key sort lets parquet row-group min/max skip most of what
-    remains. Returns the reloaded bucket table; pass it to
-    :func:`rp_lsh_topk` via ``buckets=``."""
-    b = rp_lsh_buckets(
-        df, dim, n_bits, bands, seed, id_col, vec_col, keep_vec=True
-    ).withColumn("kb", F.pmod(F.col("key"), F.lit(_KEY_BUCKETS)))
+    force. With nkb key sub-buckets per band the query's partition
+    filter ``(band=i AND kb=key_i mod nkb)`` touches ~1/nkb of the
+    index, and the key sort lets parquet row-group min/max skip most of
+    what remains.
+
+    The fan-out is sized to the corpus: ``nkb = next_pow2(n_vectors /
+    rows_per_bucket)`` capped at 64 — a 1M-vector index gets the full
+    64x prune, a 10k-vector one doesn't pay a 1,024-tiny-file write
+    (measured 25 s for 9k rows at fixed 64) for pruning it doesn't
+    need. nkb is recorded as the leading partition directory
+    (``nkb=…/band=…/kb=…``) so the reader recovers it from the path —
+    writer and reader cannot disagree on the modulus. Returns the
+    reloaded bucket table; pass it to :func:`rp_lsh_topk` via
+    ``buckets=``."""
+    n = df.count()
+    nkb = 1
+    while nkb < _KEY_BUCKETS and nkb * rows_per_bucket < n:
+        nkb *= 2
+    b = (
+        rp_lsh_buckets(
+            df, dim, n_bits, bands, seed, id_col, vec_col, keep_vec=True
+        )
+        .withColumn("nkb", F.lit(nkb))
+        .withColumn("kb", F.pmod(F.col("key"), F.lit(nkb)))
+    )
     (
         b.repartition("band", "kb")
         .sortWithinPartitions("band", "kb", "key")
         .write.mode("overwrite")
-        .partitionBy("band", "kb")
+        .partitionBy("nkb", "band", "kb")
         .parquet(path)
     )
     return df.sparkSession.read.parquet(path)
@@ -440,6 +475,7 @@ def rp_lsh_topk(
     if buckets is None:
         buckets = rp_lsh_buckets(df, dim, n_bits, bands, seed, id_col, vec_col)
     has_kb = "kb" in buckets.columns
+    nkb = _index_nkb(buckets) if has_kb else 1
     cond = None
     for i, pkeys in enumerate(probe_keys):
         ks = [int(x) for x in pkeys]
@@ -447,10 +483,11 @@ def rp_lsh_topk(
             F.col("key").isin(ks) if len(ks) > 1 else (F.col("key") == ks[0])
         )
         if has_kb:
-            # reconstructed partition value (kb = key mod _KEY_BUCKETS,
-            # fixed at write time) — this is what makes the partition
-            # filter prunable: band alone matches EVERY partition
-            kbs = sorted({k % _KEY_BUCKETS for k in ks})
+            # reconstructed partition value (kb = key mod nkb, read off
+            # the index's own path marker) — this is what makes the
+            # partition filter prunable: band alone matches EVERY
+            # partition
+            kbs = sorted({k % nkb for k in ks})
             c = c & (
                 F.col("kb").isin(kbs)
                 if len(kbs) > 1
@@ -469,6 +506,129 @@ def rp_lsh_topk(
             F.broadcast(match), df[id_col] == match["vec_id"], "left_semi"
         )
     return cosine_topk(cand, query, k, id_col, vec_col)
+
+
+def rp_lsh_topk_batch(
+    df: DataFrame,
+    queries: dict,
+    k: int = 10,
+    n_bits: int = 32,
+    bands: int = 8,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    buckets: DataFrame | None = None,
+    n_probes: int = 1,
+) -> DataFrame:
+    """Batch ANN: top-k for MANY query vectors in ONE Spark job
+    -> (query_id, vec_id, cos), ordered (query_id, rank).
+
+    Why a batch tier exists at all: the 1M probe measured the pruned
+    single-query scan so small that per-query driver costs (fresh plan
+    + codegen + scheduling, ~0.3-0.9 s) dominate and swing run to run —
+    the same job-floor reading as IVF and the text path. Amortization
+    is structural, not a knob: all |queries| x bands x n_probes probes
+    become ONE scan.
+
+    Shape: the probe set is driver-side literals, so the scan keeps a
+    coarse prunable filter (per band: ``key IN (all probed keys)``,
+    ``kb IN (their buckets)``) exactly like the single-query path; a
+    tiny broadcast (query_id, band, key) table then tags which query
+    each surviving row serves, a broadcast (query_id, qvec) join
+    attaches the query vector, and one hash-partitioned window takes
+    per-query top-k. One scan, one broadcast pair, one shuffle on
+    query_id — independent of |queries|.
+
+    ``queries``: {query_id: vector}; ids may be ints or strings.
+    Semantics per query are IDENTICAL to :func:`rp_lsh_topk` with the
+    same knobs (pinned in tests)."""
+    from pyspark.sql import Window
+
+    if not queries:
+        raise ValueError("queries must be a non-empty {id: vector} dict")
+    spark = df.sparkSession
+    dim = len(next(iter(queries.values())))
+    if buckets is None:
+        buckets = rp_lsh_buckets(df, dim, n_bits, bands, seed, id_col, vec_col)
+    has_kb = "kb" in buckets.columns
+    nkb = _index_nkb(buckets) if has_kb else 1
+
+    id_type = "string" if isinstance(next(iter(queries)), str) else "long"
+    probe_rows = []
+    keys_by_band: dict[int, set] = {}
+    for qid, qv in queries.items():
+        for b, pkeys in enumerate(
+            query_probe_keys([float(x) for x in qv], n_bits, bands, seed,
+                             n_probes)
+        ):
+            keys_by_band.setdefault(b, set()).update(int(x) for x in pkeys)
+            probe_rows.extend((qid, b, int(x)) for x in pkeys)
+
+    cond = None
+    for b, ks in sorted(keys_by_band.items()):
+        kl = sorted(ks)
+        c = (F.col("band") == b) & (
+            F.col("key").isin(kl) if len(kl) > 1 else (F.col("key") == kl[0])
+        )
+        if has_kb:
+            kbs = sorted({x % nkb for x in kl})
+            c = c & (
+                F.col("kb").isin(kbs)
+                if len(kbs) > 1
+                else (F.col("kb") == kbs[0])
+            )
+        cond = c if cond is None else (cond | c)
+
+    probes = spark.createDataFrame(
+        probe_rows, f"query_id {id_type}, band int, key int"
+    )
+    # query norm precomputed driver-side with the SAME numpy reduction
+    # cosine_col uses, so batch scores are bitwise-identical to the
+    # single-query path (a Spark-side sum would reduce in a different
+    # order and drift in the last ulp)
+    qdf = spark.createDataFrame(
+        [
+            (
+                qid,
+                [float(x) for x in qv],
+                float(np.sqrt(np.dot(qv, qv))) or 1.0,
+            )
+            for qid, qv in queries.items()
+        ],
+        f"query_id {id_type}, qvec array<double>, qnorm double",
+    )
+    hits = buckets.where(cond).join(F.broadcast(probes), ["band", "key"])
+    if vec_col in buckets.columns:
+        cand = hits.select(
+            "query_id", F.col("vec_id").alias(id_col), vec_col
+        ).dropDuplicates(["query_id", id_col])
+    else:
+        match = hits.select("query_id", "vec_id").distinct()
+        cand = df.join(
+            F.broadcast(match), df[id_col] == match["vec_id"], "inner"
+        ).select("query_id", df[id_col], df[vec_col])
+    scored = cand.join(F.broadcast(qdf), "query_id").select(
+        "query_id",
+        F.col(id_col),
+        F.round(
+            F.aggregate(
+                F.zip_with(F.col(vec_col), F.col("qvec"), lambda a, b: a * b),
+                F.lit(0.0),
+                lambda a, x: a + x,
+            )
+            / (_norm_col(F.col(vec_col)) * F.col("qnorm")),
+            6,
+        ).alias("cos"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos").desc(), F.col(id_col).asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .drop("rank")
+        .orderBy("query_id", F.col("cos").desc(), F.col(id_col).asc())
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -620,3 +780,96 @@ def ivf_topk(
             F.broadcast(match), df[id_col] == match["vec_id"], "left_semi"
         )
     return cosine_topk(cand, query, k, id_col, vec_col)
+
+
+def ivf_topk_batch(
+    df: DataFrame,
+    queries: dict,
+    centroids: np.ndarray,
+    k: int = 10,
+    nprobe: int = 12,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    assignments: DataFrame | None = None,
+) -> DataFrame:
+    """Batch IVF ANN: top-k for MANY query vectors in ONE job
+    -> (query_id, vec_id, cos), ordered (query_id, rank) — the IVF twin
+    of :func:`rp_lsh_topk_batch`, built for the same reason: the 1M
+    probe measured the pruned per-query scan dominated by per-query
+    driver fixed costs (~0.3-0.9 s plan + codegen + scheduling), so
+    sequential serving pays the floor |queries| times.
+
+    Shape: every query's nprobe probe set is computed driver-side
+    against the broadcast quantizer; the scan keeps the partition-
+    prunable ``centroid IN (union of all probe sets)`` literal filter,
+    a tiny broadcast (query_id, centroid) table tags which queries each
+    surviving partition serves, a broadcast (query_id, qvec, qnorm)
+    join attaches the query vector (qnorm precomputed driver-side so
+    scores are bitwise-identical to :func:`ivf_topk`), and one window
+    takes per-query top-k. One pruned scan, one shuffle on query_id —
+    independent of |queries|."""
+    from pyspark.sql import Window
+
+    if not queries:
+        raise ValueError("queries must be a non-empty {id: vector} dict")
+    spark = df.sparkSession
+    c = np.asarray(centroids, dtype=np.float64)
+    if assignments is None:
+        assignments = ivf_assign(df, c, id_col, vec_col)
+
+    id_type = "string" if isinstance(next(iter(queries)), str) else "long"
+    probe_rows = []
+    all_probed: set[int] = set()
+    for qid, qv in queries.items():
+        qn = np.asarray(qv, dtype=np.float64)
+        qn = qn / max(np.linalg.norm(qn), 1e-12)
+        probe = np.argsort(-(c @ qn))[: min(nprobe, len(c))]
+        all_probed.update(int(j) for j in probe)
+        probe_rows.extend((qid, int(j)) for j in probe)
+
+    probes = spark.createDataFrame(
+        probe_rows, f"query_id {id_type}, centroid int"
+    )
+    qdf = spark.createDataFrame(
+        [
+            (
+                qid,
+                [float(x) for x in qv],
+                float(np.sqrt(np.dot(qv, qv))) or 1.0,
+            )
+            for qid, qv in queries.items()
+        ],
+        f"query_id {id_type}, qvec array<double>, qnorm double",
+    )
+    probed = assignments.where(
+        F.col("centroid").isin(sorted(all_probed))
+    ).join(F.broadcast(probes), ["centroid"])
+    if vec_col in assignments.columns:
+        cand = probed.select("query_id", F.col(id_col), F.col(vec_col))
+    else:
+        match = probed.select("query_id", "vec_id").distinct()
+        cand = df.join(
+            F.broadcast(match), df[id_col] == match["vec_id"], "inner"
+        ).select("query_id", df[id_col], df[vec_col])
+    scored = cand.join(F.broadcast(qdf), "query_id").select(
+        "query_id",
+        F.col(id_col),
+        F.round(
+            F.aggregate(
+                F.zip_with(F.col(vec_col), F.col("qvec"), lambda a, b: a * b),
+                F.lit(0.0),
+                lambda a, x: a + x,
+            )
+            / (_norm_col(F.col(vec_col)) * F.col("qnorm")),
+            6,
+        ).alias("cos"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos").desc(), F.col(id_col).asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .drop("rank")
+        .orderBy("query_id", F.col("cos").desc(), F.col(id_col).asc())
+    )

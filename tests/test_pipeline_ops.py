@@ -445,7 +445,8 @@ def test_rp_lsh_multiprobe_recall_and_pruning(spark, tmp_path):
     q = [float(x) for x in emb.where("vec_id = 3").first()["embedding"]]
     exact = [r.vec_id for r in cosine_topk(emb, q, k=10).collect()]
     idx = rp_lsh_index(
-        emb, dim=len(q), path=str(tmp_path / "mp"), n_bits=64, bands=8
+        emb, dim=len(q), path=str(tmp_path / "mp"), n_bits=64, bands=8,
+        rows_per_bucket=256,
     )
     got = {}
     for p in (1, 4, 16):
@@ -468,6 +469,82 @@ def test_rp_lsh_multiprobe_recall_and_pruning(spark, tmp_path):
     m = re.search(r"PartitionFilters: \[([^\]]*)\]", plan)
     assert m and "kb" in m.group(1) and "band" in m.group(1), plan
     assert "In(key," in plan or "EqualTo(key," in plan
+
+
+def test_rp_lsh_topk_batch_matches_single(spark, tmp_path):
+    """One-job batch ANN returns, per query, exactly the single-query
+    rp_lsh_topk answer (ids AND scores byte-equal — the batch path
+    reuses the driver-side query norm so float order matches), for both
+    the indexed and the ad-hoc tier, and with multi-probe on."""
+    from elasticsearch_analysis_hashsplitter_spark.operators.similarity import (
+        rp_lsh_index,
+        rp_lsh_topk,
+        rp_lsh_topk_batch,
+    )
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet").select(
+        "vec_id", pd_cast_embedding()
+    )
+    qs = {
+        int(r["vec_id"]): [float(x) for x in r["embedding"]]
+        for r in emb.where("vec_id IN (1, 3, 7)").collect()
+    }
+    idx = rp_lsh_index(
+        emb, dim=64, path=str(tmp_path / "b"), n_bits=64, bands=8,
+        rows_per_bucket=256,
+    )
+    for buckets, n_probes in ((idx, 1), (idx, 4), (None, 1)):
+        batch = rp_lsh_topk_batch(
+            emb, qs, k=5, n_bits=64, bands=8, buckets=buckets,
+            n_probes=n_probes,
+        ).collect()
+        for qid, qv in qs.items():
+            single = [
+                (r.vec_id, r.cos)
+                for r in rp_lsh_topk(
+                    emb, qv, k=5, n_bits=64, bands=8, buckets=buckets,
+                    n_probes=n_probes,
+                ).collect()
+            ]
+            got = [
+                (r.vec_id, r.cos) for r in batch if r.query_id == qid
+            ]
+            assert got == single, (qid, n_probes, buckets is None)
+
+
+def test_ivf_topk_batch_matches_single(spark, tmp_path):
+    """One-job batch IVF returns, per query, exactly the single-query
+    ivf_topk answer (ids AND scores byte-equal), for both the indexed
+    and the ad-hoc assignment tier."""
+    from elasticsearch_analysis_hashsplitter_spark.operators.similarity import (
+        ivf_centroids,
+        ivf_index,
+        ivf_topk,
+        ivf_topk_batch,
+    )
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet").select(
+        "vec_id", pd_cast_embedding()
+    )
+    cents = ivf_centroids(emb, n_centroids=8, dim=64)
+    qs = {
+        int(r["vec_id"]): [float(x) for x in r["embedding"]]
+        for r in emb.where("vec_id IN (2, 5, 11)").collect()
+    }
+    idx = ivf_index(emb, cents, str(tmp_path / "ivfb"))
+    for assignments in (idx, None):
+        batch = ivf_topk_batch(
+            emb, qs, cents, k=5, nprobe=3, assignments=assignments
+        ).collect()
+        for qid, qv in qs.items():
+            single = [
+                (r.vec_id, r.cos)
+                for r in ivf_topk(
+                    emb, qv, cents, k=5, nprobe=3, assignments=assignments
+                ).collect()
+            ]
+            got = [(r.vec_id, r.cos) for r in batch if r.query_id == qid]
+            assert got == single, (qid, assignments is None)
 
 
 def pd_cast_embedding():

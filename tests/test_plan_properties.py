@@ -76,8 +76,15 @@ def test_ann_index_partition_pruning(spark, tmp_path):
         "vec_id long, embedding array<double>",
     )
     q = [float(x) for x in rng.normal(size=8)]
+    # rows_per_bucket forces a real multi-bucket fan-out at 100 rows
+    # (default sizing would pick nkb=1 here — the small-corpus tier)
     idx = rp_lsh_index(df, dim=8, path=str(tmp_path / "ann"), n_bits=16,
-                       bands=4)
+                       bands=4, rows_per_bucket=8)
+    from elasticsearch_analysis_hashsplitter_spark.operators.similarity import (
+        _index_nkb,
+    )
+
+    assert _index_nkb(idx) == 16
     plan = _plan(rp_lsh_topk(df, q, k=3, n_bits=16, bands=4, buckets=idx))
     # the kb sub-bucket is what makes the filter PRUNE: every query
     # probes all bands, so a band-only PartitionFilters matches every

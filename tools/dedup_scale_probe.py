@@ -372,6 +372,7 @@ def rplsh_probe(
         rp_lsh_buckets,
         rp_lsh_index,
         rp_lsh_topk,
+        rp_lsh_topk_batch,
     )
 
     vecs = generate_embeddings(spark, n_vecs, dim=dim).persist(
@@ -411,30 +412,60 @@ def rplsh_probe(
             "index_vec": (idx, 1),
             "index_vec_p4": (idx, 4),
             "index_vec_p16": (idx, 16),
+            # all queries in ONE job: the amortization tier — the
+            # pruned per-query scan is so small that driver fixed costs
+            # dominate the sequential modes
+            "index_vec_batch": (idx, 1),
+            "index_vec_batch_p4": (idx, 4),
         }
         if only_modes:
             modes = {m: modes[m] for m in only_modes}
         tiers = {}
         for mode, (buckets, n_probes) in modes.items():
             qv0 = next(iter(qvecs.values()))
-            rp_lsh_topk(
-                vecs, qv0, k=k, n_bits=n_bits, bands=bands, buckets=buckets,
-                n_probes=n_probes,
-            ).collect()  # warm plan compile untimed
-            hits = tot = planted = 0
-            t0 = time.time()
-            for qid, qv in qvecs.items():
-                got = [
-                    r["vec_id"]
-                    for r in rp_lsh_topk(
-                        vecs, qv, k=k, n_bits=n_bits, bands=bands,
-                        buckets=buckets, n_probes=n_probes,
-                    ).collect()
-                ]
-                hits += len(set(got) & set(truth[qid]))
-                tot += k
-                planted += int(qid + 9 in got)
-            dt = time.time() - t0
+            if "batch" in mode:
+                rp_lsh_topk_batch(
+                    vecs, qvecs, k=k, n_bits=n_bits, bands=bands,
+                    buckets=buckets, n_probes=n_probes,
+                ).collect()  # warm plan compile untimed
+                t0 = time.time()
+                rows = rp_lsh_topk_batch(
+                    vecs, qvecs, k=k, n_bits=n_bits, bands=bands,
+                    buckets=buckets, n_probes=n_probes,
+                ).collect()
+                dt = time.time() - t0
+                by_q: dict[int, list[int]] = {}
+                for r in rows:
+                    by_q.setdefault(int(r["query_id"]), []).append(
+                        int(r["vec_id"])
+                    )
+                hits = sum(
+                    len(set(by_q.get(qid, [])) & set(truth[qid]))
+                    for qid in qvecs
+                )
+                tot = k * len(qvecs)
+                planted = sum(
+                    int(qid + 9 in by_q.get(qid, [])) for qid in qvecs
+                )
+            else:
+                rp_lsh_topk(
+                    vecs, qv0, k=k, n_bits=n_bits, bands=bands,
+                    buckets=buckets, n_probes=n_probes,
+                ).collect()  # warm plan compile untimed
+                hits = tot = planted = 0
+                t0 = time.time()
+                for qid, qv in qvecs.items():
+                    got = [
+                        r["vec_id"]
+                        for r in rp_lsh_topk(
+                            vecs, qv, k=k, n_bits=n_bits, bands=bands,
+                            buckets=buckets, n_probes=n_probes,
+                        ).collect()
+                    ]
+                    hits += len(set(got) & set(truth[qid]))
+                    tot += k
+                    planted += int(qid + 9 in got)
+                dt = time.time() - t0
             tiers[mode] = {
                 "recall_at_k": round(hits / tot, 4),
                 "planted_hit_rate": round(planted / n_queries, 4),

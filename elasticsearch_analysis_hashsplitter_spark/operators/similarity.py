@@ -354,6 +354,17 @@ def query_probe_keys(
 _KEY_BUCKETS = 64
 
 
+def _pick_nkb(n: int, rows_per_bucket: int) -> int:
+    """Key-bucket fan-out for an n-vector index: smallest power of two
+    with <= rows_per_bucket vectors per (band, kb) partition, capped at
+    ``_KEY_BUCKETS``. Power of two so bucket populations stay balanced
+    for power-of-two key spaces under the mod map."""
+    nkb = 1
+    while nkb < _KEY_BUCKETS and nkb * rows_per_bucket < n:
+        nkb *= 2
+    return nkb
+
+
 def _index_nkb(buckets: DataFrame) -> int:
     """Recover the key-bucket fan-out an :func:`rp_lsh_index` table was
     WRITTEN with, from its ``nkb=`` partition directory — driver-side
@@ -410,10 +421,7 @@ def rp_lsh_index(
     writer and reader cannot disagree on the modulus. Returns the
     reloaded bucket table; pass it to :func:`rp_lsh_topk` via
     ``buckets=``."""
-    n = df.count()
-    nkb = 1
-    while nkb < _KEY_BUCKETS and nkb * rows_per_bucket < n:
-        nkb *= 2
+    nkb = _pick_nkb(df.count(), rows_per_bucket)
     b = (
         rp_lsh_buckets(
             df, dim, n_bits, bands, seed, id_col, vec_col, keep_vec=True

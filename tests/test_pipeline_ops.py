@@ -471,6 +471,27 @@ def test_rp_lsh_multiprobe_recall_and_pruning(spark, tmp_path):
     assert "In(key," in plan or "EqualTo(key," in plan
 
 
+def test_pick_nkb_boundaries():
+    """Fan-out sizing: power-of-two steps, <= rows_per_bucket per
+    bucket, capped at 64, and never 0 on empty input."""
+    from elasticsearch_analysis_hashsplitter_spark.operators.similarity import (
+        _KEY_BUCKETS,
+        _pick_nkb,
+    )
+
+    assert _pick_nkb(0, 8192) == 1
+    assert _pick_nkb(8192, 8192) == 1
+    assert _pick_nkb(8193, 8192) == 2
+    assert _pick_nkb(100_000, 8192) == 16
+    assert _pick_nkb(1_000_000, 8192) == _KEY_BUCKETS
+    assert _pick_nkb(10**12, 8192) == _KEY_BUCKETS
+    for n in (1, 17, 4096, 65_537, 3_000_000):
+        nkb = _pick_nkb(n, 8192)
+        assert nkb & (nkb - 1) == 0 and 1 <= nkb <= _KEY_BUCKETS
+        # the cap is the only reason a bucket may exceed rows_per_bucket
+        assert nkb == _KEY_BUCKETS or n <= nkb * 8192
+
+
 def test_rp_lsh_topk_batch_matches_single(spark, tmp_path):
     """One-job batch ANN returns, per query, exactly the single-query
     rp_lsh_topk answer (ids AND scores byte-equal — the batch path

@@ -317,6 +317,40 @@ def ivf_probe(
                 "mean_query_seconds": round(dt / n_queries, 3),
             }
 
+        # batch tier at the middle operating point: all queries in ONE
+        # pruned scan (ivf_topk_batch) — the job-floor amortization,
+        # answers byte-equal to ivf_topk (pinned in pytest)
+        from elasticsearch_analysis_hashsplitter_spark.operators.similarity import (  # noqa: E501
+            ivf_topk_batch,
+        )
+
+        nprobe_mid = nprobes[len(nprobes) // 2]
+        ivf_topk_batch(
+            vecs, qvecs, cents, k=k, nprobe=nprobe_mid, assignments=assign
+        ).collect()  # warm compile untimed
+        t0 = time.time()
+        rows = ivf_topk_batch(
+            vecs, qvecs, cents, k=k, nprobe=nprobe_mid, assignments=assign
+        ).collect()
+        b_dt = time.time() - t0
+        by_q: dict[int, list[int]] = {}
+        for r in rows:
+            by_q.setdefault(int(r["query_id"]), []).append(int(r["vec_id"]))
+        tiers[f"batch_nprobe{nprobe_mid}"] = {
+            "recall_at_k": round(
+                sum(
+                    len(set(by_q.get(q, [])) & set(truth[q])) for q in qvecs
+                ) / (k * n_queries),
+                4,
+            ),
+            "planted_hit_rate": round(
+                sum(int(q + 9 in by_q.get(q, [])) for q in qvecs)
+                / n_queries,
+                4,
+            ),
+            "mean_query_seconds": round(b_dt / n_queries, 3),
+        }
+
         out = {
             "section": "ann_ivf",
             "vectors": int(n_vecs),

@@ -103,6 +103,59 @@ def test_ann_index_partition_pruning(spark, tmp_path):
     assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 1
 
 
+def test_batch_ann_plan_one_scan_one_exchange(spark, tmp_path):
+    """The batch ANN tiers' claim (PLANS.md §10): for ANY number of
+    queries the plan has ONE partition-pruned index scan, broadcast
+    joins for the probe/query tables (never SortMergeJoin), and every
+    Exchange sits ABOVE the scan over candidate/result-sized data:
+    LSH pays at most 3 (candidate dedup — semantically required, a
+    vector matching in two bands must score once — window, final
+    presentation sort), IVF at most 2 (no dedup: a vector lives in
+    exactly one centroid partition)."""
+    import re
+
+    import numpy as np
+
+    from elasticsearch_analysis_hashsplitter_spark.operators.similarity import (
+        ivf_centroids,
+        ivf_index,
+        ivf_topk_batch,
+        rp_lsh_index,
+        rp_lsh_topk_batch,
+    )
+
+    rng = np.random.RandomState(1)
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in rng.normal(size=8)]) for i in range(200)],
+        "vec_id long, embedding array<double>",
+    )
+    qs = {
+        i: [float(x) for x in rng.normal(size=8)] for i in range(16)
+    }
+    lsh_idx = rp_lsh_index(df, dim=8, path=str(tmp_path / "l"), n_bits=16,
+                           bands=4, rows_per_bucket=8)
+    cents = ivf_centroids(df, n_centroids=8, dim=8)
+    ivf_idx = ivf_index(df, cents, str(tmp_path / "i"))
+    plans = {
+        "lsh": _plan(rp_lsh_topk_batch(df, qs, k=3, n_bits=16, bands=4,
+                                       buckets=lsh_idx)),
+        "ivf": _plan(ivf_topk_batch(df, qs, cents, k=3, nprobe=3,
+                                    assignments=ivf_idx)),
+    }
+    for name, plan in plans.items():
+        scans = re.findall(r"\(\d+\) Scan parquet", plan)
+        assert len(scans) == 1, (name, plan)
+        # partition pruning reaches the one scan
+        m = re.search(r"PartitionFilters: \[([^\]]*)\]", plan)
+        assert m and m.group(1).strip(), (name, plan)
+        exchanges = re.findall(r"\(\d+\) Exchange", plan)
+        assert len(exchanges) <= (3 if name == "lsh" else 2), (
+            name, exchanges, plan,
+        )
+        assert "hashpartitioning(query_id" in plan, (name, plan)
+        assert "SortMergeJoin" not in plan, (name, plan)
+
+
 def test_ivf_index_pruned_scan_never_reads_base_table(spark, tmp_path):
     """Serving from an ivf_index table: the probed read is a
     partition-pruned scan of the nprobe centroid partitions carrying

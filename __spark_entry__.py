@@ -372,6 +372,59 @@ def _q_simhash_pairs(spark, sf_dir):
     ).orderBy("doc_a", "doc_b")
 
 
+def _q_winnow_pairs(spark, sf_dir):
+    """Winnowing (rolling k-gram hash + window min, SIGMOD'03) document
+    fingerprint pairs; the oracle recomputes the identical polynomial
+    hashes and window minima in pure SQL — an independent loop-free
+    reimplementation, not a mirror of the Arrow kernel."""
+    from elasticsearch_analysis_hashsplitter_spark.operators.winnow import (
+        winnow_pairs,
+    )
+
+    out = winnow_pairs(_docs(spark, sf_dir), min_common=5, k=10, w=8)
+    return out.select(
+        "doc_a", "doc_b", F.col("n_common").cast("long").alias("n_common")
+    ).orderBy("doc_a", "doc_b")
+
+
+def _winnow_oracle(k: int = 10, w: int = 8, min_common: int = 5) -> str:
+    """Independent SQL recomputation of the winnowing fingerprints:
+    per-position polynomial k-gram hash (powers inlined as literals),
+    window minima via a start-positions range join, distinct
+    fingerprints per doc, then the pair join with the overlap cut."""
+    from elasticsearch_analysis_hashsplitter_spark.operators.winnow import (
+        WINNOW_MOD,
+        winnow_powers,
+    )
+
+    powers = winnow_powers(k)
+    terms = " + ".join(
+        f"ascii(substr(s, i+{j}, 1))::BIGINT * {powers[j]}" for j in range(k)
+    )
+    return f"""
+WITH n AS (
+  SELECT doc_id, lower(regexp_replace(text, '[^A-Za-z0-9]', '', 'g')) AS s
+  FROM documents
+),
+g AS (
+  SELECT doc_id, s, unnest(range(1, length(s) - {k} + 2)) AS i
+  FROM n WHERE length(s) >= {k}
+),
+h AS (SELECT doc_id, i, ({terms}) % {WINNOW_MOD} AS h FROM g),
+cnt AS (SELECT doc_id, count(*) AS ng FROM h GROUP BY doc_id),
+st AS (SELECT doc_id, unnest(range(1, greatest(1, ng - {w} + 1) + 1)) AS p
+       FROM cnt),
+sel AS (SELECT st.doc_id, st.p, min(h.h) AS fp
+        FROM st JOIN h ON h.doc_id = st.doc_id
+                      AND h.i BETWEEN st.p AND st.p + {w} - 1
+        GROUP BY st.doc_id, st.p),
+fps AS (SELECT DISTINCT doc_id, fp FROM sel)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*)::BIGINT AS n_common
+FROM fps a JOIN fps b ON a.fp = b.fp AND a.doc_id < b.doc_id
+GROUP BY 1, 2 HAVING count(*) >= {min_common}
+ORDER BY doc_a, doc_b"""
+
+
 def _q_ann_cosine(spark, sf_dir):
     from elasticsearch_analysis_hashsplitter_spark.operators.similarity import (
         cosine_topk,
@@ -827,6 +880,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_pairs": _q_minhash_pairs,
         "dedup_clusters": _q_dedup_clusters,
         "simhash_pairs": _q_simhash_pairs,
+        "winnow_pairs": _q_winnow_pairs,
         "ann_cosine_topk": _q_ann_cosine,
         "ann_lsh_topk": _q_ann_lsh,
         "ann_lsh_index_topk": _q_ann_lsh_index,
@@ -1320,6 +1374,7 @@ reach(src, dst) AS (
 SELECT src AS doc_id, least(src, min(dst)) AS cluster_id
 FROM reach GROUP BY src ORDER BY doc_id""",
         "simhash_pairs": _simhash_oracle(),
+        "winnow_pairs": _winnow_oracle(),
         "multimodal_features": _multimodal_oracle(),
         "ann_lsh_topk": ann_lsh,
         "ann_lsh_index_topk": ann_lsh,

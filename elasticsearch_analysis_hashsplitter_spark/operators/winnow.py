@@ -46,11 +46,18 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 #: polynomial rolling-hash parameters. B > 255 makes the k-gram -> hash
-#: map injective before the modulus; M is prime and < 2^31 so every
-#: intermediate term (byte * power < 2^39, summed over k < 2^45) fits a
-#: 64-bit signed integer in BOTH numpy and DuckDB SQL.
+#: map injective before the modulus; M is a ~2^50 prime sized by two
+#: constraints: (a) every intermediate stays in int64 in BOTH numpy and
+#: DuckDB SQL — byte * power < 255 * M < 2^58, summed over k <= 10 grams
+#: < 2^61.5; (b) the fingerprint space is big enough that birthday
+#: collisions between UNRELATED k-grams stay negligible at corpus scale
+#: (expected colliding value pairs ~ F^2 / 2M: with a 2^30 modulus a 1M-doc
+#: corpus's ~2e8 fingerprints already produce ~2e7 spurious df>=2 values —
+#: i.e. tens of millions of false candidate pairs, and even the 500-doc
+#: sf0.01 gate showed 48 collision-artifact pairs; at 1e15 the same 1M-doc
+#: corpus expects ~20 across the whole run, ~500 even at 1e9 fingerprints).
 WINNOW_BASE = 257
-WINNOW_MOD = 1_000_000_007
+WINNOW_MOD = 1_000_000_000_000_037
 
 
 def winnow_powers(k: int) -> list[int]:
@@ -72,7 +79,15 @@ def winnow_norm_col(text: str | Column = "text") -> Column:
 
 def _winnow_kernel(k: int, w: int):
     """Arrow UDF: normalized ascii string -> sorted distinct winnowed
-    fingerprints (array<long>). One vectorized pass per document."""
+    fingerprints (array<long>). One vectorized pass per document.
+
+    Deliberately per-document, NOT batch-concatenated: a variant that
+    concatenated the whole Arrow batch into one buffer (k + w strided
+    passes over ~10 MB) measured 2.3x SLOWER per core than this loop —
+    a sub-1 KB per-doc hash array stays L1-resident across all k + w
+    passes, while the big buffer streams main memory k + w times. At
+    ~18k docs/s/core the kernel is nowhere near the bottleneck of the
+    pair pipeline (the fingerprint shuffle is)."""
     powers = np.asarray(winnow_powers(k), dtype=np.int64)
 
     @F.pandas_udf(T.ArrayType(T.LongType()))

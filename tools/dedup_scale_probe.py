@@ -161,6 +161,159 @@ def minhash_probe(spark, n_docs: int) -> dict:
     return out
 
 
+def _planted_hex_corpus(spark, n_docs: int, blocks: int = 12):
+    """High-entropy corpus for the substring-exact winnowing tier: each
+    doc is ``blocks`` sha2-256 hex blocks (a pure function of doc_id),
+    so two documents share a >= w+k-1-char normalized substring ONLY by
+    planted construction — shared fingerprints measure RECALL, not
+    corpus repetitiveness. (The template code corpus is the wrong probe
+    input here: its ~140-word vocabulary means a 10-char gram spans ~2
+    tokens drawn from a 19.6k-bigram space, so essentially every doc
+    pair truly shares fingerprints and any correct pair listing is
+    output-bound quadratic; the probe records that corpus's fingerprint
+    df distribution separately as the boilerplate story.) Every
+    doc_id % 10 == 0 doc gets a near-copy at doc_id + n_docs: full base
+    text + a unique 64-hex suffix (appended-edit near-dup; the shared
+    prefix >> w+k-1 guarantees detection). Truth: (i, i + n_docs)."""
+    base = spark.range(n_docs).select(
+        F.col("id").alias("doc_id"),
+        F.concat_ws(
+            "",
+            *[
+                F.sha2(
+                    F.concat_ws(":", F.lit("winnow"), F.col("id"), F.lit(j)),
+                    256,
+                )
+                for j in range(blocks)
+            ],
+        ).alias("text"),
+    )
+    dups = base.where(F.col("doc_id") % 10 == 0).select(
+        (F.col("doc_id") + F.lit(n_docs)).alias("doc_id"),
+        F.concat(
+            F.col("text"),
+            F.sha2(F.concat(F.lit("edit:"), F.col("doc_id")), 256),
+        ).alias("text"),
+    )
+    return base.unionByName(dups)
+
+
+def winnow_probe(
+    spark, n_docs: int, k: int = 10, w: int = 8, min_common: int = 5,
+    max_fp_df: int = 64, boiler_docs: int = 100_000,
+) -> dict:
+    """Winnowing fingerprints at scale: extraction rate (the map-only
+    kernel), the fingerprint document-frequency distribution (the
+    quantity that decides whether the pair self-join stays linear — hot
+    boilerplate fingerprints play the role hot shingles play in the
+    Jaccard tier), and pair detection recall on the planted near-copies
+    (which share their entire base document, far over the w+k-1
+    detection guarantee, so every planted pair MUST surface; background
+    pairs on the high-entropy corpus should be ~zero)."""
+    from elasticsearch_analysis_hashsplitter_spark.operators.winnow import (
+        winnow_fingerprints,
+        winnow_pairs,
+    )
+
+    docs = _planted_hex_corpus(spark, n_docs).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    n_total = docs.count()
+    n_planted = len(range(0, n_docs, 10))
+
+    t0 = time.time()
+    fps = winnow_fingerprints(docs, k=k, w=w).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    n_fps = fps.count()
+    t_fps = time.time() - t0
+    dfrow = (
+        fps.groupBy("fp").agg(F.count("*").alias("n"))
+        .agg(
+            F.count("*").alias("n_distinct"),
+            F.max("n").alias("mx"),
+            F.expr("percentile_approx(n, 0.99)").alias("p99"),
+            F.sum(
+                F.when(F.col("n") <= max_fp_df,
+                       F.col("n") * (F.col("n") - 1) / 2).otherwise(0)
+            ).alias("capped_pair_mass"),
+            F.sum(F.col("n") * (F.col("n") - 1) / 2).alias("pair_mass"),
+        )
+        .collect()[0]
+    )
+
+    t0 = time.time()
+    pairs = winnow_pairs(
+        docs, min_common=min_common, k=k, w=w, max_fp_df=max_fp_df
+    ).persist()
+    n_pairs = pairs.count()
+    t_pairs = time.time() - t0
+    found_planted = pairs.where(
+        (F.col("doc_b") - F.col("doc_a") == n_docs)
+        & (F.col("doc_a") % 10 == 0)
+    ).count()
+
+    # Boilerplate story: the template CODE corpus's fingerprint df
+    # distribution (extraction + groupBy only — no pair join; its tiny
+    # token-bigram space makes true near-dup density ~quadratic, so the
+    # honest scale answer there is the df cap + a bigger k, not a faster
+    # join). Recorded so BENCH can show what max_fp_df is for.
+    bdocs = _planted_text_corpus(spark, boiler_docs)
+    bfps = winnow_fingerprints(bdocs, k=k, w=w)
+    brow = (
+        bfps.groupBy("fp").agg(F.count("*").alias("n"))
+        .agg(
+            F.count("*").alias("n_distinct"),
+            F.max("n").alias("mx"),
+            F.expr("percentile_approx(n, 0.99)").alias("p99"),
+            F.sum(
+                F.when(F.col("n") <= max_fp_df,
+                       F.col("n") * (F.col("n") - 1) / 2).otherwise(0)
+            ).alias("capped_pair_mass"),
+            F.sum(F.col("n") * (F.col("n") - 1) / 2).alias("pair_mass"),
+        )
+        .collect()[0]
+    )
+
+    out = {
+        "section": "winnow",
+        "docs": int(n_total),
+        "k": k,
+        "w": w,
+        "min_common": min_common,
+        "max_fp_df": max_fp_df,
+        "planted_pairs": int(n_planted),
+        "fingerprints_seconds": round(t_fps, 1),
+        "fingerprints_docs_per_sec": int(n_total / t_fps),
+        "fingerprint_rows": int(n_fps),
+        "fp_df_stats": {
+            "n_distinct": int(dfrow["n_distinct"]),
+            "max_df": int(dfrow["mx"]),
+            "p99_df": int(dfrow["p99"]),
+            "candidate_pair_mass_capped": int(dfrow["capped_pair_mass"]),
+            "candidate_pair_mass_uncapped": int(dfrow["pair_mass"]),
+        },
+        "pairs_seconds": round(t_pairs, 1),
+        "pairs_docs_per_sec": int(n_total / t_pairs),
+        "pairs_found": int(n_pairs),
+        "planted_found": int(found_planted),
+        "planted_recall": round(found_planted / n_planted, 4),
+        "background_pairs": int(n_pairs - found_planted),
+        "boilerplate_code_corpus": {
+            "docs": int(boiler_docs),
+            "n_distinct_fp": int(brow["n_distinct"]),
+            "max_df": int(brow["mx"]),
+            "p99_df": int(brow["p99"]),
+            "candidate_pair_mass_capped": int(brow["capped_pair_mass"]),
+            "candidate_pair_mass_uncapped": int(brow["pair_mass"]),
+        },
+    }
+    pairs.unpersist()
+    fps.unpersist()
+    docs.unpersist()
+    return out
+
+
 def embed_probe(
     spark, n_vecs: int, dim: int = 64, n_bits: int = 192, bands: int = 8,
     cap: int = 64,
@@ -533,7 +686,7 @@ def main():
     ap.add_argument("--shuffle-partitions", type=int, default=128)
     ap.add_argument(
         "--section",
-        choices=["all", "minhash", "embed", "ivf", "rplsh"],
+        choices=["all", "minhash", "winnow", "embed", "ivf", "rplsh"],
         default="all",
     )
     ap.add_argument(
@@ -546,6 +699,8 @@ def main():
     try:
         if args.section in ("all", "minhash"):
             print(json.dumps(minhash_probe(spark, args.docs)), flush=True)
+        if args.section in ("all", "winnow"):
+            print(json.dumps(winnow_probe(spark, args.docs)), flush=True)
         if args.section in ("all", "embed"):
             print(json.dumps(embed_probe(spark, args.vecs)), flush=True)
         if args.section in ("all", "ivf"):

@@ -770,6 +770,92 @@ def scaling_run(tmp_base: str) -> dict:
     }
 
 
+def _headline_line(result: dict) -> str:
+    """Compact copy of ``result`` for the single stdout JSON line.
+
+    The round driver keeps only the last ~2000 bytes of bench stdout
+    and json-parses the final line; the full r3/r4 result lines
+    outgrew that window, so BENCH_r03/r04.json recorded an unparseable
+    mid-line fragment (``"parsed": null``). Emit a bounded headline
+    line — the spec keys (metric/value/unit/queries/sf) plus the
+    numbers BASELINE.md tracks — and rely on main() writing the
+    complete result to BENCH_FULL.json beside this file."""
+
+    def pick(d: dict | None, keys) -> dict:
+        return {k: d[k] for k in keys if d and k in d}
+
+    out = {
+        k: result[k]
+        for k in ("metric", "unit", "sf", "cpus", "value")
+        if k in result
+    }
+    out["build"] = pick(result.get("build"), ("rows", "seconds", "files_per_sec"))
+    out["qps"] = pick(result.get("qps"), ("sequential_qps", "batched_qps"))
+    out["qps_warm"] = pick(
+        result.get("qps_warm"),
+        (
+            "batched_qps",
+            "sharded_batched_qps",
+            "concurrent_qps",
+            "session_qps",
+            "latency_p50_seconds",
+            "hot_repeat_qps",
+            "concurrent_matches_sequential",
+        ),
+    )
+    if "qps_selective" in result:
+        out["qps_selective"] = pick(
+            result["qps_selective"],
+            ("rank_identical", "speedup", "speedup_forced"),
+        )
+    if "scaling" in result:
+        s = dict(result["scaling"])
+        s.pop("mode", None)
+        out["scaling"] = s
+    if "queries_seconds" in result:
+        out["queries_seconds"] = result["queries_seconds"]
+    for level, ndigits in ((0, 2), (1, 1), (2, 1)):
+        if level == 2:
+            out.pop("qps", None)
+            out.pop("queries_seconds", None)
+            if "scaling" in out:
+                out["scaling"] = pick(
+                    out["scaling"],
+                    (
+                        "executors_small",
+                        "executors_large",
+                        "files_per_sec_small",
+                        "files_per_sec_large",
+                        "speedup",
+                        "scaling_efficiency",
+                        "query_speedup",
+                        "query_scaling_efficiency",
+                    ),
+                )
+        out["queries"] = {
+            k: round(v, ndigits) for k, v in result.get("queries", {}).items()
+        }
+        line = json.dumps(out, separators=(",", ":"))
+        if len(line) <= 1900:
+            return line
+    # last resort: spec keys only, trimming the per-query map (slowest
+    # kept) until the line fits (never expected to trigger)
+    out = {
+        k: out[k]
+        for k in ("metric", "unit", "sf", "value", "queries")
+        if k in out
+    }
+    by_cost = sorted(
+        out.get("queries", {}).items(), key=lambda kv: -kv[1]
+    )
+    for keep in range(len(by_cost), -1, -1):
+        out["queries"] = dict(sorted(by_cost[:keep]))
+        line = json.dumps(out, separators=(",", ":"))
+        if len(line) <= 1900:
+            return line
+    return json.dumps(out, separators=(",", ":"))
+
+
 def main():
     import shutil
     import tempfile
@@ -809,7 +895,13 @@ def main():
         )
     finally:
         shutil.rmtree(tmp_base, ignore_errors=True)
-    print(json.dumps(result))
+    full_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "BENCH_FULL.json"
+    )
+    with open(full_path, "w") as f:
+        json.dump(result, f, indent=1)
+        f.write("\n")
+    print(_headline_line(result))
 
 
 if __name__ == "__main__":

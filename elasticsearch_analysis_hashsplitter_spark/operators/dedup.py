@@ -23,7 +23,6 @@ from collections.abc import Iterator
 import numpy as np
 import pandas as pd
 
-from pyspark import StorageLevel
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
@@ -364,10 +363,14 @@ def minhash_dedup_pairs(
     result deterministic (LSH affects recall only, never precision).
 
     The verify stage is CANDIDATE-proportional, not corpus-proportional
-    (r5 1M-doc probe finding): the candidate pairs are persisted once
-    (Spark's ContextCleaner drops the blocks when the result goes out
-    of scope) and the corpus is semi-joined down to docs that appear in
-    some candidate pair BEFORE the shingle explode — so the two
+    (r5 1M-doc probe finding): the candidate pairs are materialized once
+    via ``localCheckpoint`` — NOT ``Dataset.persist``, because SQL-cache
+    entries live in the session's CacheManager until an explicit
+    unpersist (a long-lived session calling this repeatedly would
+    accumulate candidate tables forever), while local-checkpoint blocks
+    are RDD-cached and ContextCleaner frees them when the result is
+    garbage-collected — and the corpus is semi-joined down to docs that
+    appear in some candidate pair BEFORE the shingle explode, so the two
     shingle-join inputs and the size table carry only candidate docs
     instead of re-exploding the full corpus three more times after the
     signature pass. On a mostly-unique corpus that removes most of the
@@ -378,7 +381,7 @@ def minhash_dedup_pairs(
     sigs = minhash_signatures(df, num_perm, n, seed, id_col, text_col)
     cand = minhash_lsh_candidates(
         sigs, bands, rows, max_bucket_size, pair_mode
-    ).persist(StorageLevel.MEMORY_AND_DISK)
+    ).localCheckpoint(eager=False)
     cand_ids = (
         cand.select(F.col("doc_a").alias("cand_id"))
         .unionByName(cand.select(F.col("doc_b").alias("cand_id")))

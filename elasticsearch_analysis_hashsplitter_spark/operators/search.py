@@ -253,6 +253,12 @@ class _LruCache:
     def __contains__(self, key) -> bool:
         return key in self._d
 
+    def __iter__(self):
+        return iter(self._d)
+
+    def __delitem__(self, key) -> None:
+        del self._d[key]
+
     def __getitem__(self, key):
         self._d.move_to_end(key)
         return self._d[key]
@@ -350,8 +356,10 @@ class SearchEngine:
         #: set -> the SAME DataFrame object, so Spark reuses the
         #: analyzed plan + generated code and a steady-state server
         #: pays zero driver plan work per re-run (see bm25_topk_batch).
-        self._batch_plan_cache: dict[tuple, object] = {}
-        self._batch_plan_cache_max = 32
+        #: LRU, same policy argument as the term caches above: a server
+        #: rotating through > max distinct batches must keep its hot
+        #: plans resident, not wipe them all on overflow.
+        self._batch_plan_cache = _LruCache(32)
         #: request-result cache for the serving path (ES's request
         #: cache, reference `README.md` serving model): finished top-k
         #: answers keyed by (analyzed terms, k, layout epoch) — a
@@ -997,11 +1005,22 @@ class SearchEngine:
         sc = self.spark.sparkContext
         # warm the driver-side term-stats cache with ONE job up front:
         # concurrent cold threads would otherwise each fire a lexicon
-        # point-read for their own terms
-        all_values = " ".join(v for _, v in items)
-        node = qc.field_query(all_values, self.cfg, scored=True)
-        if isinstance(node, ir.ScoredTerms):
-            self._term_stats(list(node.terms))
+        # point-read for their own terms. Each value is analyzed
+        # SEPARATELY (never a space-joined concatenation: in the
+        # whole-value chunking mode the tokenizer would chunk straight
+        # across value boundaries, caching junk terms and leaving every
+        # real term cold)
+        warm_terms: list[str] = []
+        seen_terms: set[str] = set()
+        for _, v in items:
+            node = qc.field_query(v, self.cfg, scored=True)
+            if isinstance(node, ir.ScoredTerms):
+                for t in node.terms:
+                    if t not in seen_terms:
+                        seen_terms.add(t)
+                        warm_terms.append(t)
+        if warm_terms:
+            self._term_stats(warm_terms)
 
         if coalesce:
             coal = ServeCoalescer(
@@ -2829,8 +2848,6 @@ def bm25_topk_batch(
         "query_id", "doc_id", "score", "rank"
     )
     with engine._cache_lock:
-        if len(engine._batch_plan_cache) >= engine._batch_plan_cache_max:
-            engine._batch_plan_cache.clear()
         engine._batch_plan_cache[key] = out
     return out
 
@@ -2881,11 +2898,6 @@ def bm25_topk_batch_collect(
             )
             if frame is not None:
                 with engine._cache_lock:
-                    if (
-                        len(engine._batch_plan_cache)
-                        >= engine._batch_plan_cache_max
-                    ):
-                        engine._batch_plan_cache.clear()
                     engine._batch_plan_cache[key] = (
                         frame, active, qidx_of,
                     )

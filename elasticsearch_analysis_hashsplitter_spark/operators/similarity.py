@@ -436,7 +436,73 @@ def rp_lsh_index(
         .partitionBy("nkb", "band", "kb")
         .parquet(path)
     )
+    # record the hyperplane knobs beside the data: a query computing
+    # band keys with different n_bits/bands/seed/dim hashes into
+    # DIFFERENT buckets and recall silently collapses to ~0 — the same
+    # writer/reader-drift class the nkb path marker closes for the
+    # modulus. Underscore-prefixed, so Spark's parquet listing skips it.
+    _write_rp_lsh_meta(
+        path,
+        {"n_bits": n_bits, "bands": bands, "seed": seed, "dim": dim,
+         "nkb": nkb},
+    )
     return df.sparkSession.read.parquet(path)
+
+
+def _write_rp_lsh_meta(path: str, meta: dict) -> None:
+    import json
+    import os
+
+    p = path[len("file:"):] if path.startswith("file:") else path
+    try:
+        with open(os.path.join(p, "_rp_lsh_meta.json"), "w") as fh:
+            json.dump(meta, fh)
+    except OSError:
+        pass  # non-local filesystem: validation degrades gracefully
+
+
+def _index_meta(buckets: DataFrame) -> dict | None:
+    """Recover the knob record an :func:`rp_lsh_index` table was written
+    with (driver-side path probe off the already-listed file index; no
+    Spark job). None for ad-hoc bucket frames, relocated tables that
+    lost the marker, or non-local filesystems."""
+    import json
+    import os
+    import re
+
+    for f in buckets.inputFiles():
+        p = f[len("file:"):] if f.startswith("file:") else f
+        root = re.split(r"/nkb=\d+/", p)[0]
+        mp = os.path.join(root, "_rp_lsh_meta.json")
+        try:
+            with open(mp) as fh:
+                return json.load(fh)
+        except (OSError, ValueError):
+            return None
+    return None
+
+
+def _check_rp_lsh_knobs(
+    buckets: DataFrame, n_bits: int, bands: int, seed: int, dim: int
+) -> None:
+    """Refuse a serving-index query whose key derivation disagrees with
+    the writer's: mismatched hyperplanes match essentially nothing and
+    the caller would see silent ~0 recall instead of an error."""
+    meta = _index_meta(buckets)
+    if meta is None:
+        return
+    got = {"n_bits": n_bits, "bands": bands, "seed": seed, "dim": dim}
+    bad = {
+        k: (meta[k], got[k])
+        for k in ("n_bits", "bands", "seed", "dim")
+        if k in meta and meta[k] != got[k]
+    }
+    if bad:
+        raise ValueError(
+            "rp_lsh query knobs disagree with the index's recorded "
+            f"values (index, query): {bad} — pass the knobs the index "
+            "was built with"
+        )
 
 
 def rp_lsh_topk(
@@ -482,6 +548,8 @@ def rp_lsh_topk(
     probe_keys = query_probe_keys(query, n_bits, bands, seed, n_probes)
     if buckets is None:
         buckets = rp_lsh_buckets(df, dim, n_bits, bands, seed, id_col, vec_col)
+    else:
+        _check_rp_lsh_knobs(buckets, n_bits, bands, seed, dim)
     has_kb = "kb" in buckets.columns
     nkb = _index_nkb(buckets) if has_kb else 1
     cond = None
@@ -558,6 +626,8 @@ def rp_lsh_topk_batch(
     dim = len(next(iter(queries.values())))
     if buckets is None:
         buckets = rp_lsh_buckets(df, dim, n_bits, bands, seed, id_col, vec_col)
+    else:
+        _check_rp_lsh_knobs(buckets, n_bits, bands, seed, dim)
     has_kb = "kb" in buckets.columns
     nkb = _index_nkb(buckets) if has_kb else 1
 

@@ -133,6 +133,16 @@ def winnow_fingerprints(
     sub-k documents before the kernel runs."""
     if k < 1 or w < 1:
         raise ValueError(f"k and w must be >= 1: k={k}, w={w}")
+    # the unreduced accumulation sum(byte * power) stays in int64 only
+    # for k * 255 * (WINNOW_MOD - 1) < 2^63, i.e. k <= 36 at the ~2^50
+    # modulus — beyond that numpy would silently wrap (and the SQL
+    # oracle would overflow differently), so refuse loudly
+    k_max = (2**63 - 1) // (255 * (WINNOW_MOD - 1))
+    if k > k_max:
+        raise ValueError(
+            f"k={k} overflows the int64 hash accumulator "
+            f"(max {k_max} at modulus {WINNOW_MOD})"
+        )
     norm = df.select(
         F.col(id_col).alias("doc_id"), winnow_norm_col(text_col).alias("s")
     ).where(F.length("s") >= k)

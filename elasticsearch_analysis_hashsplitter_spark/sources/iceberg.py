@@ -43,6 +43,7 @@ from __future__ import annotations
 
 import json
 import os
+import re
 import time
 import uuid
 
@@ -193,21 +194,30 @@ def _strip_uri(p: str) -> str:
 
 def current_metadata_path(table_path: str) -> str:
     """metadata/version-hint.text if present (HadoopTables layout), else
-    the lexicographically-latest ``*.metadata.json`` (REST/object-store
-    layouts name them ``00000-<uuid>.metadata.json``, which sorts in
-    commit order)."""
+    the latest ``*.metadata.json``. "Latest" must treat the two public
+    naming schemes differently: HadoopTables ``vN.metadata.json`` needs a
+    NUMERIC sort (lexicographically 'v9' > 'v10', so a plain string sort
+    silently serves a stale snapshot once N reaches 10 on a table whose
+    hint file was lost), while REST/object-store ``00000-<uuid>`` names
+    are zero-padded and sort in commit order as strings."""
     meta_dir = os.path.join(table_path, "metadata")
     hint = os.path.join(meta_dir, "version-hint.text")
     if os.path.exists(hint):
         with open(hint) as fh:
             v = fh.read().strip()
         return os.path.join(meta_dir, f"v{v}.metadata.json")
-    cands = sorted(
+    cands = [
         f for f in os.listdir(meta_dir) if f.endswith(".metadata.json")
-    )
+    ]
     if not cands:
         raise FileNotFoundError(f"no *.metadata.json under {meta_dir}")
-    return os.path.join(meta_dir, cands[-1])
+
+    def key(f: str):
+        m = re.fullmatch(r"v(\d+)\.metadata\.json", f)
+        # numbered versions after (and above) any unnumbered names
+        return (1, int(m.group(1)), f) if m else (0, 0, f)
+
+    return os.path.join(meta_dir, max(cands, key=key))
 
 
 def load_metadata(table_path: str) -> dict:

@@ -198,21 +198,48 @@ def compact_index(
     cfg: HashSplitterConfig,
     num_partitions: int = 8,
     block_size: int | None = None,
+    layout: str = "hash",
 ) -> dict:
-    """Segment merge: rewrite all postings slices into one term-sorted
-    slice (decode-free: block rows are re-range-partitioned and kept —
-    they are already per-term sorted runs; only the file layout and
-    lexicon/stats are rebuilt)."""
+    """Segment merge: rewrite all postings slices into one slice
+    (decode-free: block rows are re-partitioned and kept — they are
+    already per-term sorted runs; only the file layout and lexicon/stats
+    are rebuilt).
+
+    ``layout`` — where a hot term's blocks LAND, measured both ways in
+    a 1M-doc interleaved A/B (BENCH.md "Compacted-layout A/B"):
+
+    * ``"hash"`` (default): hash-partition each block row on
+      ``(term, min_doc)``, term-sorted within partitions. A hot term's
+      blocks spread across ~all partitions, so the decode of a dense
+      query runs as ~num_partitions parallel tasks — warm hot-term BM25
+      measured 1.8x faster than the range layout at 1M docs (2.6 vs
+      4.6 s), matching the segmented ingest layout's speed while still
+      merging fragments and cutting file count. Row-group min/max on
+      the sorted ``term`` column keeps point-lookup pruning (each file
+      skips row groups without the term).
+    * ``"range"``: ``repartitionByRange`` on (term, min_doc) — globally
+      term-ordered files, strongest FILE-level pruning (a rare-term
+      lookup touches one file instead of every file's footer). Costs a
+      sampling pass, and concentrates a hot term's blocks into 1-2
+      partitions, serializing exactly the decode the cluster should
+      parallelize — prefer it only for point-lookup-dominated indexes.
+    """
     from ..operators.build import DEFAULT_BLOCK_SIZE  # noqa: F401
 
+    if layout not in ("hash", "range"):
+        raise ValueError(f"layout: {layout!r} (expected 'hash' or 'range')")
     src = catalog.read_postings(spark, index_dir)
     cols = ["term", "min_doc", "max_doc", "df", "max_tf", "docs", "tfs", "dls"]
     if "min_dl" in src.columns:  # pre-min_dl indexes remain compactable
         cols.insert(5, "min_dl")
     postings = src.select(*cols)
-    (
+    shuffled = (
         postings.repartitionByRange(num_partitions, "term", "min_doc")
-        .sortWithinPartitions("term", "min_doc")
+        if layout == "range"
+        else postings.repartition(num_partitions, "term", "min_doc")
+    )
+    (
+        shuffled.sortWithinPartitions("term", "min_doc")
         .write.mode("overwrite")
         .parquet(catalog.postings_path(out_dir) + "/slice=compacted")
     )
@@ -231,6 +258,7 @@ def maybe_compact(
     cfg: HashSplitterConfig,
     max_slices: int = 8,
     num_partitions: int = 8,
+    layout: str = "hash",
 ) -> dict | None:
     """Compaction policy: rewrite the index in place when the slice count
     exceeds ``max_slices`` (each streamed micro-batch adds a segment;
@@ -262,7 +290,9 @@ def maybe_compact(
     tmp, bak = base + ".compact_tmp", base + ".pre_compact"
     shutil.rmtree(tmp, ignore_errors=True)
     shutil.rmtree(bak, ignore_errors=True)
-    stats = compact_index(spark, index_dir, tmp, cfg, num_partitions)
+    stats = compact_index(
+        spark, index_dir, tmp, cfg, num_partitions, layout=layout
+    )
     # carry over anything that is not part of the index itself; a crash
     # in this loop leaves index_dir healthy and recover_compaction moves
     # these entries back out of the stale tmp

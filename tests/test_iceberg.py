@@ -267,3 +267,22 @@ def test_iceberg_delete_manifest_refused(spark, tmp_path):
     )
     with pytest.raises(NotImplementedError, match="delete"):
         ice.read_table(spark, tbl)
+
+
+def test_metadata_fallback_sorts_vN_numerically(tmp_path):
+    """A vN-named table whose version-hint.text was lost must resolve
+    v12, not v9 — lexicographic sort serves a stale snapshot once N
+    reaches 10."""
+    meta_dir = tmp_path / "tbl" / "metadata"
+    meta_dir.mkdir(parents=True)
+    for n in range(1, 13):
+        (meta_dir / f"v{n}.metadata.json").write_text("{}")
+    p = ice.current_metadata_path(str(tmp_path / "tbl"))
+    assert p.endswith("v12.metadata.json")
+    # zero-padded REST-style names still sort as strings
+    for f in meta_dir.iterdir():
+        f.unlink()
+    for n in (1, 2, 10):
+        (meta_dir / f"{n:05d}-abc.metadata.json").write_text("{}")
+    p = ice.current_metadata_path(str(tmp_path / "tbl"))
+    assert p.endswith("00010-abc.metadata.json")

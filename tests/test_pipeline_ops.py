@@ -386,6 +386,41 @@ def test_rp_lsh_index_serving_path(spark, tmp_path):
     ]
 
 
+def test_rp_lsh_index_refuses_mismatched_knobs(spark, tmp_path):
+    """Querying a persisted index with different n_bits/bands/seed
+    computes band keys from DIFFERENT hyperplanes — the key join then
+    matches ~nothing and recall silently collapses; the index records
+    its knobs and the query side must refuse the drift loudly."""
+    import pytest
+
+    from elasticsearch_analysis_hashsplitter_spark.operators.similarity import (
+        rp_lsh_index,
+        rp_lsh_topk,
+        rp_lsh_topk_batch,
+    )
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet").select(
+        "vec_id", pd_cast_embedding()
+    )
+    q = [float(x) for x in emb.where("vec_id = 3").first()["embedding"]]
+    idx = rp_lsh_index(
+        emb, dim=len(q), path=str(tmp_path / "annidx2"), n_bits=64, bands=16
+    )
+    for bad in (
+        dict(n_bits=32, bands=16, seed=42),
+        dict(n_bits=64, bands=8, seed=42),
+        dict(n_bits=64, bands=16, seed=7),
+    ):
+        with pytest.raises(ValueError, match="disagree"):
+            rp_lsh_topk(emb, q, k=5, buckets=idx, **bad)
+        with pytest.raises(ValueError, match="disagree"):
+            rp_lsh_topk_batch(emb, {"q": q}, k=5, buckets=idx, **bad)
+    # matching knobs still serve
+    assert rp_lsh_topk(
+        emb, q, k=5, n_bits=64, bands=16, buckets=idx
+    ).count() > 0
+
+
 def test_query_probe_keys_properties():
     """Pure driver-side checks of the multi-probe sequence: probe 0 is
     the base band key, probes are distinct, and the shift/expand heap

@@ -80,15 +80,24 @@ def test_stream_segments_match_batch(spark, tmp_path):
     ]
     assert stream_top == batch_top
 
-    # compaction preserves everything
-    cidx = str(tmp_path / "cidx")
-    compact_index(spark, idx, cidx, CFG, num_partitions=2)
-    ceng = SearchEngine.open(spark, cidx)
-    assert ceng.stats["n_docs"] == 5
-    comp_top = [
-        (r.doc_id, round(r.score, 9)) for r in ceng.search("spark", 5).collect()
-    ]
-    assert comp_top == stream_top
+    # compaction preserves everything — under BOTH file layouts (the
+    # default hash spread and the term-range layout; the 1M A/B in
+    # BENCH.md picks the default, this pins that neither changes
+    # answers) and an unknown layout is refused
+    for layout in ("hash", "range"):
+        cidx = str(tmp_path / f"cidx_{layout}")
+        compact_index(spark, idx, cidx, CFG, num_partitions=2, layout=layout)
+        ceng = SearchEngine.open(spark, cidx)
+        assert ceng.stats["n_docs"] == 5
+        comp_top = [
+            (r.doc_id, round(r.score, 9))
+            for r in ceng.search("spark", 5).collect()
+        ]
+        assert comp_top == stream_top
+    with pytest.raises(ValueError, match="layout"):
+        compact_index(
+            spark, idx, str(tmp_path / "cx"), CFG, layout="zigzag"
+        )
 
 
 def test_stream_skip_existing_dedups_reingest(spark, tmp_path):

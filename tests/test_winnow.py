@@ -199,3 +199,9 @@ def test_bad_params_raise(spark):
         winnow_fingerprints(df, k=0)
     with pytest.raises(ValueError):
         winnow_fingerprints(df, w=0)
+    # int64 accumulator bound: k * 255 * (MOD-1) must stay < 2^63 —
+    # beyond it numpy would wrap silently and the SQL oracle would
+    # disagree, so the operator must refuse instead
+    with pytest.raises(ValueError, match="overflow"):
+        winnow_fingerprints(df, k=37)
+    winnow_fingerprints(df, k=36)  # boundary accepted

@@ -590,3 +590,37 @@ def test_coalescer_lanes_close_flushes_in_flight(eng):
         assert [d for d, _ in got] == [d for d, _ in exp]
         for (_, gs), (_, es) in zip(got, exp):
             assert gs == pytest.approx(es, rel=1e-9)
+
+
+def test_serve_value_mode_warmup_clean(spark):
+    """serve() in whole-value chunking mode: answers must match
+    search(), and the warm-up must analyze each request value
+    SEPARATELY — the old space-joined concatenation chunked across
+    value boundaries, caching junk terms (containing the joining
+    space) while every real term stayed cold."""
+    from elasticsearch_analysis_hashsplitter_spark.config import (
+        HashSplitterConfig,
+    )
+
+    cfg = HashSplitterConfig(
+        chunk_length=4, token_mode="value", apply_input_cap=False
+    )
+    docs = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(
+            ["aaaabbbb", "bbbbcccc", "aaaacccc", "ccccdddd"]
+        )],
+        "doc_id long, content string",
+    )
+    e = SearchEngine.from_corpus(
+        docs, cfg, text_col="content", num_partitions=2
+    )
+    reqs = {"q1": "aaaabbbb", "q2": "ccccdddd"}
+    served = e.serve(reqs, k=3, max_workers=2)
+    _assert_matches_sequential(e, served, reqs, 3)
+    cached = list(e._term_stats_cache._d)
+    assert cached, "warm-up should have cached the request terms"
+    assert not any(" " in t for t in cached), cached
+    for v in reqs.values():
+        node = qc.field_query(v, cfg, scored=True)
+        for t in node.terms:
+            assert t in e._term_stats_cache

@@ -14,6 +14,7 @@
 
 from __future__ import annotations
 
+import os
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
@@ -246,6 +247,68 @@ def _q_bm25_batch(spark, sf_dir):
         F.round("score", 4).alias("score"),
         F.col("rank").cast("long").alias("rank"),
     ).orderBy("query_id", "rank")
+
+
+# ES delete parity gates (operators/search.py delete_docs +
+# streaming/incremental.py compact purge — Lucene liveDocs semantics).
+# Deterministic tombstone set: doc_id % 7 == 3. Both gates build their
+# OWN engines — deletes mutate engine state, so the shared _ENGINES
+# cache entries must never be tombstoned.
+DEL_MOD, DEL_RES = 7, 3
+
+
+def _del_victims(docs: DataFrame) -> list:
+    return [
+        r["doc_id"]
+        for r in docs.where(
+            F.col("doc_id") % DEL_MOD == DEL_RES
+        ).select("doc_id").collect()
+    ]
+
+
+def _q_bm25_deleted(spark, sf_dir):
+    """Tombstoned index, stats STALE (pre-purge): surviving docs score
+    with full-corpus n/avgdl/df; only membership changes. The oracle
+    mirrors that by filtering candidates after full-corpus scoring."""
+    key = (id(spark), sf_dir, "deleted")
+    if key not in _ENGINES:
+        docs = _docs(spark, sf_dir)
+        eng = SearchEngine.from_corpus(
+            docs, TOK_CFG, id_col="doc_id", text_col="text"
+        )
+        eng.delete_docs(_del_victims(docs))
+        _ENGINES[key] = eng
+    return _ENGINES[key].search(BM25_QUERY, k=10).select(
+        "doc_id", F.round("score", 4).alias("score")
+    )
+
+
+def _q_bm25_purged(spark, sf_dir):
+    """Tombstones applied by compact_index (Lucene expunge-at-merge):
+    postings physically dropped, stats/lexicon recomputed — the result
+    must equal BM25 over the live corpus outright."""
+    key = (id(spark), sf_dir, "purged")
+    if key not in _ENGINES:
+        import tempfile
+
+        from elasticsearch_analysis_hashsplitter_spark.operators.build import (
+            build_index,
+        )
+        from elasticsearch_analysis_hashsplitter_spark.streaming.incremental import (
+            compact_index,
+        )
+
+        base = tempfile.mkdtemp(prefix="hs_gate_purge_")
+        idx, out = os.path.join(base, "idx"), os.path.join(base, "out")
+        docs = _docs(spark, sf_dir)
+        build_index(docs, TOK_CFG, idx, id_col="doc_id", text_col="text")
+        eng0 = SearchEngine.open(spark, idx)
+        eng0.delete_docs(_del_victims(docs))
+        compact_index(spark, idx, out, TOK_CFG)
+        _ENGINES[key] = SearchEngine.open(spark, out)
+    return _ENGINES[key].search(BM25_QUERY, k=10).select(
+        "doc_id", F.round("score", 4).alias("score")
+    )
 
 
 def _q_hash_prefix(spark, sf_dir):
@@ -868,6 +931,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_topk": _q_bm25,
         "bm25_topk_or": _q_bm25_or,
         "bm25_topk_batch": _q_bm25_batch,
+        "bm25_topk_deleted": _q_bm25_deleted,
+        "bm25_topk_purged": _q_bm25_purged,
         "hash_prefix_query": _q_hash_prefix,
         "hash_wildcard_suffix": _q_hash_wildcard_suffix,
         "hash_range_query": _q_hash_range,
@@ -915,16 +980,36 @@ def _tok_ir_sql(node) -> str:
     return f"WITH {_TOK_CTE} SELECT doc_id FROM ({sel}) q ORDER BY doc_id"
 
 
-def _bm25_oracle(conjunctive: bool = True) -> str:
+def _bm25_oracle(
+    conjunctive: bool = True,
+    docs_table: str = "documents",
+    prefix_cte: str = "",
+    final_pred: str = "",
+) -> str:
+    """Conjunctive/disjunctive BM25 top-10 oracle. ``final_pred``
+    filters the scored candidates BEFORE the top-k (the tombstone
+    model: stats over the full corpus, membership over the live set);
+    ``docs_table``+``prefix_cte`` instead rebuild everything over a
+    restricted corpus (the post-purge model: stats AND membership over
+    the live set)."""
     terms = sorted(set(_bm25_terms))
     in_list = ", ".join("'" + t + "'" for t in terms)
     k1, b = TOK_CFG.bm25_k1, TOK_CFG.bm25_b
     having = f"WHERE nt = {len(terms)}" if conjunctive else ""
+    if final_pred:
+        having = (
+            f"{having} AND {final_pred}" if having else f"WHERE {final_pred}"
+        )
+    cte = (
+        _TOK_CTE
+        if docs_table == "documents"
+        else sql_oracle.chunks_cte_tokens(TOK_CFG, docs_table=docs_table)
+    )
     return f"""
-WITH {_TOK_CTE},
+WITH {prefix_cte}{cte},
 tf AS (SELECT doc_id, term, count(*) AS tf FROM chunks GROUP BY doc_id, term),
 dl AS (SELECT doc_id, count(*) AS dl FROM chunks GROUP BY doc_id),
-stats AS (SELECT (SELECT count(*) FROM documents) AS n, avg(dl) AS avgdl FROM dl),
+stats AS (SELECT (SELECT count(*) FROM {docs_table}) AS n, avg(dl) AS avgdl FROM dl),
 dfs AS (SELECT term, count(*) AS df FROM tf
         WHERE term IN ({in_list}) GROUP BY term),
 hits AS (
@@ -1328,6 +1413,20 @@ LIMIT 10"""
         "bm25_topk": _bm25_oracle(),
         "bm25_topk_or": _bm25_oracle(conjunctive=False),
         "bm25_topk_batch": _bm25_batch_oracle(),
+        # tombstoned, stats stale (Lucene pre-merge): full-corpus
+        # scoring, live-set membership
+        "bm25_topk_deleted": _bm25_oracle(
+            final_pred=f"doc_id % {DEL_MOD} <> {DEL_RES}"
+        ),
+        # purged by compact_index (Lucene expunge-at-merge): both
+        # scoring stats and membership over the live corpus
+        "bm25_topk_purged": _bm25_oracle(
+            docs_table="live",
+            prefix_cte=(
+                f"live AS (SELECT * FROM documents "
+                f"WHERE doc_id % {DEL_MOD} <> {DEL_RES}),"
+            ),
+        ),
         # semantic oracles on the raw derived value (stronger than mirroring)
         "hash_prefix_query": (
             "SELECT doc_id FROM documents WHERE md5(text) LIKE '0%' "

@@ -218,6 +218,14 @@ def _block_ranges_frame_by_term(blocks: DataFrame, cap: int) -> DataFrame:
     )
 
 
+def _live_mask(ids: np.ndarray, deleted: np.ndarray) -> np.ndarray:
+    """Boolean mask selecting ids NOT in ``deleted`` (sorted, unique,
+    non-empty). One searchsorted — the vectorized form of Lucene's
+    liveDocs bitset test, applied to decoded posting arrays."""
+    pos = np.minimum(np.searchsorted(deleted, ids), deleted.size - 1)
+    return deleted[pos] != ids
+
+
 def _decode_docs(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
     for pdf in batches:
         if not len(pdf):
@@ -409,6 +417,36 @@ class SearchEngine:
         #: cutoff immediately and keep the pruned path. Tests that
         #: exercise the pruning machinery set this to 0.
         self.disjunctive_exhaustive_cutoff = 1_000_000
+        #: tombstoned doc ids (sorted unique int64 numpy array, or None
+        #: when the index has none) — the Lucene liveDocs analogue
+        #: (SURVEY §1.1: Lucene serves deletes as in-RAM liveness
+        #: bitsets over immutable segments until a merge purges them).
+        #: Loaded from ``deletes/`` at :meth:`open`; grown by
+        #: :meth:`delete_docs` / :meth:`delete_by_query`. Every query
+        #: path masks it; BM25 stats stay STALE until
+        #: ``compact_index`` purges (ES docs.deleted semantics), so
+        #: surviving docs' scores are bit-identical before and after a
+        #: delete — only membership changes.
+        self._deleted: np.ndarray | None = None
+        #: lazily-created Spark broadcast of ``_deleted`` for kernels
+        #: that rank INSIDE a task (sharded local top-k, batch theta
+        #: bootstrap) — a post-hoc driver filter there would be
+        #: unsound, a deleted doc could displace a live one from a
+        #: task-local top-k before the filter ever saw it.
+        self._deleted_bc = None
+        #: anti-join frame for the DataFrame-level filter (cached per
+        #: deletes epoch)
+        self._deleted_df: DataFrame | None = None
+        #: bumped on every delete; part of every compiled-plan and
+        #: result-cache key, so an answer computed before a delete can
+        #: never be served after it.
+        self._deletes_epoch = 0
+        #: driver/broadcast ceiling for the in-memory delete set
+        #: (~8 bytes/id: the default bounds it at ~128 MB, the same
+        #: class as Lucene's liveness bitsets). Past it, delete_docs
+        #: refuses and points at compact_index, which purges the
+        #: tombstones and empties the set.
+        self.max_deleted_in_memory = 16_000_000
         #: same cost-based switch for the CONJUNCTIVE batch prune:
         #: below this total posting count across all query terms the
         #: anchor machinery (id-fetch job + per-block masks + the
@@ -558,6 +596,9 @@ class SearchEngine:
             lexicon=lexicon,
         )
         eng.index_dir = index_dir
+        deleted = catalog.read_deletes(index_dir)
+        if deleted.size:
+            eng._deleted = deleted
         return eng
 
     def enable_serving_layout(
@@ -759,6 +800,109 @@ class SearchEngine:
         new._layout_epoch += 1
         self._detach_layout()
         return new
+
+    # ------------------------------------------------------------------
+    # deletes (the Lucene liveDocs model: tombstones over immutable
+    # segments, purged by compact_index — ES delete-by-id/by-query)
+    # ------------------------------------------------------------------
+    @property
+    def deleted_count(self) -> int:
+        """Tombstoned doc ids currently masked (ES ``docs.deleted``)."""
+        return 0 if self._deleted is None else int(self._deleted.size)
+
+    def delete_docs(self, doc_ids) -> int:
+        """Tombstone documents by id. Returns how many ids were newly
+        tombstoned (already-deleted and never-indexed ids are no-ops —
+        a tombstone only masks; it cannot invent a doc).
+
+        Semantics (Lucene/ES parity, deliberately): postings and
+        docstats are NOT rewritten — every query path masks the ids,
+        and global/per-term stats (n_docs, avgdl, df) keep counting the
+        deleted docs until ``compact_index`` purges them, so surviving
+        docs' BM25 scores are bit-identical before and after a delete.
+        Durable when the engine was :meth:`open`-ed from a directory
+        (one atomic tombstone file per call, crash-safe, picked up by
+        any later open/refresh); in-memory only for
+        :meth:`from_corpus` engines. Re-ingesting a tombstoned doc_id
+        is masked too — run ``compact_index`` (which purges the
+        tombstones) before reusing an id, the same rebuild-the-slice
+        stance the streaming module takes on updates."""
+        ids = np.unique(np.asarray(list(doc_ids), dtype=np.int64))
+        if not ids.size:
+            return 0
+        old = self._deleted
+        merged = ids if old is None else np.union1d(old, ids)
+        if merged.size > self.max_deleted_in_memory:
+            raise ValueError(
+                f"delete set would reach {merged.size} ids, past "
+                f"max_deleted_in_memory={self.max_deleted_in_memory}; "
+                "run compact_index to purge the tombstones first"
+            )
+        added = int(merged.size - (0 if old is None else old.size))
+        if added == 0:
+            return 0
+        if self.index_dir is not None:
+            catalog.write_deletes(self.index_dir, ids)
+        with self._cache_lock:
+            self._deleted = merged
+            self._deletes_epoch += 1
+            self._deleted_df = None
+            if self._deleted_bc is not None:
+                try:
+                    self._deleted_bc.unpersist()
+                except Exception:
+                    pass
+                self._deleted_bc = None
+        return added
+
+    def delete_by_query(self, node: ir.Node) -> int:
+        """ES delete-by-query: evaluate the IR tree (already excluding
+        prior tombstones) and tombstone every matching doc. Bounded by
+        ``max_deleted_in_memory`` — the match set is fetched with a
+        limit probe and the call refuses instead of overflowing the
+        driver."""
+        room = self.max_deleted_in_memory - self.deleted_count
+        rows = self.docs(node).limit(room + 1).collect()
+        if len(rows) > room:
+            raise ValueError(
+                f"delete_by_query matches more than the {room} ids of "
+                "in-memory room left (max_deleted_in_memory="
+                f"{self.max_deleted_in_memory}); compact_index first "
+                "or delete in narrower slices"
+            )
+        return self.delete_docs([r["doc_id"] for r in rows])
+
+    def _filter_live(self, df: DataFrame) -> DataFrame:
+        """Mask tombstoned ids out of a doc_id-keyed frame. Small sets
+        fold into the plan as a NOT IN literal (Catalyst-evaluated, no
+        join); larger ones anti-join a broadcast frame — never a
+        shuffle on the data side."""
+        if self._deleted is None:
+            return df
+        if self._deleted.size <= 1024:
+            return df.where(
+                ~F.col("doc_id").isin([int(x) for x in self._deleted])
+            )
+        with self._cache_lock:
+            live = self._deleted_df
+            if live is None:
+                live = self.spark.createDataFrame(
+                    pd.DataFrame({"doc_id": self._deleted})
+                )
+                self._deleted_df = live
+        return df.join(F.broadcast(live), "doc_id", "left_anti")
+
+    def _deleted_broadcast(self):
+        """Spark broadcast of the sorted delete array, for kernels that
+        must mask BEFORE a task-local top-k (None when no deletes)."""
+        if self._deleted is None:
+            return None
+        with self._cache_lock:
+            if self._deleted_bc is None:
+                self._deleted_bc = self.spark.sparkContext.broadcast(
+                    self._deleted
+                )
+            return self._deleted_bc
 
     def _term_stats(self, terms: list[str]) -> list:
         """(term, df, max_tf, min_dl) rows for a few query terms — from
@@ -1109,7 +1253,14 @@ class SearchEngine:
         tree is applied to the bitmask as a vectorized numpy expression.
         This replaces N leaf scans + (N-1) doc-set joins with
         1 scan + 1 shuffle, independent of tree shape.
+
+        Tombstoned docs (:meth:`delete_docs`) are masked once here, at
+        the public boundary — the recursive evaluation below it stays
+        unfiltered so an N-leaf tree pays one mask, not N.
         """
+        return self._filter_live(self._docs_inner(node))
+
+    def _docs_inner(self, node: ir.Node) -> DataFrame:
         node = ir.simplify(node)
         if isinstance(node, ir.MatchNone):
             return self.spark.createDataFrame([], _DOC_SCHEMA)
@@ -1129,7 +1280,7 @@ class SearchEngine:
                 )
             ):
                 return self._docs_bitmask(node, leaves)
-            kids = [self.docs(c) for c in node.children]
+            kids = [self._docs_inner(c) for c in node.children]
             if isinstance(node, ir.And):
                 return reduce(lambda a, b: a.join(b, "doc_id", "inner"), kids)
             return reduce(DataFrame.unionByName, kids).dropDuplicates(
@@ -1435,6 +1586,9 @@ class SearchEngine:
             .where(F.col("is_cand"))
             .select("doc_id", "score")
         )
+        # rescoring bypasses bm25_scores, so it masks tombstones itself
+        # (the bootstrap half came through bm25_scores already live)
+        agg = self._filter_live(agg)
         # merge with the bootstrap top-k (exact scores): max(score) per doc
         # keeps the exact value even if a rescoring path were ever partial
         if boot_rows:
@@ -1788,7 +1942,11 @@ class SearchEngine:
                 agg = agg.where(F.col("n_terms") == len(distinct))
             if _anchor is not None:
                 agg = agg.where(F.col("has_anchor"))
-        return agg.select("doc_id", "score")
+        # tombstone mask AFTER the aggregation (candidate-sized frame)
+        # and BEFORE any caller's top-k; the disjunctive bootstrap runs
+        # through here too, so its theta is the k-th LIVE score — lower
+        # than a stale theta, hence still a sound prune threshold.
+        return self._filter_live(agg.select("doc_id", "score"))
 
 
 class ServeCoalescer:
@@ -1927,7 +2085,9 @@ class ServeCoalescer:
         try:
             qmap: dict[str, list] = {}
             futs: dict[str, list] = {}
-            epoch = eng._layout_epoch
+            # layout epoch: a layout switch can change float-sum order;
+            # deletes epoch: a tombstone changes membership outright
+            epoch = (eng._layout_epoch, eng._deletes_epoch)
             for i, (value, fut) in enumerate(batch):
                 node = qc.field_query(value, eng.cfg, scored=True)
                 if isinstance(node, ir.MatchNone):
@@ -2086,6 +2246,13 @@ def _anchor_theta_collect(engine: SearchEngine, terms, k: int) -> list:
     a_terms = sorted(set(terms))
     k1, b = engine.cfg.bm25_k1, engine.cfg.bm25_b
     avgdl = engine.stats["avgdl"] or 1.0
+    # theta soundness under deletes: a tombstoned doc's norm must not
+    # enter the top-k pool — its theta could exceed the true k-th LIVE
+    # score and prune live docs. Decoding doc ids only happens on
+    # indexes that actually have tombstones; the delete-free plan is
+    # byte-identical to before.
+    del_bc = engine._deleted_broadcast()
+    cols = ["term", "tfs", "dls"] + (["docs"] if del_bc else [])
 
     def boot_fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         acc: dict[str, np.ndarray] = {}
@@ -2094,13 +2261,19 @@ def _anchor_theta_collect(engine: SearchEngine, terms, k: int) -> list:
                 continue
             for term, sub in pdf.groupby("term", sort=False):
                 norms = [acc[term]] if term in acc else []
-                for tblob, lblob in zip(sub["tfs"], sub["dls"]):
+                dblobs = sub["docs"] if del_bc else sub["tfs"]
+                for tblob, lblob, dblob in zip(
+                    sub["tfs"], sub["dls"], dblobs
+                ):
                     tf = decode_counts(tblob).astype(np.float64)
                     dl = decode_counts(lblob).astype(np.float64)
-                    norms.append(
-                        tf * (k1 + 1.0)
-                        / (tf + k1 * (1.0 - b + b * dl / avgdl))
+                    n = tf * (k1 + 1.0) / (
+                        tf + k1 * (1.0 - b + b * dl / avgdl)
                     )
+                    if del_bc is not None:
+                        n = n[_live_mask(decode_doc_ids(dblob),
+                                         del_bc.value)]
+                    norms.append(n)
                 norm = np.concatenate(norms)
                 if norm.size > k:
                     norm = np.partition(norm, norm.size - k)[
@@ -2122,7 +2295,7 @@ def _anchor_theta_collect(engine: SearchEngine, terms, k: int) -> list:
 
     return (
         engine.postings.where(F.col("term").isin(a_terms))
-        .select("term", "tfs", "dls")
+        .select(*cols)
         .mapInPandas(boot_fn, schema="term string, norm double")
         .collect()
     )
@@ -2665,6 +2838,10 @@ def _batch_scores(
             need_arr[qidx_of[q]] = (
                 ((1 << len(q_w[q])) - 1) if use_mask else len(q_w[q])
             )
+        # tombstones must be masked INSIDE the task, before the local
+        # top-k — a deleted doc could otherwise displace a live one
+        # from a shard's k rows and no later filter could recover it
+        del_bc = engine._deleted_broadcast()
 
         def score_local_fn(
             batches: Iterator[pd.DataFrame],
@@ -2716,6 +2893,9 @@ def _batch_scores(
                         first.astype(np.int64), gstart
                     )
                 keep = got == need_arr[gq]
+                gq, gd, score = gq[keep], gd[keep], score[keep]
+            if del_bc is not None and gq.size:
+                keep = _live_mask(gd, del_bc.value)
                 gq, gd, score = gq[keep], gd[keep], score[keep]
             if not gq.size:
                 return
@@ -2777,11 +2957,17 @@ def _batch_scores(
             ]
         )
         agg = agg.where(F.col("n_terms") == need[F.col("qidx")])
+    # tombstone mask on the candidate-sized aggregate, before the
+    # caller's rank/top-k (the sharded plan masked inside its kernel)
+    agg = engine._filter_live(agg)
     return agg.select("qidx", "doc_id", "score"), active, qidx_of
 
 
 def _batch_plan_key(engine, queries, k, conjunctive, prune, frac, cutoff):
-    # the stand-down knobs are part of the compiled plan's shape
+    # the stand-down knobs are part of the compiled plan's shape; the
+    # deletes epoch too — a plan compiled before a delete_docs call
+    # embeds the OLD tombstone mask (literal/broadcast/kernel closure)
+    # and must never serve afterwards
     return (
         tuple(sorted((q, tuple(ts)) for q, ts in queries.items())),
         k,
@@ -2791,6 +2977,7 @@ def _batch_plan_key(engine, queries, k, conjunctive, prune, frac, cutoff):
         cutoff,
         engine.conjunctive_exhaustive_cutoff,
         engine.disjunctive_exhaustive_cutoff,
+        engine._deletes_epoch,
     )
 
 

@@ -21,6 +21,14 @@ The engine-native equivalent of Lucene's segment files (SURVEY.md §1.3):
 * ``stats.json`` — {n_docs, avgdl, total_terms, config} global scalars.
 * ``manifest/``  — per-slice JSON lineage + metrics; a slice with a
   manifest entry is skipped on resume (checkpoint-resumable build).
+* ``deletes/``   — append-only parquet tombstone files, one column
+  ``doc_id``; each :meth:`SearchEngine.delete_docs` call adds one file
+  (written atomically: temp + rename). The Lucene-parity delete model
+  (``.del`` liveness sidecars next to immutable segments): postings are
+  never rewritten at delete time, every query path masks the union of
+  the tombstoned ids, and BM25 stats (n_docs/avgdl/df) stay STALE until
+  ``compact_index`` physically purges the postings and recomputes them
+  — exactly ES/Lucene's docs.deleted-until-merge semantics.
 """
 
 from __future__ import annotations
@@ -154,8 +162,86 @@ def list_postings_slices(index_dir: str) -> list[str]:
 
 #: the directory entries that make up an index (everything else found
 #: under an index dir — e.g. a streaming checkpoint a caller placed
-#: there — is preserved verbatim across compaction swaps)
-CORE_ENTRIES = ("postings", "docstats", "lexicon", "manifest", "stats.json")
+#: there — is preserved verbatim across compaction swaps). ``deletes``
+#: is core: a compaction APPLIES the tombstones, so the compacted
+#: output must never inherit the old delete files (they would re-mask
+#: already-purged ids — harmless but unbounded growth), and a stale
+#: pre-compact sibling's deletes must never be salvaged into a healthy
+#: index whose own deletes dir is authoritative.
+CORE_ENTRIES = (
+    "postings", "docstats", "lexicon", "manifest", "stats.json", "deletes",
+)
+
+
+def deletes_path(index_dir: str) -> str:
+    return os.path.join(index_dir, "deletes")
+
+
+def write_deletes(index_dir: str, doc_ids) -> str:
+    """Append one tombstone file with the given doc ids (deduplicated,
+    sorted int64). Atomic: written under a temp name and renamed in, so
+    a reader listing the dir never sees a partial file; the directory
+    fd is fsynced after the rename (same durability argument as
+    :func:`write_stats`). Returns the file path."""
+    import uuid
+
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    ids = np.unique(np.asarray(list(doc_ids), dtype=np.int64))
+    d = deletes_path(index_dir)
+    os.makedirs(d, exist_ok=True)
+    name = f"del-{uuid.uuid4().hex}.parquet"
+    tmp = os.path.join(d, "." + name + ".tmp")
+    pq.write_table(pa.table({"doc_id": pa.array(ids, pa.int64())}), tmp)
+    final = os.path.join(d, name)
+    os.rename(tmp, final)
+    try:
+        dfd = os.open(d, os.O_RDONLY)
+        try:
+            os.fsync(dfd)
+        finally:
+            os.close(dfd)
+    except OSError:
+        pass
+    return final
+
+
+def list_delete_files(index_dir: str) -> list[str]:
+    """Completed tombstone file names (mid-write temp names excluded)."""
+    d = deletes_path(index_dir)
+    if not os.path.isdir(d):
+        return []
+    return sorted(
+        name
+        for name in os.listdir(d)
+        if not name.startswith(".") and name.endswith(".parquet")
+    )
+
+
+def read_deletes(index_dir: str):
+    """Union of all tombstone files as a sorted, deduplicated int64
+    numpy array (empty array when none). Driver-side pyarrow read — the
+    delete set is the same memory class as Lucene's in-RAM per-segment
+    liveness bitsets and is bounded by
+    ``SearchEngine.max_deleted_in_memory``; files still mid-write are
+    invisible (dot-prefixed temp names, atomic rename in)."""
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    d = deletes_path(index_dir)
+    parts = []
+    for name in list_delete_files(index_dir):
+        parts.append(
+            pq.read_table(os.path.join(d, name), columns=["doc_id"])
+            .column("doc_id")
+            .to_numpy(zero_copy_only=False)
+            .astype(np.int64)
+        )
+    if not parts:
+        return np.empty(0, dtype=np.int64)
+    return np.unique(np.concatenate(parts))
 
 
 def recover_compaction(index_dir: str) -> bool:

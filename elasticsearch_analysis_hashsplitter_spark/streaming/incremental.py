@@ -21,9 +21,12 @@ decode-free and preserves the duplicates). For sources that may replay
 or update documents, pass ``on_duplicate="skip_existing"`` to
 ``stream_index``: each micro-batch is deduplicated internally and
 anti-joined against the already-indexed doc_ids (first-write-wins), so
-stats stay single-counted. Last-write-wins (tombstone + compaction-time
-apply) is deliberately not implemented — rebuild the affected slice
-instead.
+stats stay single-counted. Deletes follow the Lucene model
+(``SearchEngine.delete_docs``): tombstones mask every query and
+``compact_index`` physically purges them, recomputing stats — so
+"update" is delete + compact + re-ingest, never last-write-wins
+shadowing (a tombstoned doc_id stays masked, including any re-ingested
+copy, until a compaction clears the tombstone).
 """
 
 from __future__ import annotations
@@ -191,6 +194,70 @@ def stream_index(
     return writer.start()
 
 
+def _purge_blocks(postings: DataFrame, deleted, cols: list[str]) -> DataFrame:
+    """Drop tombstoned doc ids out of every posting block (vectorized
+    Arrow kernel; one decode+re-encode pass): per block, decode the
+    docID/tf/dl arrays, mask against the sorted delete set, skip blocks
+    left empty, and recompute the block's min_doc/max_doc/df/max_tf
+    (and min_dl when present) so every prune bound the query paths rely
+    on stays tight over the surviving postings."""
+    import numpy as np
+    import pandas as pd
+
+    from ..functions.codec import (
+        decode_counts,
+        decode_doc_ids,
+        encode_counts,
+        encode_doc_ids,
+    )
+    from ..operators.search import _live_mask
+
+    has_mdl = "min_dl" in cols
+    spark = postings.sparkSession
+    del_bc = spark.sparkContext.broadcast(
+        np.asarray(deleted, dtype=np.int64)
+    )
+    types = {
+        "term": "string", "min_doc": "long", "max_doc": "long",
+        "df": "long", "max_tf": "int", "min_dl": "long",
+        "docs": "binary", "tfs": "binary", "dls": "binary",
+    }
+    schema = ", ".join(f"{c} {types[c]}" for c in cols)
+
+    def purge(batches):
+        dele = del_bc.value
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            out: dict[str, list] = {c: [] for c in cols}
+            for row in pdf.itertuples(index=False):
+                d = decode_doc_ids(row.docs)
+                keep = _live_mask(d, dele)
+                if not keep.any():
+                    continue
+                if keep.all():
+                    for c in cols:
+                        out[c].append(getattr(row, c))
+                    continue
+                d = d[keep]
+                tf = decode_counts(row.tfs)[keep]
+                dl = decode_counts(row.dls)[keep]
+                out["term"].append(row.term)
+                out["min_doc"].append(int(d[0]))
+                out["max_doc"].append(int(d[-1]))
+                out["df"].append(int(d.size))
+                out["max_tf"].append(int(tf.max()))
+                if has_mdl:
+                    out["min_dl"].append(int(dl.min()))
+                out["docs"].append(encode_doc_ids(d))
+                out["tfs"].append(encode_counts(tf))
+                out["dls"].append(encode_counts(dl))
+            if out["term"]:
+                yield pd.DataFrame(out)[cols]
+
+    return postings.mapInPandas(purge, schema=schema)
+
+
 def compact_index(
     spark: SparkSession,
     index_dir: str,
@@ -233,6 +300,27 @@ def compact_index(
     if "min_dl" in src.columns:  # pre-min_dl indexes remain compactable
         cols.insert(5, "min_dl")
     postings = src.select(*cols)
+    deleted = catalog.read_deletes(index_dir)
+    docstats = catalog.read_docstats(spark, index_dir).select(
+        "doc_id", "dl", "content_sha256"
+    )
+    if deleted.size:
+        # Purge pass (Lucene's expunge-deletes-at-merge): tombstoned
+        # postings are physically dropped, per-block df/max_tf/min_dl
+        # and docID bounds recomputed, emptied blocks removed, and
+        # docstats filtered — refresh_stats below then rebuilds the
+        # lexicon and the n_docs/avgdl scalars from the purged data, so
+        # the compacted index scores exactly like a fresh build over
+        # the live corpus, and its deletes/ dir is empty. This is the
+        # one decode pass compaction pays, and only on indexes that
+        # actually hold tombstones.
+        postings = _purge_blocks(postings, deleted, cols)
+        import pandas as pd  # noqa: PLC0415
+
+        dele_df = spark.createDataFrame(pd.DataFrame({"doc_id": deleted}))
+        docstats = docstats.join(
+            F.broadcast(dele_df), "doc_id", "left_anti"
+        )
     shuffled = (
         postings.repartitionByRange(num_partitions, "term", "min_doc")
         if layout == "range"
@@ -243,9 +331,7 @@ def compact_index(
         .write.mode("overwrite")
         .parquet(catalog.postings_path(out_dir) + "/slice=compacted")
     )
-    catalog.read_docstats(spark, index_dir).select(
-        "doc_id", "dl", "content_sha256"
-    ).write.mode("overwrite").parquet(
+    docstats.write.mode("overwrite").parquet(
         catalog.docstats_path(out_dir) + "/slice=compacted"
     )
     catalog.write_manifest(out_dir, "compacted", {"kind": "compaction"})  # type: ignore[arg-type]
@@ -261,10 +347,13 @@ def maybe_compact(
     layout: str = "hash",
 ) -> dict | None:
     """Compaction policy: rewrite the index in place when the slice count
-    exceeds ``max_slices`` (each streamed micro-batch adds a segment;
+    exceeds ``max_slices``. Tombstones ride along: whenever compaction
+    fires, ``compact_index`` purges any accumulated deletes (postings
+    dropped, stats recomputed, deletes/ emptied — Lucene's
+    expunge-at-merge). Each streamed micro-batch adds a segment;
     every segment adds per-file open/footer costs and more fragmented
     term runs — read amplification grows with segment count exactly as
-    with Lucene segments, and this is the merge policy).
+    with Lucene segments, and this is the merge policy.
 
     Crash-safe in-place swap (r2 advisor — the old per-subdirectory swap
     had a window where the index was missing some subdirs with no
@@ -290,6 +379,11 @@ def maybe_compact(
     tmp, bak = base + ".compact_tmp", base + ".pre_compact"
     shutil.rmtree(tmp, ignore_errors=True)
     shutil.rmtree(bak, ignore_errors=True)
+    # tombstone files present BEFORE the compaction starts are
+    # definitely applied by it (compact_index reads the dir strictly
+    # later); any file that appears during the rewrite must survive the
+    # swap or its doc silently resurrects
+    applied = set(catalog.list_delete_files(index_dir))
     stats = compact_index(
         spark, index_dir, tmp, cfg, num_partitions, layout=layout
     )
@@ -299,6 +393,17 @@ def maybe_compact(
     for name in os.listdir(index_dir):
         if name not in catalog.CORE_ENTRIES:
             os.rename(os.path.join(index_dir, name), os.path.join(tmp, name))
+    # carry tombstones written while the rewrite ran (a delete racing a
+    # compaction). Files in the pre-rewrite snapshot stay behind —
+    # purged. A carried file the rewrite DID already apply only re-masks
+    # absent ids (no-op) until the next compaction drops it.
+    for name in catalog.list_delete_files(index_dir):
+        if name not in applied:
+            os.makedirs(catalog.deletes_path(tmp), exist_ok=True)
+            os.rename(
+                os.path.join(catalog.deletes_path(index_dir), name),
+                os.path.join(catalog.deletes_path(tmp), name),
+            )
     os.rename(index_dir, bak)  # atomic
     os.rename(tmp, index_dir)  # atomic — the only gap a crash can hit
     shutil.rmtree(bak, ignore_errors=True)

@@ -19,8 +19,13 @@ def main(argv=None) -> int:
         "--op",
         required=True,
         choices=["search", "search_any", "batch", "serve", "term", "chunk_term",
-                 "prefix", "wildcard", "range", "count"],
+                 "prefix", "wildcard", "range", "count", "delete",
+                 "delete_by_query"],
     )
+    p.add_argument("--ids", default=None,
+                   help="comma-separated doc ids for --op delete "
+                        "(tombstoned: masked by every query, purged by "
+                        "compact_submit)")
     p.add_argument("--value", default=None)
     p.add_argument("--values", default=None,
                    help="comma-separated query values for --op batch "
@@ -104,6 +109,22 @@ def main(argv=None) -> int:
 
         node = qc.field_query(args.value, eng.cfg, scored=False)
         print(json.dumps({"count": eng.count(node)}))
+    elif args.op == "delete":
+        ids = [int(x) for x in (args.ids or "").split(",") if x]
+        added = eng.delete_docs(ids)
+        print(json.dumps(
+            {"tombstoned": added, "deleted_total": eng.deleted_count}
+        ))
+    elif args.op == "delete_by_query":
+        from elasticsearch_analysis_hashsplitter_spark.plans import (
+            compile as qc,
+        )
+
+        node = qc.field_query(args.value, eng.cfg, scored=False)
+        added = eng.delete_by_query(node)
+        print(json.dumps(
+            {"tombstoned": added, "deleted_total": eng.deleted_count}
+        ))
     else:
         df = getattr(eng, args.op)(args.value)
         print(json.dumps([r["doc_id"] for r in df.limit(args.k * 100).collect()]))

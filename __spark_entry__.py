@@ -249,6 +249,32 @@ def _q_bm25_batch(spark, sf_dir):
     ).orderBy("query_id", "rank")
 
 
+def _q_bm25_explain(spark, sf_dir):
+    """Lucene Explanation parity: per-term BM25 breakdown of the
+    lowest-doc_id conjunctive match of BM25_QUERY (deterministic pick,
+    derivable identically in SQL)."""
+    eng = _engine(spark, sf_dir, "tokens")
+    node = qc.field_query(BM25_QUERY, TOK_CFG, scored=True)
+    did = (
+        eng.docs(qc.field_query(BM25_QUERY, TOK_CFG, scored=False))
+        .agg(F.min("doc_id"))
+        .collect()[0][0]
+    )
+    return (
+        eng.explain(list(node.terms), did)
+        .select(
+            "term",
+            "weight",
+            "df",
+            F.round("idf", 6).alias("idf"),
+            "tf",
+            "dl",
+            F.round("contribution", 6).alias("contribution"),
+        )
+        .orderBy("term")
+    )
+
+
 # ES delete parity gates (operators/search.py delete_docs +
 # streaming/incremental.py compact purge — Lucene liveDocs semantics).
 # Deterministic tombstone set: doc_id % 7 == 3. Both gates build their
@@ -931,6 +957,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_topk": _q_bm25,
         "bm25_topk_or": _q_bm25_or,
         "bm25_topk_batch": _q_bm25_batch,
+        "bm25_explain": _q_bm25_explain,
         "bm25_topk_deleted": _q_bm25_deleted,
         "bm25_topk_purged": _q_bm25_purged,
         "hash_prefix_query": _q_hash_prefix,
@@ -1028,6 +1055,43 @@ SELECT doc_id, round(score, 4) AS score FROM hits
 {having}
 ORDER BY score DESC, doc_id
 LIMIT 10"""
+
+
+def _bm25_explain_oracle() -> str:
+    """Per-term BM25 breakdown of the lowest-doc_id conjunctive match —
+    mirrors SearchEngine.explain (weights are all 1: BM25_QUERY's
+    analyzed chunk terms are distinct)."""
+    terms = sorted(set(_bm25_terms))
+    in_list = ", ".join("'" + t + "'" for t in terms)
+    k1, b = TOK_CFG.bm25_k1, TOK_CFG.bm25_b
+    idf = "ln(1 + (s.n - dfs.df + 0.5) / (dfs.df + 0.5))"
+    return f"""
+WITH {_TOK_CTE},
+tf AS (SELECT doc_id, term, count(*) AS tf FROM chunks GROUP BY doc_id, term),
+dl AS (SELECT doc_id, count(*) AS dl FROM chunks GROUP BY doc_id),
+stats AS (SELECT (SELECT count(*) FROM documents) AS n, avg(dl) AS avgdl FROM dl),
+dfs AS (SELECT term, count(*) AS df FROM tf
+        WHERE term IN ({in_list}) GROUP BY term),
+target AS (
+  SELECT min(doc_id) AS did FROM (
+    SELECT doc_id FROM tf WHERE term IN ({in_list})
+    GROUP BY doc_id HAVING count(DISTINCT term) = {len(terms)}) m
+)
+SELECT tf.term,
+       1 AS weight,
+       dfs.df,
+       round({idf}, 6) AS idf,
+       tf.tf,
+       dl.dl,
+       round({idf} * tf.tf * ({k1} + 1)
+             / (tf.tf + {k1} * (1 - {b} + {b} * dl.dl / s.avgdl)), 6)
+         AS contribution
+FROM tf
+JOIN dfs USING (term)
+JOIN dl USING (doc_id)
+CROSS JOIN stats s
+JOIN target ON tf.doc_id = target.did
+ORDER BY tf.term"""
 
 
 def _text_metrics_oracle() -> str:
@@ -1413,6 +1477,7 @@ LIMIT 10"""
         "bm25_topk": _bm25_oracle(),
         "bm25_topk_or": _bm25_oracle(conjunctive=False),
         "bm25_topk_batch": _bm25_batch_oracle(),
+        "bm25_explain": _bm25_explain_oracle(),
         # tombstoned, stats stale (Lucene pre-merge): full-corpus
         # scoring, live-set membership
         "bm25_topk_deleted": _bm25_oracle(

@@ -904,6 +904,89 @@ class SearchEngine:
                 )
             return self._deleted_bc
 
+    def explain(self, terms: list[str], doc_id: int) -> DataFrame:
+        """Lucene ``Explanation`` parity: the per-term BM25 breakdown of
+        one document's score for a bag of chunk terms — (term, weight,
+        df, idf, tf, dl, contribution), one row per matched distinct
+        term, ``contribution = weight * idf * tf*(k1+1) /
+        (tf + k1*(1-b+b*dl/avgdl))``; ``sum(contribution)`` is exactly
+        the score :meth:`bm25_topk` ranks by (same stale-stats
+        semantics under tombstones — a deleted doc explains to zero
+        rows, like asking Lucene about a masked docID).
+
+        One partition-pruned scan: only blocks of the query terms whose
+        docID span covers ``doc_id`` are decoded."""
+        schema = (
+            "term string, weight int, df long, idf double, tf long,"
+            " dl long, contribution double"
+        )
+        weights: dict[str, int] = {}
+        for t in terms:
+            weights[t] = weights.get(t, 0) + 1
+        if not weights or (
+            self._deleted is not None
+            and not _live_mask(
+                np.asarray([doc_id], dtype=np.int64), self._deleted
+            )[0]
+        ):
+            return self.spark.createDataFrame([], schema)
+        distinct = sorted(weights)
+        n_docs = self.stats["n_docs"]
+        avgdl = self.stats["avgdl"] or 1.0
+        k1, b = self.cfg.bm25_k1, self.cfg.bm25_b
+        dfs = {r["term"]: r["df"] for r in self._term_stats(distinct)}
+        params = {
+            t: (
+                weights[t],
+                dfs.get(t, 0),
+                math.log(
+                    1.0
+                    + (n_docs - dfs.get(t, 0) + 0.5) / (dfs.get(t, 0) + 0.5)
+                ),
+            )
+            for t in distinct
+        }
+        did = int(doc_id)
+
+        def extract(
+            batches: Iterator[pd.DataFrame],
+        ) -> Iterator[pd.DataFrame]:
+            rows = []
+            for pdf in batches:
+                for term, dblob, tblob, lblob in zip(
+                    pdf["term"], pdf["docs"], pdf["tfs"], pdf["dls"]
+                ):
+                    d = decode_doc_ids(dblob)
+                    pos = int(np.searchsorted(d, did))
+                    if pos >= d.size or d[pos] != did:
+                        continue
+                    tf = int(decode_counts(tblob)[pos])
+                    dl = int(decode_counts(lblob)[pos])
+                    w, df, idf = params[term]
+                    rows.append(
+                        {
+                            "term": term,
+                            "weight": w,
+                            "df": df,
+                            "idf": idf,
+                            "tf": tf,
+                            "dl": dl,
+                            "contribution": w * idf * tf * (k1 + 1.0)
+                            / (tf + k1 * (1.0 - b + b * dl / avgdl)),
+                        }
+                    )
+            if rows:
+                yield pd.DataFrame(rows)
+
+        blocks = self.postings.where(
+            F.col("term").isin(distinct)
+            & (F.col("min_doc") <= did)
+            & (F.col("max_doc") >= did)
+        )
+        return blocks.select("term", "docs", "tfs", "dls").mapInPandas(
+            extract, schema=schema
+        )
+
     def _term_stats(self, terms: list[str]) -> list:
         """(term, df, max_tf, min_dl) rows for a few query terms — from
         the driver-side cache when warm, else the pre-aggregated lexicon

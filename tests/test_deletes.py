@@ -314,6 +314,35 @@ def test_delete_by_query_and_cap(spark):
         eng.delete_docs(range(100, 110))
 
 
+def test_explain_breakdown_sums_to_score(spark):
+    """Lucene Explanation parity: per-term contributions sum to exactly
+    the score bm25_topk ranks by."""
+    eng = _engine(spark)
+    terms = ["Ajoin", "Amerg"]
+    top_doc, top_score = _topk(eng.bm25_topk(terms, k=1))[0]
+    rows = eng.explain(terms, top_doc).collect()
+    assert sorted(r["term"] for r in rows) == sorted(set(terms))
+    assert sum(r["contribution"] for r in rows) == pytest.approx(
+        top_score, rel=1e-12
+    )
+    for r in rows:
+        assert r["df"] > 0 and r["tf"] >= 1 and r["dl"] > 0
+        assert r["weight"] == 1
+
+
+def test_explain_weights_and_tombstoned_doc(spark):
+    eng = _engine(spark)
+    terms = ["Ajoin", "Ajoin"]  # repeated term: weight 2
+    top_doc, top_score = _topk(eng.bm25_topk(terms, k=1))[0]
+    rows = eng.explain(terms, top_doc).collect()
+    assert len(rows) == 1 and rows[0]["weight"] == 2
+    assert rows[0]["contribution"] == pytest.approx(top_score, rel=1e-12)
+    # a non-matching term contributes no row; a masked doc none at all
+    assert eng.explain(["Axyzq"], top_doc).count() == 0
+    eng.delete_docs([top_doc])
+    assert eng.explain(terms, top_doc).count() == 0
+
+
 def test_batch_plan_cache_keyed_by_deletes_epoch(spark):
     eng = _engine(spark)
     queries = {"a": ["Ajoin"]}

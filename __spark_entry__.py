@@ -249,6 +249,26 @@ def _q_bm25_batch(spark, sf_dir):
     ).orderBy("query_id", "rank")
 
 
+def _q_search_fetch(spark, sf_dir):
+    """ES _source fetch: BM25 top-10 joined back to the corpus columns
+    (broadcast hash join, doc_id filter pushed to the source scan)."""
+    eng = _engine(spark, sf_dir, "tokens")
+    top = eng.search(BM25_QUERY, k=10).select(
+        "doc_id", F.round("score", 4).alias("score")
+    )
+    return eng.fetch(
+        top, _docs(spark, sf_dir), ["lang", "n_chars"]
+    ).orderBy(F.col("score").desc(), F.col("doc_id"))
+
+
+def _q_lang_facet(spark, sf_dir):
+    """ES terms facet: lang value counts over the docs matching the
+    conjunctive BM25_QUERY doc set."""
+    eng = _engine(spark, sf_dir, "tokens")
+    node = qc.field_query(BM25_QUERY, TOK_CFG, scored=False)
+    return eng.terms_facet(node, _docs(spark, sf_dir), "lang", size=10)
+
+
 def _q_bm25_explain(spark, sf_dir):
     """Lucene Explanation parity: per-term BM25 breakdown of the
     lowest-doc_id conjunctive match of BM25_QUERY (deterministic pick,
@@ -958,6 +978,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_topk_or": _q_bm25_or,
         "bm25_topk_batch": _q_bm25_batch,
         "bm25_explain": _q_bm25_explain,
+        "search_fetch": _q_search_fetch,
+        "lang_facet": _q_lang_facet,
         "bm25_topk_deleted": _q_bm25_deleted,
         "bm25_topk_purged": _q_bm25_purged,
         "hash_prefix_query": _q_hash_prefix,
@@ -1478,6 +1500,24 @@ LIMIT 10"""
         "bm25_topk_or": _bm25_oracle(conjunctive=False),
         "bm25_topk_batch": _bm25_batch_oracle(),
         "bm25_explain": _bm25_explain_oracle(),
+        # ES _source fetch: the bm25 oracle's top-10 joined back to the
+        # corpus columns
+        "search_fetch": f"""
+SELECT t.doc_id, t.score, d.lang, d.n_chars
+FROM ({_bm25_oracle()}) t JOIN documents d USING (doc_id)
+ORDER BY t.score DESC, t.doc_id""",
+        # ES terms facet over the conjunctive match doc set
+        "lang_facet": f"""
+WITH {_TOK_CTE}
+SELECT d.lang AS value, count(*)::BIGINT AS count
+FROM documents d
+WHERE d.doc_id IN (
+  SELECT doc_id FROM (
+    {sql_oracle.docs_select(qc.field_query(BM25_QUERY, TOK_CFG, scored=False), TOK_CFG)}
+  ) m)
+GROUP BY d.lang
+ORDER BY count DESC, value
+LIMIT 10""",
         # tombstoned, stats stale (Lucene pre-merge): full-corpus
         # scoring, live-set membership
         "bm25_topk_deleted": _bm25_oracle(

@@ -904,6 +904,45 @@ class SearchEngine:
                 )
             return self._deleted_bc
 
+    def fetch(
+        self, hits: DataFrame, source: DataFrame, cols: list[str]
+    ) -> DataFrame:
+        """ES ``_source`` fetch: join a (small) hits frame — e.g. a
+        :meth:`search` top-k — back to the corpus for the requested
+        columns. The index itself stores no field values (the reference
+        maps the field ``store: NO``, HashSplitterFieldMapper.java:78 —
+        ES serves documents from ``_source``, a separate store; here
+        the corpus table plays that role). The hits side is broadcast —
+        k rows — so the join is a broadcast hash join with the doc_id
+        filter pushed into the source scan, never a shuffle of the
+        corpus."""
+        keep = [c for c in hits.columns if c != "doc_id"]
+        return source.join(F.broadcast(hits), "doc_id").select(
+            "doc_id", *keep, *cols
+        )
+
+    def terms_facet(
+        self,
+        node: ir.Node,
+        source: DataFrame,
+        field: str,
+        size: int = 10,
+    ) -> DataFrame:
+        """ES terms facet (the host API's aggregation surface around
+        every reference query): value counts of ``source.field`` over
+        the docs matching an IR tree — (value, count), count desc,
+        value asc, top ``size``. One doc-set evaluation + one join +
+        one tiny aggregation on the facet values; tombstoned docs are
+        excluded by :meth:`docs` like everywhere else."""
+        hits = self.docs(node)
+        return (
+            source.join(hits, "doc_id")
+            .groupBy(F.col(field).alias("value"))
+            .agg(F.count("*").alias("count"))
+            .orderBy(F.col("count").desc(), F.col("value").asc())
+            .limit(size)
+        )
+
     def explain(self, terms: list[str], doc_id: int) -> DataFrame:
         """Lucene ``Explanation`` parity: the per-term BM25 breakdown of
         one document's score for a bag of chunk terms — (term, weight,

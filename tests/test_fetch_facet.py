@@ -1,0 +1,66 @@
+"""ES host-API parity around every query: _source fetch (the index
+stores no field values — HashSplitterFieldMapper maps store:NO, docs
+are served from _source; here the corpus table plays that role) and
+the terms facet (ES 0.19's aggregation surface)."""
+
+import pytest
+
+from elasticsearch_analysis_hashsplitter_spark.config import HashSplitterConfig
+from elasticsearch_analysis_hashsplitter_spark.operators.search import (
+    SearchEngine,
+)
+from elasticsearch_analysis_hashsplitter_spark.plans import compile as qc
+
+CFG = HashSplitterConfig(
+    chunk_length=4, token_mode="tokens", apply_input_cap=False
+)
+
+ROWS = [
+    (i, " ".join(["join"] * (1 + i % 3) + ["merg"] * (i % 2)),
+     ["py", "rs", "go"][i % 3], 10 + i)
+    for i in range(18)
+]
+SCHEMA = "doc_id long, content string, lang string, n_chars int"
+
+
+@pytest.fixture(scope="module")
+def src(spark):
+    return spark.createDataFrame(ROWS, SCHEMA)
+
+
+@pytest.fixture(scope="module")
+def eng(src):
+    return SearchEngine.from_corpus(src, CFG, num_partitions=2)
+
+
+def test_fetch_joins_source_columns(eng, src):
+    top = eng.search("join", k=3)
+    got = {
+        r["doc_id"]: r
+        for r in eng.fetch(top, src, ["lang", "n_chars"]).collect()
+    }
+    exp = {r["doc_id"]: r["score"] for r in top.collect()}
+    assert set(got) == set(exp)
+    truth = {i: (lang, n) for i, _, lang, n in ROWS}
+    for d, row in got.items():
+        assert row["score"] == exp[d]
+        assert (row["lang"], row["n_chars"]) == truth[d]
+    # k rows broadcast against the corpus — never a corpus shuffle
+    plan = eng.fetch(top, src, ["lang"])._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+
+
+def test_terms_facet_counts_and_tombstones(eng, src):
+    node = qc.field_query("join", CFG, scored=False)
+    got = [
+        (r["value"], r["count"])
+        for r in eng.terms_facet(node, src, "lang", size=10).collect()
+    ]
+    # every doc matches "join"; 18 docs over 3 langs round-robin
+    assert got == [("go", 6), ("py", 6), ("rs", 6)]
+    eng.delete_docs([0, 3, 6])  # three py docs
+    got = [
+        (r["value"], r["count"])
+        for r in eng.terms_facet(node, src, "lang", size=2).collect()
+    ]
+    assert got == [("go", 6), ("rs", 6)]  # size cap + live counts

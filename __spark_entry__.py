@@ -249,6 +249,18 @@ def _q_bm25_batch(spark, sf_dir):
     ).orderBy("query_id", "rank")
 
 
+def _q_bm25_page2(spark, sf_dir):
+    """ES search_after deep pagination: hits 11-20 via the page-1
+    cursor (raw-score tuple), vs the oracle's OFFSET on the same strict
+    total order."""
+    eng = _engine(spark, sf_dir, "tokens")
+    page1 = eng.search(BM25_QUERY, k=10).collect()
+    cur = (page1[-1]["score"], page1[-1]["doc_id"])
+    return eng.search(BM25_QUERY, k=10, after=cur).select(
+        "doc_id", F.round("score", 4).alias("score")
+    )
+
+
 def _q_search_fetch(spark, sf_dir):
     """ES _source fetch: BM25 top-10 joined back to the corpus columns
     (broadcast hash join, doc_id filter pushed to the source scan)."""
@@ -980,6 +992,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_explain": _q_bm25_explain,
         "search_fetch": _q_search_fetch,
         "lang_facet": _q_lang_facet,
+        "bm25_topk_page2": _q_bm25_page2,
         "bm25_topk_deleted": _q_bm25_deleted,
         "bm25_topk_purged": _q_bm25_purged,
         "hash_prefix_query": _q_hash_prefix,
@@ -1034,6 +1047,7 @@ def _bm25_oracle(
     docs_table: str = "documents",
     prefix_cte: str = "",
     final_pred: str = "",
+    offset: int = 0,
 ) -> str:
     """Conjunctive/disjunctive BM25 top-10 oracle. ``final_pred``
     filters the scored candidates BEFORE the top-k (the tombstone
@@ -1076,7 +1090,7 @@ hits AS (
 SELECT doc_id, round(score, 4) AS score FROM hits
 {having}
 ORDER BY score DESC, doc_id
-LIMIT 10"""
+LIMIT 10{f" OFFSET {offset}" if offset else ""}"""
 
 
 def _bm25_explain_oracle() -> str:
@@ -1500,6 +1514,8 @@ LIMIT 10"""
         "bm25_topk_or": _bm25_oracle(conjunctive=False),
         "bm25_topk_batch": _bm25_batch_oracle(),
         "bm25_explain": _bm25_explain_oracle(),
+        # ES search_after: page 2 == OFFSET 10 on the strict total order
+        "bm25_topk_page2": _bm25_oracle(offset=10),
         # ES _source fetch: the bm25 oracle's top-10 joined back to the
         # corpus columns
         "search_fetch": f"""

@@ -1159,19 +1159,33 @@ class SearchEngine:
             qc.range_filter(lower, upper, include_lower, include_upper, self.cfg)
         )
 
-    def search(self, value: str, k: int = 10, boost: float = 1.0) -> DataFrame:
+    def search(
+        self,
+        value: str,
+        k: int = 10,
+        boost: float = 1.0,
+        after: tuple | None = None,
+    ) -> DataFrame:
         """BM25 top-k for an exact value/token query (scored C1).
 
         ``boost`` multiplies every clause weight — the reference's query
         boost (HashSplitterTermQueryBuilder boost coverage,
         HashSplitterQueryParsersTests.java:304-327); it scales scores
         without changing ranks for a single query.
+
+        ``after=(score, doc_id)`` is ES ``search_after`` deep
+        pagination: return the next ``k`` hits strictly after that
+        cursor in the (score desc, doc_id asc) total order. The cursor
+        is stable because scores are deterministic doubles (bit-equal
+        reproducibility is pinned) and the order is strict (doc_id
+        breaks every tie) — the same contract ES relies on.
         """
         node = qc.field_query(value, self.cfg, scored=True)
         assert isinstance(node, (ir.ScoredTerms, ir.MatchNone))
         if isinstance(node, ir.MatchNone):
             return self._empty_scored()
-        return self.bm25_topk(list(node.terms), k, boost=boost)
+        return self.bm25_topk(list(node.terms), k, boost=boost,
+                              after=after)
 
     def search_wildcard(
         self, pattern: str, k: int = 10, boost: float = 1.0
@@ -1207,12 +1221,23 @@ class SearchEngine:
             .limit(k)
         )
 
-    def search_any(self, value: str, k: int = 10) -> DataFrame:
+    def search_any(
+        self, value: str, k: int = 10, after: tuple | None = None
+    ) -> DataFrame:
         """Disjunctive BM25 top-k (docs matching ANY chunk term of the
-        analyzed value), with MaxScore/block-max pruning."""
+        analyzed value), with MaxScore/block-max pruning.
+
+        ``after``: search_after pagination. Later pages run the
+        exhaustive single-pass OR — the MaxScore theta is a bound on
+        the GLOBAL k-th score, so page-N docs are exactly the ones the
+        pruned plan is entitled to drop."""
         node = qc.field_query(value, self.cfg, scored=True)
         if isinstance(node, ir.MatchNone):
             return self._empty_scored()
+        if after is not None:
+            return self.bm25_topk(
+                list(node.terms), k, conjunctive=False, after=after
+            )
         return self.bm25_topk_disjunctive(list(node.terms), k)
 
     def serve(
@@ -1873,6 +1898,7 @@ class SearchEngine:
         conjunctive: bool = True,
         boost: float = 1.0,
         _anchor: str | None = None,
+        after: tuple | None = None,
     ) -> DataFrame:
         """Top-k (doc_id, score) for a bag of exact chunk terms.
 
@@ -1883,9 +1909,22 @@ class SearchEngine:
         ``_anchor`` (internal, disjunctive bootstrap): restrict candidates
         to docs containing the given term, but score them with ALL terms
         — exact scores for that candidate subset.
+
+        ``after=(score, doc_id)``: ES search_after — only hits strictly
+        after the cursor in the (score desc, doc_id asc) total order
+        enter the top-k. A Catalyst predicate on the candidate-sized
+        aggregate, so page N costs the same one scan + one shuffle as
+        page 1 (never OFFSET's sort-everything-and-drop).
         """
+        scores = self.bm25_scores(terms, conjunctive, boost, _anchor)
+        if after is not None:
+            s, d = float(after[0]), int(after[1])
+            scores = scores.where(
+                (F.col("score") < s)
+                | ((F.col("score") == s) & (F.col("doc_id") > d))
+            )
         return (
-            self.bm25_scores(terms, conjunctive, boost, _anchor)
+            scores
             .orderBy(F.col("score").desc(), F.col("doc_id").asc())
             .limit(k)
         )

@@ -314,6 +314,45 @@ def test_delete_by_query_and_cap(spark):
         eng.delete_docs(range(100, 110))
 
 
+def test_search_after_pagination(spark):
+    """ES search_after: page-walking the (score desc, doc_id asc) total
+    order reproduces the full ranking exactly — with and without
+    tombstones, conjunctive and disjunctive."""
+    eng = _engine(spark)
+    for conj, terms in ((True, ["Ajoin", "Amerg"]),
+                        (False, ["Ajoin", "Ascan"])):
+        full = _topk(eng.bm25_topk(terms, k=24, conjunctive=conj))
+        walked, cur = [], None
+        while True:
+            page = _topk(
+                eng.bm25_topk(terms, k=5, conjunctive=conj, after=cur)
+            )
+            if not page:
+                break
+            walked.extend(page)
+            cur = (page[-1][1], page[-1][0])  # ES sort values: [score, id]
+        assert walked == full
+    # the public value-level APIs thread the cursor through
+    p1 = _topk(eng.search("join", k=3))
+    p2 = _topk(eng.search("join", k=3, after=(p1[-1][1], p1[-1][0])))
+    assert p1 + p2 == _topk(eng.bm25_topk(["Ajoin"], k=6))
+    d1 = _topk(eng.search_any("joinmerg", k=3))
+    d2 = _topk(
+        eng.search_any("joinmerg", k=3, after=(d1[-1][1], d1[-1][0]))
+    )
+    assert d1 + d2 == _topk(
+        eng.bm25_topk(["Ajoin", "Bmerg"], k=6, conjunctive=False)
+    )
+    # tombstoned docs vanish from every page; survivors keep their order
+    victims = [p1[0][0], p2[0][0]]
+    eng.delete_docs(victims)
+    q1 = _topk(eng.search("join", k=3))
+    q2 = _topk(eng.search("join", k=3, after=(q1[-1][1], q1[-1][0])))
+    exp = [x for x in _topk(eng.bm25_topk(["Ajoin"], k=24))][:6]
+    assert q1 + q2 == exp
+    assert not set(victims) & {d for d, _ in q1 + q2}
+
+
 def test_explain_breakdown_sums_to_score(spark):
     """Lucene Explanation parity: per-term contributions sum to exactly
     the score bm25_topk ranks by."""

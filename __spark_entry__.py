@@ -369,6 +369,36 @@ def _q_bm25_purged(spark, sf_dir):
     )
 
 
+def _q_multi_index(spark, sf_dir):
+    """ES multi-index (alias) search, dfs_query_then_fetch: the corpus
+    split into two indexes by doc_id parity, one coordinator query with
+    GLOBAL stats — scores must equal the single merged index exactly,
+    so the oracle is the plain full-corpus BM25 top-10 plus the parity
+    index name (operators/multi.py)."""
+    from elasticsearch_analysis_hashsplitter_spark.operators.multi import (
+        MultiIndexEngine,
+    )
+
+    key = (id(spark), sf_dir, "multi")
+    if key not in _ENGINES:
+        docs = _docs(spark, sf_dir)
+        halves = [
+            SearchEngine.from_corpus(
+                docs.where(F.col("doc_id") % 2 == par),
+                TOK_CFG,
+                id_col="doc_id",
+                text_col="text",
+            )
+            for par in (0, 1)
+        ]
+        _ENGINES[key] = MultiIndexEngine(halves, ["even", "odd"])
+    return _ENGINES[key].search(BM25_QUERY, k=10).select(
+        "doc_id",
+        F.round("score", 4).alias("score"),
+        F.col("index").alias("idx"),
+    )
+
+
 def _q_hash_prefix(spark, sf_dir):
     return _sorted_docs(_engine(spark, sf_dir, "hash").prefix("0"))
 
@@ -995,6 +1025,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_topk_page2": _q_bm25_page2,
         "bm25_topk_deleted": _q_bm25_deleted,
         "bm25_topk_purged": _q_bm25_purged,
+        "multi_index_search": _q_multi_index,
         "hash_prefix_query": _q_hash_prefix,
         "hash_wildcard_suffix": _q_hash_wildcard_suffix,
         "hash_range_query": _q_hash_range,
@@ -1548,6 +1579,12 @@ LIMIT 10""",
                 f"WHERE doc_id % {DEL_MOD} <> {DEL_RES}),"
             ),
         ),
+        # multi-index dfs_query_then_fetch == single merged index, plus
+        # the parity index attribution
+        "multi_index_search": f"""
+SELECT doc_id, score,
+       CASE WHEN doc_id % 2 = 0 THEN 'even' ELSE 'odd' END AS idx
+FROM ({_bm25_oracle()}) q""",
         # semantic oracles on the raw derived value (stronger than mirroring)
         "hash_prefix_query": (
             "SELECT doc_id FROM documents WHERE md5(text) LIKE '0%' "

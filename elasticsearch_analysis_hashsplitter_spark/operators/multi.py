@@ -1,0 +1,285 @@
+"""Multi-index search: one query fanned out over several indexes.
+
+The reference plugin always runs under ES's host search layer, where a
+request routinely addresses SEVERAL indices at once (an alias, a
+``logs-*`` pattern, or an explicit index list): ES executes the query
+against every shard of every addressed index and the coordinating node
+merge-sorts the per-shard top-k. Scoring has the two host modes:
+
+* ``query_then_fetch`` (ES default): every index scores with its OWN
+  term statistics — fast, but the same document content can rank
+  differently depending on which index it sits in.
+* ``dfs_query_then_fetch``: a cheap pre-phase gathers global df /
+  doc-count / length stats across all addressed indices, and every
+  index then scores with the GLOBAL weights — scores are identical to
+  what one merged index would produce.
+
+This module is that coordinator, Spark-first: the "shards" are
+:class:`~.search.SearchEngine` instances (each already a complete
+index over a doc subset), the dfs pre-phase is a driver-side sum of
+per-index lexicon point-reads (tiny, cached per engine), and the
+coordinator merge is a union of per-index top-k frames followed by one
+``TakeOrderedAndProject`` — candidate traffic is <= k rows per index,
+never a corpus-sized shuffle, so the fan-out cost is flat in corpus
+size and linear in index count (the same property that lets ES search
+hundreds of shards per request).
+
+Doc ids are NOT assumed disjoint across indexes (ES doc ids are
+per-index); results carry an ``index`` column and the total order
+breaks ties (score desc, doc_id asc, index asc) so pagination cursors
+stay strict. When the doc spaces ARE disjoint, a dfs-mode search over
+the parts is score-identical to a single-index search over the union
+corpus — that identity is the correctness gate (``multi_index_search``)
+and is pinned to 1e-9 in pytest.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..plans import compile as qc
+from ..plans import ir
+from .search import SearchEngine
+
+
+class MultiIndexEngine:
+    """ES alias/multi-index coordinator over :class:`SearchEngine` s.
+
+    All participating indexes must share one analyzer + BM25 config —
+    cross-index scores are only comparable when every index chunks and
+    weighs text the same way (ES likewise requires compatible mappings
+    for sane multi-index relevance). A config mismatch raises at
+    construction rather than producing quietly incomparable scores.
+    """
+
+    def __init__(
+        self,
+        engines: list[SearchEngine],
+        names: list[str] | None = None,
+    ):
+        if not engines:
+            raise ValueError("MultiIndexEngine needs at least one engine")
+        if names is None:
+            names = [f"index_{i}" for i in range(len(engines))]
+        if len(names) != len(engines):
+            raise ValueError(
+                f"{len(names)} names for {len(engines)} engines"
+            )
+        if len(set(names)) != len(names):
+            raise ValueError(f"duplicate index names: {names}")
+        cfg0 = engines[0].cfg.to_json()
+        for e, n in zip(engines, names):
+            if e.cfg.to_json() != cfg0:
+                raise ValueError(
+                    f"index {n!r} has a different analyzer/BM25 config; "
+                    "cross-index scores would not be comparable"
+                )
+        self.engines = list(engines)
+        self.names = list(names)
+        self.cfg = engines[0].cfg
+
+    @classmethod
+    def open(
+        cls,
+        spark: SparkSession,
+        index_dirs: list[str],
+        names: list[str] | None = None,
+    ) -> "MultiIndexEngine":
+        """Open several on-disk indexes under one coordinator; names
+        default to the directory basenames (the ES index names)."""
+        if names is None:
+            names = [
+                os.path.basename(d.rstrip("/")) for d in index_dirs
+            ]
+        return cls(
+            [SearchEngine.open(spark, d) for d in index_dirs], names
+        )
+
+    # ------------------------------------------------------------------
+    # dfs phase
+    # ------------------------------------------------------------------
+    def global_term_stats(self, terms: list[str]) -> dict:
+        """The dfs_query_then_fetch pre-phase: aggregate doc count,
+        average doc length and per-term df over every index. Driver
+        side and tiny — each engine answers from its stats scalars and
+        its (cached) lexicon point-reads, so the phase costs at most
+        one pruned point-lookup job per cold index, independent of
+        corpus size. Like ES, the numbers are the per-index STORED
+        stats: tombstoned docs keep counting until their index is
+        compacted (Lucene stats-stale-until-merge, see
+        ``SearchEngine.delete_docs``)."""
+        n_docs = sum(e.stats["n_docs"] for e in self.engines)
+        total_terms = sum(e.stats["total_terms"] for e in self.engines)
+        dfs: dict[str, int] = {}
+        for e in self.engines:
+            for r in e._term_stats(terms):
+                dfs[r["term"]] = dfs.get(r["term"], 0) + r["df"]
+        return {
+            "n_docs": n_docs,
+            "avgdl": (total_terms / n_docs) if n_docs else 0.0,
+            "dfs": dfs,
+        }
+
+    # ------------------------------------------------------------------
+    # scored search
+    # ------------------------------------------------------------------
+    def search(
+        self,
+        value: str,
+        k: int = 10,
+        boost: float = 1.0,
+        dfs: bool = True,
+        after: tuple | None = None,
+    ) -> DataFrame:
+        """Conjunctive BM25 top-k across all indexes.
+
+        ``dfs=True`` (default here — it is the mode with a defensible
+        cross-index semantics): global weights, so the result is
+        exactly the single-merged-index ranking. ``dfs=False`` is ES's
+        ``query_then_fetch``: each index scores with local stats —
+        cheaper by one cold point-read per index, same docs per index,
+        but scores (hence the merged order) depend on how docs were
+        split across indexes.
+
+        ``after=(score, doc_id, index)`` — search_after across the
+        fan-out: the cursor filters every index's candidates before
+        its top-k, and the coordinator merge re-applies the same
+        strict (score desc, doc_id asc, index asc) order, so page N
+        is exact without re-reading pages 1..N-1.
+        """
+        node = qc.field_query(value, self.cfg, scored=True)
+        if isinstance(node, ir.MatchNone):
+            return self._empty()
+        terms = list(node.terms)
+        return self._merged_topk(terms, k, boost, dfs, True, after)
+
+    def search_any(
+        self,
+        value: str,
+        k: int = 10,
+        boost: float = 1.0,
+        dfs: bool = True,
+        after: tuple | None = None,
+    ) -> DataFrame:
+        """Disjunctive BM25 top-k across all indexes (docs matching ANY
+        analyzed chunk term). Each index runs its exhaustive single
+        scan + single shuffle OR plan; per-index MaxScore pruning is
+        deliberately NOT used here because its theta is a bound on the
+        per-index k-th score, which under global weights is not a
+        sound bound for docs another index would rank higher."""
+        node = qc.field_query(value, self.cfg, scored=True)
+        if isinstance(node, ir.MatchNone):
+            return self._empty()
+        terms = list(node.terms)
+        return self._merged_topk(terms, k, boost, dfs, False, after)
+
+    def _merged_topk(
+        self,
+        terms: list[str],
+        k: int,
+        boost: float,
+        dfs: bool,
+        conjunctive: bool,
+        after: tuple | None,
+    ) -> DataFrame:
+        if after is not None and len(after) != 3:
+            raise ValueError(
+                "multi-index after cursor is (score, doc_id, index) — "
+                "(score, doc_id) is not unique across indexes"
+            )
+        gs = self.global_term_stats(terms) if dfs else None
+        parts = []
+        for e, name in zip(self.engines, self.names):
+            if after is not None:
+                s, d, idx_name = float(after[0]), int(after[1]), after[2]
+                # per-index cursor: strictly-after rows, plus the
+                # cursor row's own (score, doc_id) for indexes that
+                # order after the cursor index in the tie-break
+                topk = e.bm25_topk(
+                    terms,
+                    k + 1,
+                    conjunctive=conjunctive,
+                    boost=boost,
+                    after=(s, d - 1),
+                    global_stats=gs,
+                )
+                topk = topk.where(
+                    (F.col("score") < s)
+                    | (F.col("doc_id") > d)
+                    | (
+                        (F.col("doc_id") == d)
+                        & (F.lit(name > idx_name))
+                    )
+                )
+            else:
+                topk = e.bm25_topk(
+                    terms,
+                    k,
+                    conjunctive=conjunctive,
+                    boost=boost,
+                    global_stats=gs,
+                )
+            parts.append(topk.withColumn("index", F.lit(name)))
+        merged = parts[0]
+        for p in parts[1:]:
+            merged = merged.unionByName(p)
+        return (
+            merged.orderBy(
+                F.col("score").desc(),
+                F.col("doc_id").asc(),
+                F.col("index").asc(),
+            )
+            .limit(k)
+            .select("doc_id", "score", "index")
+        )
+
+    # ------------------------------------------------------------------
+    # unscored surfaces: filters, counts, facets fan out per index
+    # ------------------------------------------------------------------
+    def docs(self, node: ir.Node) -> DataFrame:
+        """(doc_id, index) union of every index's live match set."""
+        parts = [
+            e.docs(node).withColumn("index", F.lit(n))
+            for e, n in zip(self.engines, self.names)
+        ]
+        merged = parts[0]
+        for p in parts[1:]:
+            merged = merged.unionByName(p)
+        return merged
+
+    def term(self, value: str) -> DataFrame:
+        return self.docs(qc.field_query(value, self.cfg, scored=False))
+
+    def prefix(self, value: str) -> DataFrame:
+        return self.docs(qc.prefix_query(value, self.cfg))
+
+    def wildcard(self, pattern: str) -> DataFrame:
+        return self.docs(qc.wildcard_query(pattern, self.cfg))
+
+    def range(
+        self,
+        lower: str | None,
+        upper: str | None,
+        include_lower: bool = True,
+        include_upper: bool = True,
+    ) -> DataFrame:
+        return self.docs(
+            qc.range_filter(
+                lower, upper, include_lower, include_upper, self.cfg
+            )
+        )
+
+    def count(self, node: ir.Node) -> int:
+        """ES ``_count`` across indexes: per-index counts summed on the
+        driver (each is its own pruned aggregation; no cross-index
+        shuffle exists to pay)."""
+        return sum(e.count(node) for e in self.engines)
+
+    def _empty(self) -> DataFrame:
+        e = self.engines[0]
+        return e._empty_scored().withColumn(
+            "index", F.lit("")
+        ).select("doc_id", "score", "index")

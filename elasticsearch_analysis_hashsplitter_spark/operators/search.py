@@ -1899,6 +1899,7 @@ class SearchEngine:
         boost: float = 1.0,
         _anchor: str | None = None,
         after: tuple | None = None,
+        global_stats: dict | None = None,
     ) -> DataFrame:
         """Top-k (doc_id, score) for a bag of exact chunk terms.
 
@@ -1915,8 +1916,13 @@ class SearchEngine:
         enter the top-k. A Catalyst predicate on the candidate-sized
         aggregate, so page N costs the same one scan + one shuffle as
         page 1 (never OFFSET's sort-everything-and-drop).
+
+        ``global_stats``: see :meth:`bm25_scores` — cross-index
+        (dfs_query_then_fetch) scoring weights.
         """
-        scores = self.bm25_scores(terms, conjunctive, boost, _anchor)
+        scores = self.bm25_scores(
+            terms, conjunctive, boost, _anchor, global_stats=global_stats
+        )
         if after is not None:
             s, d = float(after[0]), int(after[1])
             scores = scores.where(
@@ -1935,13 +1941,24 @@ class SearchEngine:
         conjunctive: bool = True,
         boost: float = 1.0,
         _anchor: str | None = None,
+        global_stats: dict | None = None,
     ) -> DataFrame:
         """Aggregated (doc_id, score) for a bag of chunk terms —
         :meth:`bm25_topk` without the final top-k truncation. The
         building block for cross-field scoring
         (:meth:`~..multifield.MultiFieldEngine.search_scored` sums
         per-field score frames BEFORE ranking, which a truncated top-k
-        could not support)."""
+        could not support).
+
+        ``global_stats``: ES ``dfs_query_then_fetch`` weights for
+        multi-index search (``{"n_docs": int, "avgdl": float,
+        "dfs": {term: df}}`` aggregated over ALL participating
+        indexes by :class:`~.multi.MultiIndexEngine`). Only the idf /
+        length-norm WEIGHTS switch to the global numbers; everything
+        structural — conjunctive-membership checks, anchor selection,
+        block pruning — keeps using this index's own stats, exactly as
+        a Lucene shard executes a dfs-phase query: global weights,
+        local postings."""
         if not terms:
             return self._empty_scored()
         weights: dict[str, int] = {}
@@ -1955,12 +1972,19 @@ class SearchEngine:
         dfs = {r["term"]: r["df"] for r in self._term_stats(distinct)}
         if conjunctive and len(dfs) < len(distinct):
             return self._empty_scored()  # a MUST term is absent entirely
+        idf_dfs = dfs
+        if global_stats is not None:
+            n_docs = global_stats["n_docs"]
+            avgdl = global_stats["avgdl"] or 1.0
+            idf_dfs = global_stats["dfs"]
         params = {
             t: (
                 boost
                 * weights[t]
                 * math.log(
-                    1.0 + (n_docs - dfs.get(t, 0) + 0.5) / (dfs.get(t, 0) + 0.5)
+                    1.0
+                    + (n_docs - idf_dfs.get(t, 0) + 0.5)
+                    / (idf_dfs.get(t, 0) + 0.5)
                 ),
                 i,
             )

@@ -369,6 +369,57 @@ def _q_bm25_purged(spark, sf_dir):
     )
 
 
+# ES upsert parity (streaming/incremental.py upsert_docs = tombstone +
+# purge merge + reindex segment, the Lucene update model): docs with
+# doc_id % UPS_MOD == UPS_RES are REPLACED by new text containing the
+# BM25 query terms (dl varied per doc so no two replacements tie
+# exactly), plus five brand-new docs inserted. The upserted on-disk
+# index must score exactly like a fresh build over the updated corpus —
+# which is literally what the oracle computes.
+UPS_MOD, UPS_RES = 11, 4
+UPS_TEXT_SQL = (
+    "'spark join upda' || repeat(' fill', CAST(doc_id % 6 AS INT))"
+)
+UPS_NEW = [
+    (900000, "spark join newd"),
+    (900001, "spark join newd extr"),
+    (900002, "spark newd only"),
+    (900003, "join newd only"),
+    (900004, "newd without quer"),
+]
+
+
+def _q_bm25_upserted(spark, sf_dir):
+    key = (id(spark), sf_dir, "upserted")
+    if key not in _ENGINES:
+        import tempfile
+
+        from elasticsearch_analysis_hashsplitter_spark.operators.build import (
+            build_index,
+        )
+        from elasticsearch_analysis_hashsplitter_spark.streaming.incremental import (
+            upsert_docs,
+        )
+
+        idx = os.path.join(tempfile.mkdtemp(prefix="hs_gate_upsert_"), "idx")
+        docs = _docs(spark, sf_dir).select("doc_id", "text")
+        build_index(docs, TOK_CFG, idx, id_col="doc_id", text_col="text")
+        updates = (
+            docs.where(F.col("doc_id") % UPS_MOD == UPS_RES)
+            .select("doc_id", F.expr(UPS_TEXT_SQL).alias("text"))
+            .unionAll(
+                spark.createDataFrame(UPS_NEW, "doc_id long, text string")
+            )
+        )
+        upsert_docs(
+            spark, idx, updates, TOK_CFG, id_col="doc_id", text_col="text"
+        )
+        _ENGINES[key] = SearchEngine.open(spark, idx)
+    return _ENGINES[key].search(BM25_QUERY, k=10).select(
+        "doc_id", F.round("score", 4).alias("score")
+    )
+
+
 def _q_multi_index(spark, sf_dir):
     """ES multi-index (alias) search, dfs_query_then_fetch: the corpus
     split into two indexes by doc_id parity, one coordinator query with
@@ -1025,6 +1076,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_topk_page2": _q_bm25_page2,
         "bm25_topk_deleted": _q_bm25_deleted,
         "bm25_topk_purged": _q_bm25_purged,
+        "bm25_topk_upserted": _q_bm25_upserted,
         "multi_index_search": _q_multi_index,
         "hash_prefix_query": _q_hash_prefix,
         "hash_wildcard_suffix": _q_hash_wildcard_suffix,
@@ -1577,6 +1629,19 @@ LIMIT 10""",
             prefix_cte=(
                 f"live AS (SELECT * FROM documents "
                 f"WHERE doc_id % {DEL_MOD} <> {DEL_RES}),"
+            ),
+        ),
+        # upserted (update = delete + purge + reindex): scores over the
+        # UPDATED corpus — replacements rewritten, new docs appended
+        "bm25_topk_upserted": _bm25_oracle(
+            docs_table="updated",
+            prefix_cte=(
+                "updated AS ("
+                f"SELECT doc_id, CASE WHEN doc_id % {UPS_MOD} = {UPS_RES} "
+                f"THEN {UPS_TEXT_SQL} ELSE text END AS text FROM documents "
+                "UNION ALL SELECT * FROM (VALUES "
+                + ", ".join(f"({i}, '{t}')" for i, t in UPS_NEW)
+                + ") v(doc_id, text)),"
             ),
         ),
         # multi-index dfs_query_then_fetch == single merged index, plus

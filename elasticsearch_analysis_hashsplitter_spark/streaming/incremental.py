@@ -51,6 +51,7 @@ def _write_segment(
     text_col: str,
     num_partitions: int,
     on_duplicate: str = "append",
+    slice_key: str | None = None,
 ) -> None:
     if on_duplicate == "skip_existing":
         # deterministic within-batch pick (NOT dropDuplicates, whose
@@ -96,7 +97,8 @@ def _write_segment(
     ).localCheckpoint()
     if tokenized.isEmpty():
         return
-    slice_key = f"stream_{batch_id}"
+    if slice_key is None:
+        slice_key = f"stream_{batch_id}"
     blocks = build_postings_blocks(tokenized, num_partitions)
     blocks.write.mode("overwrite").parquet(
         catalog.postings_path(index_dir) + f"/slice={slice_key}"
@@ -369,12 +371,26 @@ def maybe_compact(
     swap). Returns the refreshed stats, or None when no compaction was
     needed.
     """
-    import shutil
-
     catalog.recover_compaction(index_dir)
     slices = catalog.list_postings_slices(index_dir)
     if len(slices) <= max_slices:
         return None
+    return _compact_in_place(spark, index_dir, cfg, num_partitions, layout)
+
+
+def _compact_in_place(
+    spark: SparkSession,
+    index_dir: str,
+    cfg: HashSplitterConfig,
+    num_partitions: int = 8,
+    layout: str = "hash",
+) -> dict:
+    """The crash-safe in-place rewrite half of :func:`maybe_compact`
+    (see its docstring for the swap protocol); also used by
+    :func:`upsert_docs` to purge replaced doc versions before their
+    re-ingest."""
+    import shutil
+
     base = index_dir.rstrip("/")
     tmp, bak = base + ".compact_tmp", base + ".pre_compact"
     shutil.rmtree(tmp, ignore_errors=True)
@@ -408,3 +424,102 @@ def maybe_compact(
     os.rename(tmp, index_dir)  # atomic — the only gap a crash can hit
     shutil.rmtree(bak, ignore_errors=True)
     return stats
+
+
+def upsert_docs(
+    spark: SparkSession,
+    index_dir: str,
+    docs_df: DataFrame,
+    cfg: HashSplitterConfig,
+    id_col: str = "doc_id",
+    text_col: str = "content",
+    num_partitions: int = 8,
+    layout: str = "hash",
+) -> dict:
+    """ES index/update parity for an on-disk index: every incoming row
+    REPLACES the stored document with its id, or inserts it if absent.
+
+    Semantics follow ES/Lucene exactly — an update IS delete +
+    reindex (there is no in-place mutation of immutable segments):
+
+    1. ids that already exist (or already hold tombstones) are
+       tombstoned and physically purged by one in-place merge
+       (:func:`_compact_in_place` — the ``compact_index`` purge pass,
+       crash-safe directory swap), so the old versions can never mask
+       or double-score their replacements;
+    2. the whole batch is appended as one new segment (O(batch), the
+       streaming ingest path);
+    3. ``refresh_stats`` makes it visible with fresh n_docs/avgdl/df —
+       after which the index scores exactly like a fresh build over the
+       updated corpus (that identity is the ``bm25_topk_upserted``
+       correctness gate).
+
+    Cost model (why this is batch-oriented, like ES bulk): a pure-insert
+    batch pays only its own segment write — no collision, no merge. Any
+    replaced id pays one purge merge over the index — the same merge ES
+    pays for updates, just synchronous instead of deferred, so callers
+    should batch updates rather than loop per doc. Not transactional
+    (neither is an ES bulk): a crash between the purge and the append
+    leaves collided ids deleted-but-not-yet-reindexed; re-running the
+    same upsert completes it.
+
+    Returns ``{"upserted": total rows, "replaced": ids that existed,
+    "stats": refreshed stats}``.
+    """
+    from ..operators.search import SearchEngine  # noqa: PLC0415 (lazy: avoid cycle)
+
+    catalog.recover_compaction(index_dir)
+    ids = docs_df.select(F.col(id_col).cast("long").alias("doc_id"))
+    dup = (
+        ids.groupBy("doc_id")
+        .count()
+        .where(F.col("count") > 1)
+        .limit(1)
+        .collect()
+    )
+    if dup:
+        raise ValueError(
+            f"duplicate {id_col}={dup[0]['doc_id']} within the upsert "
+            "batch: which row should win is ambiguous — dedupe first"
+        )
+    eng = SearchEngine.open(spark, index_dir)
+    limit = eng.max_deleted_in_memory - eng.deleted_count
+    collided = [
+        r["doc_id"]
+        for r in catalog.read_docstats(spark, index_dir)
+        .select("doc_id")
+        .join(F.broadcast(ids), "doc_id", "left_semi")
+        .limit(limit + 1)
+        .collect()
+    ]
+    if len(collided) > limit:
+        raise ValueError(
+            f"upsert batch replaces more than {limit} existing docs; "
+            "split the batch (the purge's tombstone set is driver-held)"
+        )
+    if collided:
+        eng.delete_docs(collided)
+    if catalog.read_deletes(index_dir).size:
+        # purge BEFORE the re-ingest: a tombstone masks its doc_id in
+        # EVERY segment, including a newly appended replacement
+        _compact_in_place(spark, index_dir, cfg, num_partitions, layout)
+    taken = set(catalog.list_postings_slices(index_dir))
+    n = 0
+    while f"upsert_{n}" in taken:
+        n += 1
+    _write_segment(
+        docs_df,
+        n,
+        cfg,
+        index_dir,
+        id_col,
+        text_col,
+        num_partitions,
+        slice_key=f"upsert_{n}",
+    )
+    stats = refresh_stats(spark, index_dir, cfg)
+    return {
+        "upserted": ids.count(),
+        "replaced": len(collided),
+        "stats": stats,
+    }

@@ -23,10 +23,11 @@ or update documents, pass ``on_duplicate="skip_existing"`` to
 anti-joined against the already-indexed doc_ids (first-write-wins), so
 stats stay single-counted. Deletes follow the Lucene model
 (``SearchEngine.delete_docs``): tombstones mask every query and
-``compact_index`` physically purges them, recomputing stats — so
-"update" is delete + compact + re-ingest, never last-write-wins
-shadowing (a tombstoned doc_id stays masked, including any re-ingested
-copy, until a compaction clears the tombstone).
+``compact_index`` / ``purge_index`` physically purge them, recomputing
+stats — so "update" is delete + purge + re-ingest (packaged as
+``upsert_docs``), never last-write-wins shadowing (a tombstoned doc_id
+stays masked, including any re-ingested copy, until a purge clears the
+tombstone).
 """
 
 from __future__ import annotations
@@ -340,6 +341,138 @@ def compact_index(
     return refresh_stats(spark, out_dir, cfg)
 
 
+def _link_tree(src: str, dst: str) -> None:
+    """Mirror ``src`` into ``dst`` with hardlinks (same-filesystem
+    metadata ops, no data copy; falls back to a real copy if the link
+    fails, e.g. across devices). Used to carry untouched slices through
+    a purge rewrite byte-identically."""
+    import shutil
+
+    for root, _dirs, files in os.walk(src):
+        rel = os.path.relpath(root, src)
+        tgt = dst if rel == "." else os.path.join(dst, rel)
+        os.makedirs(tgt, exist_ok=True)
+        for f in files:
+            s, d = os.path.join(root, f), os.path.join(tgt, f)
+            try:
+                os.link(s, d)
+            except OSError:
+                shutil.copy2(s, d)
+
+
+def purge_index(
+    spark: SparkSession,
+    index_dir: str,
+    out_dir: str,
+    cfg: HashSplitterConfig,
+) -> dict:
+    """Slice-preserving expunge: physically drop tombstoned postings
+    while keeping the segment layout (``compact_index`` is the segment
+    MERGE; this is the pure Lucene expunge-deletes, without changing
+    segment count).
+
+    Scale shape — the two properties that make per-batch upserts viable
+    on a large index:
+
+    * **Only victim slices are decoded.** Docs never span slices (each
+      ingest/build/upsert batch writes its docs' postings AND docstats
+      under one ``slice=`` key), so the slice-partitioned docstats give
+      EXACT tombstone→slice membership with one broadcast semi-join;
+      slices holding no tombstoned doc are hardlinked into the output
+      unchanged (metadata-only, byte-identical — pinned by inode in
+      tests). A targeted update batch (e.g. re-ingesting yesterday's
+      crawl) rewrites only the segments that held those docs, not the
+      index.
+    * **Zero shuffles.** The purge kernel (:func:`_purge_blocks`) is a
+      map-only decode→mask→re-encode pass, and each victim slice is
+      rewritten under its own key — no repartition, no global merge, so
+      the rewrite cost is O(victim-slice bytes) with full scan
+      parallelism.
+
+    Stats/lexicon are recomputed over the surviving postings
+    (:func:`refresh_stats`), so the purged index scores exactly like a
+    fresh build over the live corpus — the same guarantee as the
+    compaction purge pass, minus the merge. Use :func:`purge_in_place`
+    for the crash-safe in-place form.
+    """
+    import pandas as pd
+
+    deleted = catalog.read_deletes(index_dir)
+    if not deleted.size:
+        raise ValueError("purge_index: index holds no tombstones")
+    src = catalog.read_postings(spark, index_dir)
+    cols = ["term", "min_doc", "max_doc", "df", "max_tf", "docs", "tfs",
+            "dls"]
+    if "min_dl" in src.columns:
+        cols.insert(5, "min_dl")
+    all_keys = [str(k) for k in catalog.list_postings_slices(index_dir)]
+    docstats = catalog.read_docstats(spark, index_dir)
+    dele_df = spark.createDataFrame(pd.DataFrame({"doc_id": deleted}))
+    if "slice" in docstats.columns:
+        victim_keys = {
+            str(r["slice"])
+            for r in docstats.join(F.broadcast(dele_df), "doc_id",
+                                   "left_semi")
+            .select(F.col("slice").cast("string"))
+            .distinct()
+            .collect()
+        }
+    else:  # legacy un-sliced docstats: no membership — purge every slice
+        victim_keys = set(all_keys)
+    for k in all_keys:
+        post_src = catalog.postings_path(index_dir) + f"/slice={k}"
+        post_dst = catalog.postings_path(out_dir) + f"/slice={k}"
+        doc_src = catalog.docstats_path(index_dir) + f"/slice={k}"
+        doc_dst = catalog.docstats_path(out_dir) + f"/slice={k}"
+        if k in victim_keys:
+            blocks = spark.read.parquet(post_src).select(*cols)
+            _purge_blocks(blocks, deleted, cols).write.mode(
+                "overwrite"
+            ).parquet(post_dst)
+            if os.path.isdir(doc_src):
+                (
+                    spark.read.parquet(doc_src)
+                    .join(F.broadcast(dele_df), "doc_id", "left_anti")
+                    .write.mode("overwrite")
+                    .parquet(doc_dst)
+                )
+            catalog.write_manifest(
+                out_dir, k,  # type: ignore[arg-type]
+                {"slice": k, "kind": "purge"},
+            )
+        else:
+            _link_tree(post_src, post_dst)
+            if os.path.isdir(doc_src):
+                _link_tree(doc_src, doc_dst)
+            mf = catalog.manifest_file(index_dir, k)  # type: ignore[arg-type]
+            if os.path.exists(mf):
+                os.makedirs(os.path.dirname(
+                    catalog.manifest_file(out_dir, k)  # type: ignore[arg-type]
+                ), exist_ok=True)
+                try:
+                    os.link(mf, catalog.manifest_file(out_dir, k))  # type: ignore[arg-type]
+                except OSError:
+                    pass
+    if "slice" not in docstats.columns:
+        # legacy layout: one un-sliced docstats table, filtered whole
+        docstats.join(F.broadcast(dele_df), "doc_id", "left_anti").write.mode(
+            "overwrite"
+        ).parquet(catalog.docstats_path(out_dir))
+    return refresh_stats(spark, out_dir, cfg)
+
+
+def purge_in_place(
+    spark: SparkSession,
+    index_dir: str,
+    cfg: HashSplitterConfig,
+) -> dict:
+    """Crash-safe in-place :func:`purge_index` (the swap protocol of
+    :func:`maybe_compact`); the purge half of :func:`upsert_docs`."""
+    return _rewrite_in_place(
+        index_dir, lambda tmp: purge_index(spark, index_dir, tmp, cfg)
+    )
+
+
 def maybe_compact(
     spark: SparkSession,
     index_dir: str,
@@ -386,23 +519,32 @@ def _compact_in_place(
     layout: str = "hash",
 ) -> dict:
     """The crash-safe in-place rewrite half of :func:`maybe_compact`
-    (see its docstring for the swap protocol); also used by
-    :func:`upsert_docs` to purge replaced doc versions before their
-    re-ingest."""
+    (see its docstring for the swap protocol)."""
+    return _rewrite_in_place(
+        index_dir,
+        lambda tmp: compact_index(
+            spark, index_dir, tmp, cfg, num_partitions, layout=layout
+        ),
+    )
+
+
+def _rewrite_in_place(index_dir: str, rewrite) -> dict:
+    """Crash-safe in-place rewrite protocol shared by compaction and
+    tombstone purge (see :func:`maybe_compact` for the swap analysis):
+    ``rewrite(tmp_dir)`` must build a complete replacement index in the
+    sibling tmp dir and return its stats."""
     import shutil
 
     base = index_dir.rstrip("/")
     tmp, bak = base + ".compact_tmp", base + ".pre_compact"
     shutil.rmtree(tmp, ignore_errors=True)
     shutil.rmtree(bak, ignore_errors=True)
-    # tombstone files present BEFORE the compaction starts are
-    # definitely applied by it (compact_index reads the dir strictly
-    # later); any file that appears during the rewrite must survive the
-    # swap or its doc silently resurrects
+    # tombstone files present BEFORE the rewrite starts are definitely
+    # applied by it (the rewrite reads the dir strictly later); any file
+    # that appears during the rewrite must survive the swap or its doc
+    # silently resurrects
     applied = set(catalog.list_delete_files(index_dir))
-    stats = compact_index(
-        spark, index_dir, tmp, cfg, num_partitions, layout=layout
-    )
+    stats = rewrite(tmp)
     # carry over anything that is not part of the index itself; a crash
     # in this loop leaves index_dir healthy and recover_compaction moves
     # these entries back out of the stale tmp
@@ -434,7 +576,6 @@ def upsert_docs(
     id_col: str = "doc_id",
     text_col: str = "content",
     num_partitions: int = 8,
-    layout: str = "hash",
 ) -> dict:
     """ES index/update parity for an on-disk index: every incoming row
     REPLACES the stored document with its id, or inserts it if absent.
@@ -443,10 +584,10 @@ def upsert_docs(
     reindex (there is no in-place mutation of immutable segments):
 
     1. ids that already exist (or already hold tombstones) are
-       tombstoned and physically purged by one in-place merge
-       (:func:`_compact_in_place` — the ``compact_index`` purge pass,
-       crash-safe directory swap), so the old versions can never mask
-       or double-score their replacements;
+       tombstoned and physically purged by one in-place
+       :func:`purge_in_place` (slice-preserving expunge, crash-safe
+       directory swap), so the old versions can never mask or
+       double-score their replacements;
     2. the whole batch is appended as one new segment (O(batch), the
        streaming ingest path);
     3. ``refresh_stats`` makes it visible with fresh n_docs/avgdl/df —
@@ -455,13 +596,18 @@ def upsert_docs(
        correctness gate).
 
     Cost model (why this is batch-oriented, like ES bulk): a pure-insert
-    batch pays only its own segment write — no collision, no merge. Any
-    replaced id pays one purge merge over the index — the same merge ES
-    pays for updates, just synchronous instead of deferred, so callers
-    should batch updates rather than loop per doc. Not transactional
-    (neither is an ES bulk): a crash between the purge and the append
-    leaves collided ids deleted-but-not-yet-reindexed; re-running the
-    same upsert completes it.
+    batch pays only its own segment write — no collision, no purge. Any
+    replaced id pays one :func:`purge_index` pass, which decodes ONLY
+    the slices that actually hold replaced docs (exact membership from
+    the slice-partitioned docstats; untouched slices are hardlinked,
+    and the rewrite is shuffle-free) — so a batch replacing docs from
+    one ingest segment rewrites that segment, not the index. Callers
+    should still batch updates rather than loop per doc. Segment count
+    grows by one per upsert batch; ``maybe_compact`` remains the merge
+    policy. Not transactional (neither is an ES bulk): a crash between
+    the purge and the append leaves collided ids
+    deleted-but-not-yet-reindexed; re-running the same upsert completes
+    it.
 
     Returns ``{"upserted": total rows, "replaced": ids that existed,
     "stats": refreshed stats}``.
@@ -502,7 +648,7 @@ def upsert_docs(
     if catalog.read_deletes(index_dir).size:
         # purge BEFORE the re-ingest: a tombstone masks its doc_id in
         # EVERY segment, including a newly appended replacement
-        _compact_in_place(spark, index_dir, cfg, num_partitions, layout)
+        purge_in_place(spark, index_dir, cfg)
     taken = set(catalog.list_postings_slices(index_dir))
     n = 0
     while f"upsert_{n}" in taken:

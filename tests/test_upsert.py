@@ -122,14 +122,16 @@ def test_pure_insert_skips_the_merge(spark, tmp_path):
     assert 300 in _ids(SearchEngine.open(spark, idx).term("join pure"))
 
 
-def test_collision_compacts_then_appends(spark, tmp_path):
+def test_collision_purges_in_segment_layout(spark, tmp_path):
+    """A replacement upsert purges the old version WITHOUT merging
+    segments (purge_index, not compact_index): the build slice keeps
+    its key, the batch appends its own segment."""
     idx = _build(spark, str(tmp_path / "idx"))
     upsert_docs(spark, idx, _df(spark, [(0, "join newz")]), CFG)
-    assert set(catalog.list_postings_slices(idx)) == {
-        "compacted", "upsert_0",
-    }
+    assert set(catalog.list_postings_slices(idx)) == {"0", "upsert_0"}
     eng = SearchEngine.open(spark, idx)
     assert _ids(eng.term("newz")) == [0]
+    assert 0 not in _ids(eng.term("scan"))  # old postings really purged
     assert eng.stats["n_docs"] == len(DOCS)
 
 
@@ -163,3 +165,123 @@ def test_second_upsert_gets_fresh_slice_name(spark, tmp_path):
     eng = SearchEngine.open(spark, idx)
     assert _ids(eng.term("aaaa")) == [400]
     assert _ids(eng.term("bbbb")) == [401]
+
+
+# --- slice-preserving purge (purge_index / purge_in_place) -----------
+
+import os
+
+from elasticsearch_analysis_hashsplitter_spark.streaming.incremental import (
+    compact_index,
+    purge_in_place,
+)
+
+
+def _inodes(d):
+    return {
+        os.path.relpath(os.path.join(dp, f), d): os.stat(
+            os.path.join(dp, f)
+        ).st_ino
+        for dp, _dirs, fs in os.walk(d)
+        for f in fs
+    }
+
+
+def _build4(spark, path):
+    from elasticsearch_analysis_hashsplitter_spark.operators.build import (
+        build_index,
+    )
+
+    build_index(_df(spark, DOCS), CFG, path, id_col="doc_id",
+                text_col="content", n_slices=4)
+    return path
+
+
+def test_purge_rewrites_only_victim_slices(spark, tmp_path):
+    """Tombstones confined to one build slice: that slice is decoded
+    and rewritten, every other slice's files are HARDLINKED through the
+    swap byte-identically (same inode — the strongest no-rewrite
+    proof)."""
+    idx = _build4(spark, str(tmp_path / "idx"))
+    by_slice = {
+        k: [
+            r["doc_id"]
+            for r in spark.read.parquet(
+                f"{idx}/docstats/slice={k}"
+            ).select("doc_id").collect()
+        ]
+        for k in catalog.list_postings_slices(idx)
+    }
+    victim_slice = next(k for k, ids in by_slice.items() if len(ids) >= 2)
+    victims = sorted(by_slice[victim_slice])[:2]
+    before = {
+        k: _inodes(f"{idx}/postings/slice={k}")
+        for k in by_slice
+    }
+    eng = SearchEngine.open(spark, idx)
+    eng.delete_docs(victims)
+    purge_in_place(spark, idx, CFG)
+    for k in by_slice:
+        after = _inodes(f"{idx}/postings/slice={k}")
+        if k == victim_slice:
+            assert set(after.values()).isdisjoint(
+                set(before[k].values())
+            ), "victim slice must be rewritten"
+        else:
+            assert after == before[k], f"slice {k} must be hardlinked"
+    eng2 = SearchEngine.open(spark, idx)
+    assert eng2.deleted_count == 0
+    assert eng2.stats["n_docs"] == len(DOCS) - len(victims)
+    for v in victims:
+        assert v not in _ids(eng2.term("join"))
+
+
+def test_purge_matches_compact_purge_scoring(spark, tmp_path):
+    """purge_in_place (slice-preserving) and compact_index (merge +
+    purge) are two physical layouts of the same live corpus: identical
+    docs, scores to 1e-9, identical stats."""
+    a = _build4(spark, str(tmp_path / "a"))
+    b = _build4(spark, str(tmp_path / "b"))
+    victims = [3, 8, 15]
+    for p in (a, b):
+        SearchEngine.open(spark, p).delete_docs(victims)
+    purge_in_place(spark, a, CFG)
+    b2 = str(tmp_path / "b2")
+    compact_index(spark, b, b2, CFG)
+    ea, eb = SearchEngine.open(spark, a), SearchEngine.open(spark, b2)
+    assert ea.stats["n_docs"] == eb.stats["n_docs"]
+    assert ea.stats["avgdl"] == pytest.approx(eb.stats["avgdl"],
+                                              abs=1e-12)
+    for q in ("join merg", "scan", "join"):
+        ga = [(r["doc_id"], r["score"])
+              for r in ea.search(q, k=30).collect()]
+        gb = [(r["doc_id"], r["score"])
+              for r in eb.search(q, k=30).collect()]
+        assert _tie_groups(ga) == _tie_groups(gb)
+        by_doc = dict(gb)
+        for d, s in ga:
+            assert s == pytest.approx(by_doc[d], abs=1e-9)
+
+
+def test_purge_survives_fully_deleted_slice(spark, tmp_path):
+    """Deleting EVERY doc of one slice leaves that slice's postings
+    empty; the purged index still opens and answers correctly."""
+    idx = _build4(spark, str(tmp_path / "idx"))
+    ks = catalog.list_postings_slices(idx)
+    by_slice = {
+        k: [
+            r["doc_id"]
+            for r in spark.read.parquet(
+                f"{idx}/docstats/slice={k}"
+            ).select("doc_id").collect()
+        ]
+        for k in ks
+    }
+    victim_slice = next(k for k, ids in by_slice.items() if ids)
+    victims = by_slice[victim_slice]
+    eng = SearchEngine.open(spark, idx)
+    eng.delete_docs(victims)
+    purge_in_place(spark, idx, CFG)
+    eng2 = SearchEngine.open(spark, idx)
+    assert eng2.stats["n_docs"] == len(DOCS) - len(victims)
+    assert set(_ids(eng2.term("join"))).isdisjoint(set(victims))

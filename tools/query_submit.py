@@ -4,6 +4,7 @@
       --index /path/to/index --op search --value "some_token" -k 10
   ... --op wildcard --value "d41?8*27e"
   ... --op range --lower 0000... --upper 2222...
+  ... --op upsert --docs-json '[[7, "new content"], [900001, "inserted"]]'
 """
 
 from __future__ import annotations
@@ -20,8 +21,16 @@ def main(argv=None) -> int:
         required=True,
         choices=["search", "search_any", "batch", "serve", "term", "chunk_term",
                  "prefix", "wildcard", "range", "count", "delete",
-                 "delete_by_query"],
+                 "delete_by_query", "upsert"],
     )
+    p.add_argument("--docs-json", default=None,
+                   help='inline docs for --op upsert: [[id, "text"], ...] '
+                        "(each row replaces the stored doc with its id, "
+                        "or inserts it if absent — the ES bulk index/"
+                        "update model)")
+    p.add_argument("--docs-parquet", default=None,
+                   help="parquet path of (doc_id, content) rows for "
+                        "--op upsert (the at-scale input form)")
     p.add_argument("--ids", default=None,
                    help="comma-separated doc ids for --op delete "
                         "(tombstoned: masked by every query, purged by "
@@ -115,6 +124,24 @@ def main(argv=None) -> int:
         print(json.dumps(
             {"tombstoned": added, "deleted_total": eng.deleted_count}
         ))
+    elif args.op == "upsert":
+        from elasticsearch_analysis_hashsplitter_spark.streaming.incremental import (
+            upsert_docs,
+        )
+
+        if args.docs_parquet:
+            docs = spark.read.parquet(args.docs_parquet)
+        elif args.docs_json:
+            docs = spark.createDataFrame(
+                [(int(i), str(t)) for i, t in json.loads(args.docs_json)],
+                "doc_id long, content string",
+            )
+        else:
+            raise SystemExit("--op upsert needs --docs-json or --docs-parquet")
+        res = upsert_docs(spark, args.index, docs, eng.cfg)
+        print(json.dumps({"upserted": res["upserted"],
+                          "replaced": res["replaced"],
+                          "n_docs": res["stats"]["n_docs"]}))
     elif args.op == "delete_by_query":
         from elasticsearch_analysis_hashsplitter_spark.plans import (
             compile as qc,

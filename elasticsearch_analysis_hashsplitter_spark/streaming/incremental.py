@@ -348,6 +348,10 @@ def _link_tree(src: str, dst: str) -> None:
     a purge rewrite byte-identically."""
     import shutil
 
+    # a dirty destination (failed earlier attempt) must not leave stale
+    # files mixed with the linked ones — Spark's mode=overwrite gives
+    # the rewritten slices the same guarantee
+    shutil.rmtree(dst, ignore_errors=True)
     for root, _dirs, files in os.walk(src):
         rel = os.path.relpath(root, src)
         tgt = dst if rel == "." else os.path.join(dst, rel)

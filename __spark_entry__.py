@@ -281,6 +281,25 @@ def _q_lang_facet(spark, sf_dir):
     return eng.terms_facet(node, _docs(spark, sf_dir), "lang", size=10)
 
 
+def _q_stats_facet(spark, sf_dir):
+    """ES statistical facet: numeric summary of n_chars over the
+    conjunctive BM25_QUERY doc set. n_chars is integral, so every
+    aggregate (incl. the double sums) is order-independent and exact."""
+    eng = _engine(spark, sf_dir, "tokens")
+    node = qc.field_query(BM25_QUERY, TOK_CFG, scored=False)
+    return eng.stats_facet(node, _docs(spark, sf_dir), "n_chars")
+
+
+def _q_hist_facet(spark, sf_dir):
+    """ES histogram facet: 100-wide n_chars buckets over the same doc
+    set (key = floor(n_chars/100)*100, empty buckets absent)."""
+    eng = _engine(spark, sf_dir, "tokens")
+    node = qc.field_query(BM25_QUERY, TOK_CFG, scored=False)
+    return eng.histogram_facet(
+        node, _docs(spark, sf_dir), "n_chars", 100.0
+    )
+
+
 def _q_bm25_explain(spark, sf_dir):
     """Lucene Explanation parity: per-term BM25 breakdown of the
     lowest-doc_id conjunctive match of BM25_QUERY (deterministic pick,
@@ -1073,6 +1092,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_explain": _q_bm25_explain,
         "search_fetch": _q_search_fetch,
         "lang_facet": _q_lang_facet,
+        "stats_facet": _q_stats_facet,
+        "histogram_facet": _q_hist_facet,
         "bm25_topk_page2": _q_bm25_page2,
         "bm25_topk_deleted": _q_bm25_deleted,
         "bm25_topk_purged": _q_bm25_purged,
@@ -1617,6 +1638,34 @@ WHERE d.doc_id IN (
 GROUP BY d.lang
 ORDER BY count DESC, value
 LIMIT 10""",
+        # ES statistical facet over the same doc set (n_chars integral:
+        # all aggregates order-independent and exact in both engines)
+        "stats_facet": f"""
+WITH {_TOK_CTE}
+SELECT count(*)::BIGINT AS count,
+       min(CAST(d.n_chars AS DOUBLE)) AS min,
+       max(CAST(d.n_chars AS DOUBLE)) AS max,
+       sum(CAST(d.n_chars AS DOUBLE)) AS total,
+       avg(CAST(d.n_chars AS DOUBLE)) AS mean,
+       sum(CAST(d.n_chars AS DOUBLE) * CAST(d.n_chars AS DOUBLE))
+         AS sum_of_squares
+FROM documents d
+WHERE d.doc_id IN (
+  SELECT doc_id FROM (
+    {sql_oracle.docs_select(qc.field_query(BM25_QUERY, TOK_CFG, scored=False), TOK_CFG)}
+  ) m)""",
+        # ES histogram facet: fixed 100-wide buckets, empty absent
+        "histogram_facet": f"""
+WITH {_TOK_CTE}
+SELECT floor(CAST(d.n_chars AS DOUBLE) / 100.0) * 100.0 AS key,
+       count(*)::BIGINT AS count
+FROM documents d
+WHERE d.doc_id IN (
+  SELECT doc_id FROM (
+    {sql_oracle.docs_select(qc.field_query(BM25_QUERY, TOK_CFG, scored=False), TOK_CFG)}
+  ) m)
+GROUP BY key
+ORDER BY key""",
         # tombstoned, stats stale (Lucene pre-merge): full-corpus
         # scoring, live-set membership
         "bm25_topk_deleted": _bm25_oracle(

@@ -943,6 +943,54 @@ class SearchEngine:
             .limit(size)
         )
 
+    def stats_facet(
+        self,
+        node: ir.Node,
+        source: DataFrame,
+        field: str,
+    ) -> DataFrame:
+        """ES statistical facet: count/min/max/sum/mean (and variance
+        pieces via sum_of_squares) of a numeric ``source.field`` over
+        the docs matching an IR tree — the 0.19-era host aggregation
+        next to :meth:`terms_facet`. One doc-set evaluation + one join
+        + one scalar aggregation; tombstone-aware via :meth:`docs`."""
+        hits = self.docs(node)
+        col = F.col(field).cast("double")
+        return source.join(hits, "doc_id").agg(
+            F.count(col).alias("count"),
+            F.min(col).alias("min"),
+            F.max(col).alias("max"),
+            F.sum(col).alias("total"),
+            F.avg(col).alias("mean"),
+            F.sum(col * col).alias("sum_of_squares"),
+        )
+
+    def histogram_facet(
+        self,
+        node: ir.Node,
+        source: DataFrame,
+        field: str,
+        interval: float,
+    ) -> DataFrame:
+        """ES histogram facet: doc counts in fixed ``interval`` buckets
+        of a numeric ``source.field`` over the docs matching an IR tree
+        — (key, count) with ``key = floor(field / interval) *
+        interval``, key asc, empty buckets absent (ES 0.19 behavior).
+        Same single-join shape as :meth:`terms_facet`."""
+        if interval <= 0:
+            raise ValueError(f"interval must be positive: {interval}")
+        hits = self.docs(node)
+        key = (
+            F.floor(F.col(field).cast("double") / F.lit(float(interval)))
+            * F.lit(float(interval))
+        ).alias("key")
+        return (
+            source.join(hits, "doc_id")
+            .groupBy(key)
+            .agg(F.count("*").alias("count"))
+            .orderBy("key")
+        )
+
     def explain(self, terms: list[str], doc_id: int) -> DataFrame:
         """Lucene ``Explanation`` parity: the per-term BM25 breakdown of
         one document's score for a bag of chunk terms — (term, weight,

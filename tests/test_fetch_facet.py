@@ -64,3 +64,32 @@ def test_terms_facet_counts_and_tombstones(eng, src):
         for r in eng.terms_facet(node, src, "lang", size=2).collect()
     ]
     assert got == [("go", 6), ("rs", 6)]  # size cap + live counts
+
+
+def test_stats_facet_numeric_summary(spark, src):
+    # own engine: the module fixture's tombstones must not leak in
+    e = SearchEngine.from_corpus(src, CFG, num_partitions=2)
+    node = qc.field_query("join", CFG, scored=False)
+    row = e.stats_facet(node, src, "n_chars").collect()[0]
+    # all 18 docs match; n_chars = 10..27
+    assert row["count"] == 18
+    assert row["min"] == 10.0 and row["max"] == 27.0
+    assert row["total"] == 333.0
+    assert row["mean"] == pytest.approx(333 / 18, abs=1e-12)
+    assert row["sum_of_squares"] == 6645.0  # sum(i^2, 10..27)
+    e.delete_docs([17])  # tombstone-aware like every facet
+    row = e.stats_facet(node, src, "n_chars").collect()[0]
+    assert row["count"] == 17 and row["max"] == 26.0
+
+
+def test_histogram_facet_buckets(spark, src):
+    e = SearchEngine.from_corpus(src, CFG, num_partitions=2)
+    node = qc.field_query("merg", CFG, scored=False)  # odd doc_ids only
+    got = [
+        (r["key"], r["count"])
+        for r in e.histogram_facet(node, src, "n_chars", 10.0).collect()
+    ]
+    # odd i -> n_chars 11,13,15,17,19 (bucket 10) and 21,23,25,27 (20)
+    assert got == [(10.0, 5), (20.0, 4)]
+    with pytest.raises(ValueError, match="interval"):
+        e.histogram_facet(node, src, "n_chars", 0)

@@ -439,6 +439,42 @@ def _q_bm25_upserted(spark, sf_dir):
     )
 
 
+# ES _update_by_query parity: every live doc matching UBQ_MATCH is
+# reindexed with transformed content (the "script" is a SQL expression
+# identical in both engines); the gate then ranks BM25_QUERY over the
+# updated index — the transform plants the query terms, so updated
+# docs genuinely move the top-10.
+UBQ_MATCH = "window"
+UBQ_TEXT_SQL = "'spark join upda ' || lang || ' ' || text"
+
+
+def _q_update_by_query(spark, sf_dir):
+    key = (id(spark), sf_dir, "update_by_query")
+    if key not in _ENGINES:
+        import tempfile
+
+        from elasticsearch_analysis_hashsplitter_spark.operators.build import (
+            build_index,
+        )
+        from elasticsearch_analysis_hashsplitter_spark.streaming.incremental import (
+            update_by_query,
+        )
+
+        idx = os.path.join(tempfile.mkdtemp(prefix="hs_gate_ubq_"), "idx")
+        docs = _docs(spark, sf_dir).select("doc_id", "text", "lang")
+        build_index(docs, TOK_CFG, idx, id_col="doc_id", text_col="text")
+        update_by_query(
+            spark, idx,
+            qc.field_query(UBQ_MATCH, TOK_CFG, scored=False),
+            docs, F.expr(UBQ_TEXT_SQL), TOK_CFG,
+            id_col="doc_id", text_col="text",
+        )
+        _ENGINES[key] = SearchEngine.open(spark, idx)
+    return _ENGINES[key].search(BM25_QUERY, k=10).select(
+        "doc_id", F.round("score", 4).alias("score")
+    )
+
+
 def _q_multi_index(spark, sf_dir):
     """ES multi-index (alias) search, dfs_query_then_fetch: the corpus
     split into two indexes by doc_id parity, one coordinator query with
@@ -1098,6 +1134,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_topk_deleted": _q_bm25_deleted,
         "bm25_topk_purged": _q_bm25_purged,
         "bm25_topk_upserted": _q_bm25_upserted,
+        "update_by_query": _q_update_by_query,
         "multi_index_search": _q_multi_index,
         "hash_prefix_query": _q_hash_prefix,
         "hash_wildcard_suffix": _q_hash_wildcard_suffix,
@@ -1678,6 +1715,25 @@ ORDER BY key""",
             prefix_cte=(
                 f"live AS (SELECT * FROM documents "
                 f"WHERE doc_id % {DEL_MOD} <> {DEL_RES}),"
+            ),
+        ),
+        # _update_by_query: the match set is the engine's own chunk-AND
+        # semantics (nested WITH so the match's chunk CTE over the
+        # ORIGINAL corpus doesn't collide with the scoring CTE over the
+        # updated one), content transformed by the same SQL expression
+        "update_by_query": _bm25_oracle(
+            docs_table="updated",
+            prefix_cte=(
+                "m AS (SELECT doc_id FROM ("
+                f"WITH {_TOK_CTE} "
+                + sql_oracle.docs_select(
+                    qc.field_query(UBQ_MATCH, TOK_CFG, scored=False),
+                    TOK_CFG,
+                )
+                + ") mq), "
+                "updated AS (SELECT d.doc_id, CASE WHEN d.doc_id IN "
+                f"(SELECT doc_id FROM m) THEN {UBQ_TEXT_SQL} ELSE d.text "
+                "END AS text FROM documents d),"
             ),
         ),
         # upserted (update = delete + purge + reindex): scores over the

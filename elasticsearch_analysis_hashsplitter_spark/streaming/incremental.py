@@ -673,3 +673,61 @@ def upsert_docs(
         "replaced": len(collided),
         "stats": stats,
     }
+
+
+def update_by_query(
+    spark: SparkSession,
+    index_dir: str,
+    node,
+    source: DataFrame,
+    new_text,
+    cfg: HashSplitterConfig,
+    id_col: str = "doc_id",
+    text_col: str = "content",
+    num_partitions: int = 8,
+) -> dict:
+    """ES ``_update_by_query``: reindex every live doc matching an IR
+    tree with transformed content. The ES script is a Catalyst
+    ``Column`` here (``new_text``, evaluated over the matching source
+    rows — the engine stores no field values, so ``source`` plays the
+    ``_source`` role exactly as in :meth:`~..operators.search.
+    SearchEngine.fetch`).
+
+    Composition, matching what ES does internally (scroll the query,
+    bulk-reindex each hit): one tombstone-aware doc-set evaluation
+    (:meth:`docs`), a join against the source for the matched rows, and
+    one :func:`upsert_docs` batch — so the cost model is the upsert's
+    (slice-pruned purge + one appended segment), the match set is
+    consistent with every other query path (a tombstoned doc is never
+    revived), and the updated index scores like a fresh build over the
+    transformed corpus.
+
+    Returns the :func:`upsert_docs` dict plus ``matched`` (0-matches
+    short-circuits without touching the index).
+    """
+    from ..operators.search import SearchEngine  # noqa: PLC0415 (cycle)
+
+    eng = SearchEngine.open(spark, index_dir)
+    hits = eng.docs(node).select("doc_id")
+    # frame-qualified references: the source's id column is usually
+    # also named doc_id, so bare F.col would be ambiguous
+    updates = source.join(
+        hits, source[id_col].cast("long") == hits["doc_id"]
+    ).select(
+        hits["doc_id"].alias(id_col),
+        new_text.cast("string").alias(text_col),
+    )
+    # materialize BEFORE the upsert: the frame's lineage reads the
+    # index's own posting files, which the purge's directory swap
+    # deletes — re-evaluating it afterwards would read vanished files
+    updates = updates.localCheckpoint()
+    if updates.isEmpty():
+        return {"matched": 0, "upserted": 0, "replaced": 0,
+                "stats": eng.stats}
+    res = upsert_docs(
+        spark, index_dir, updates, cfg,
+        id_col=id_col, text_col=text_col,
+        num_partitions=num_partitions,
+    )
+    res["matched"] = res["upserted"]
+    return res

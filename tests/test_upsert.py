@@ -285,3 +285,53 @@ def test_purge_survives_fully_deleted_slice(spark, tmp_path):
     eng2 = SearchEngine.open(spark, idx)
     assert eng2.stats["n_docs"] == len(DOCS) - len(victims)
     assert set(_ids(eng2.term("join"))).isdisjoint(set(victims))
+
+
+# --- update_by_query (ES _update_by_query) ----------------------------
+
+from pyspark.sql import functions as F
+
+from elasticsearch_analysis_hashsplitter_spark.plans import compile as qc
+from elasticsearch_analysis_hashsplitter_spark.streaming.incremental import (
+    update_by_query,
+)
+
+
+def test_update_by_query_transforms_matches(spark, tmp_path):
+    idx = _build(spark, str(tmp_path / "idx"))
+    src = _df(spark, DOCS)
+    node = qc.field_query("scan", CFG, scored=False)  # i % 8 == 0
+    res = update_by_query(
+        spark, idx, node, src,
+        F.concat(F.lit("edit "), F.col("content")), CFG,
+    )
+    assert res["matched"] == res["replaced"] == 3  # docs 0, 8, 16
+    eng = SearchEngine.open(spark, idx)
+    assert _ids(eng.term("edit")) == [0, 8, 16]
+    assert _ids(eng.term("scan")) == [0, 8, 16]  # old content carried
+    assert eng.stats["n_docs"] == len(DOCS)  # reindex, never insert
+
+
+def test_update_by_query_skips_tombstoned_docs(spark, tmp_path):
+    idx = _build(spark, str(tmp_path / "idx"))
+    SearchEngine.open(spark, idx).delete_docs([8])
+    res = update_by_query(
+        spark, idx, qc.field_query("scan", CFG, scored=False),
+        _df(spark, DOCS), F.lit("edit only"), CFG,
+    )
+    assert res["matched"] == 2  # 0 and 16; the tombstoned 8 never revives
+    eng = SearchEngine.open(spark, idx)
+    assert _ids(eng.term("edit only")) == [0, 16]
+    assert 8 not in _ids(eng.term("join"))
+    assert eng.stats["n_docs"] == len(DOCS) - 1  # purge dropped doc 8
+
+
+def test_update_by_query_zero_matches_is_a_noop(spark, tmp_path):
+    idx = _build(spark, str(tmp_path / "idx"))
+    before = set(catalog.list_postings_slices(idx))
+    res = update_by_query(
+        spark, idx, qc.field_query("zzzz", CFG, scored=False),
+        _df(spark, DOCS), F.lit("never"), CFG,
+    )
+    assert res["matched"] == 0 and res["upserted"] == 0
+    assert set(catalog.list_postings_slices(idx)) == before

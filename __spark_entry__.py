@@ -300,6 +300,32 @@ def _q_hist_facet(spark, sf_dir):
     )
 
 
+#: ES range facet bounds over n_chars: lo inclusive / hi exclusive /
+#: None open; the last range is deliberately empty (zero-row behavior)
+FACET_RANGES = [(None, 200.0), (200.0, 400.0), (400.0, None),
+                (10_000_000.0, None)]
+
+
+def _q_range_facet(spark, sf_dir):
+    eng = _engine(spark, sf_dir, "tokens")
+    node = qc.field_query(BM25_QUERY, TOK_CFG, scored=False)
+    # empty-range aggregates are NULL (ES-faithful) — coalesce to 0 in
+    # the gate ONLY, because the DuckDB-side pandas fetch turns NULL
+    # into NaN and the value hash would diverge on representation
+    z = F.lit(0.0)
+    return eng.range_facet(
+        node, _docs(spark, sf_dir), "n_chars", FACET_RANGES
+    ).select(
+        F.coalesce("lo", z).alias("lo"),
+        F.coalesce("hi", z).alias("hi"),
+        "count",
+        F.coalesce("min", z).alias("min"),
+        F.coalesce("max", z).alias("max"),
+        F.coalesce("total", z).alias("total"),
+        F.coalesce(F.round("mean", 6), z).alias("mean"),
+    )
+
+
 def _q_bm25_explain(spark, sf_dir):
     """Lucene Explanation parity: per-term BM25 breakdown of the
     lowest-doc_id conjunctive match of BM25_QUERY (deterministic pick,
@@ -1130,6 +1156,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_facet": _q_lang_facet,
         "stats_facet": _q_stats_facet,
         "histogram_facet": _q_hist_facet,
+        "range_facet": _q_range_facet,
         "bm25_topk_page2": _q_bm25_page2,
         "bm25_topk_deleted": _q_bm25_deleted,
         "bm25_topk_purged": _q_bm25_purged,
@@ -1691,6 +1718,26 @@ WHERE d.doc_id IN (
   SELECT doc_id FROM (
     {sql_oracle.docs_select(qc.field_query(BM25_QUERY, TOK_CFG, scored=False), TOK_CFG)}
   ) m)""",
+        # ES range facet: lo-inclusive / hi-exclusive / None-open,
+        # overlapping allowed, empty ranges emit a zero row (LEFT JOIN)
+        "range_facet": f"""
+WITH {_TOK_CTE},
+m AS (SELECT doc_id FROM (
+  {sql_oracle.docs_select(qc.field_query(BM25_QUERY, TOK_CFG, scored=False), TOK_CFG)}
+) q),
+b(rid, lo, hi) AS (VALUES
+  {", ".join(f"({i}, {('CAST(NULL AS DOUBLE)' if lo is None else lo)}, {('CAST(NULL AS DOUBLE)' if hi is None else hi)})" for i, (lo, hi) in enumerate(FACET_RANGES))}),
+v AS (SELECT CAST(n_chars AS DOUBLE) AS v FROM documents
+      WHERE doc_id IN (SELECT doc_id FROM m))
+SELECT COALESCE(b.lo, 0.0) AS lo, COALESCE(b.hi, 0.0) AS hi,
+       count(v.v)::BIGINT AS count,
+       COALESCE(min(v.v), 0.0) AS min, COALESCE(max(v.v), 0.0) AS max,
+       COALESCE(sum(v.v), 0.0) AS total,
+       COALESCE(round(avg(v.v), 6), 0.0) AS mean
+FROM b LEFT JOIN v
+  ON (b.lo IS NULL OR v.v >= b.lo) AND (b.hi IS NULL OR v.v < b.hi)
+GROUP BY b.rid, b.lo, b.hi
+ORDER BY b.rid""",
         # ES histogram facet: fixed 100-wide buckets, empty absent
         "histogram_facet": f"""
 WITH {_TOK_CTE}

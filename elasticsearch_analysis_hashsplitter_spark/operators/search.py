@@ -991,6 +991,61 @@ class SearchEngine:
             .orderBy("key")
         )
 
+    def range_facet(
+        self,
+        node: ir.Node,
+        source: DataFrame,
+        field: str,
+        ranges: list[tuple],
+    ) -> DataFrame:
+        """ES range facet: per-range count/min/max/total/mean of a
+        numeric ``source.field`` over the docs matching an IR tree.
+        ``ranges`` are ``(lo, hi)`` with ``None`` for an open end;
+        ES semantics: lo inclusive, hi exclusive, ranges may overlap
+        (a doc counts in every range containing it), empty ranges
+        still emit a zero row. Output (lo, hi, count, min, max, total,
+        mean) in the given range order."""
+        if not ranges:
+            raise ValueError("range_facet needs at least one range")
+        hits = self.docs(node)
+        col = F.col(field).cast("double")
+        matched = source.join(hits, "doc_id")
+        spark = source.sparkSession
+        bounds = spark.createDataFrame(
+            [(i, None if lo is None else float(lo),
+              None if hi is None else float(hi))
+             for i, (lo, hi) in enumerate(ranges)],
+            "rid int, lo double, hi double",
+        )
+        in_range = (
+            (F.col("lo").isNull() | (col >= F.col("lo")))
+            & (F.col("hi").isNull() | (col < F.col("hi")))
+        )
+        return (
+            # broadcast theta-join against the k-row bounds table (a
+            # doc may land in several overlapping ranges, per ES)
+            matched.join(F.broadcast(bounds), in_range, "inner")
+            .groupBy("rid")
+            .agg(
+                F.count(col).alias("count"),
+                F.min(col).alias("min"),
+                F.max(col).alias("max"),
+                F.sum(col).alias("total"),
+                F.avg(col).alias("mean"),
+            )
+            # re-attach bounds by rid ALONE: lo/hi are NULL for open
+            # ends and NULL equi-keys never match
+            .join(bounds, ["rid"], "right")
+            .select(
+                "lo", "hi",
+                F.coalesce("count", F.lit(0)).alias("count"),
+                "min", "max", "total", "mean",
+                "rid",
+            )
+            .orderBy("rid")
+            .drop("rid")
+        )
+
     def explain(self, terms: list[str], doc_id: int) -> DataFrame:
         """Lucene ``Explanation`` parity: the per-term BM25 breakdown of
         one document's score for a bag of chunk terms — (term, weight,

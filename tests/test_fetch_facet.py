@@ -93,3 +93,23 @@ def test_histogram_facet_buckets(spark, src):
     assert got == [(10.0, 5), (20.0, 4)]
     with pytest.raises(ValueError, match="interval"):
         e.histogram_facet(node, src, "n_chars", 0)
+
+
+def test_range_facet_bounds_overlap_and_empty(spark, src):
+    e = SearchEngine.from_corpus(src, CFG, num_partitions=2)
+    node = qc.field_query("join", CFG, scored=False)  # all 18 docs
+    got = [
+        (r["lo"], r["hi"], r["count"], r["min"], r["max"], r["total"])
+        for r in e.range_facet(
+            node, src, "n_chars",
+            [(None, 20.0), (15.0, 25.0), (20.0, None), (900.0, None)],
+        ).collect()
+    ]
+    # n_chars 10..27; lo inclusive / hi exclusive / None open;
+    # overlapping ranges double-count (ES semantics); empty -> zero row
+    assert got[0] == (None, 20.0, 10, 10.0, 19.0, sum(range(10, 20)) * 1.0)
+    assert got[1] == (15.0, 25.0, 10, 15.0, 24.0, sum(range(15, 25)) * 1.0)
+    assert got[2] == (20.0, None, 8, 20.0, 27.0, sum(range(20, 28)) * 1.0)
+    assert got[3] == (900.0, None, 0, None, None, None)
+    with pytest.raises(ValueError, match="at least one range"):
+        e.range_facet(node, src, "n_chars", [])

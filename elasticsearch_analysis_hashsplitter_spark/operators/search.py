@@ -1021,9 +1021,9 @@ class SearchEngine:
             (F.col("lo").isNull() | (col >= F.col("lo")))
             & (F.col("hi").isNull() | (col < F.col("hi")))
         )
-        return (
-            # broadcast theta-join against the k-row bounds table (a
-            # doc may land in several overlapping ranges, per ES)
+        # broadcast theta-join against the k-row bounds table (a doc
+        # may land in several overlapping ranges, per ES)
+        agg = (
             matched.join(F.broadcast(bounds), in_range, "inner")
             .groupBy("rid")
             .agg(
@@ -1033,9 +1033,13 @@ class SearchEngine:
                 F.sum(col).alias("total"),
                 F.avg(col).alias("mean"),
             )
-            # re-attach bounds by rid ALONE: lo/hi are NULL for open
-            # ends and NULL equi-keys never match
-            .join(bounds, ["rid"], "right")
+        )
+        # re-attach bounds by rid ALONE (lo/hi are NULL for open ends
+        # and NULL equi-keys never match), as a LEFT join from bounds
+        # so the <= k-row aggregate broadcasts (a right-outer join
+        # cannot build its right side, which forced a sort-merge here)
+        return (
+            bounds.join(F.broadcast(agg), ["rid"], "left")
             .select(
                 "lo", "hi",
                 F.coalesce("count", F.lit(0)).alias("count"),

@@ -613,6 +613,13 @@ def upsert_docs(
     deleted-but-not-yet-reindexed; re-running the same upsert completes
     it.
 
+    Reader contract (same as ``maybe_compact``): any purge swaps the
+    index directory, so a ``SearchEngine`` opened BEFORE the upsert
+    holds a stale file listing — re-``open`` (or ``refresh()``) it
+    afterwards; the ES analogue is that updates only become visible
+    through a refresh anyway. (:func:`update_by_query` materializes its
+    own update frame for exactly this reason.)
+
     Returns ``{"upserted": total rows, "replaced": ids that existed,
     "stats": refreshed stats}``.
     """

@@ -120,22 +120,30 @@ def _write_segment(
 
 
 def refresh_stats(spark: SparkSession, index_dir: str,
-                  cfg: HashSplitterConfig) -> dict:
+                  cfg: HashSplitterConfig,
+                  rebuild_lexicon: bool = True) -> dict:
     """Recompute global stats + lexicon after appended segments (the
-    'refresh' making new segments visible with correct idf/avgdl)."""
-    postings = catalog.read_postings(spark, index_dir)
-    aggs = [F.sum("df").alias("df"), F.max("max_tf").alias("max_tf")]
-    if "min_dl" in postings.columns:  # absent on pre-min_dl indexes
-        aggs.append(F.min("min_dl").alias("min_dl"))
-    # term-sorted lexicon (see build_index): point reads prune row groups
-    (
-        postings.groupBy("term")
-        .agg(*aggs)
-        .repartitionByRange(4, "term")
-        .sortWithinPartitions("term")
-        .write.mode("overwrite")
-        .parquet(catalog.lexicon_path(index_dir))
-    )
+    'refresh' making new segments visible with correct idf/avgdl).
+
+    ``rebuild_lexicon=False`` skips the full-postings lexicon pass and
+    only rewrites the scalar stats — for intermediate states whose
+    caller runs a full refresh right after (``upsert_docs``: the purge
+    and the append would otherwise each pay the pass)."""
+    if rebuild_lexicon:
+        postings = catalog.read_postings(spark, index_dir)
+        aggs = [F.sum("df").alias("df"), F.max("max_tf").alias("max_tf")]
+        if "min_dl" in postings.columns:  # absent on pre-min_dl indexes
+            aggs.append(F.min("min_dl").alias("min_dl"))
+        # term-sorted lexicon (see build_index): point reads prune row
+        # groups
+        (
+            postings.groupBy("term")
+            .agg(*aggs)
+            .repartitionByRange(4, "term")
+            .sortWithinPartitions("term")
+            .write.mode("overwrite")
+            .parquet(catalog.lexicon_path(index_dir))
+        )
     docstats = catalog.read_docstats(spark, index_dir)
     agg = docstats.agg(
         F.count("*").alias("n"),
@@ -369,6 +377,7 @@ def purge_index(
     index_dir: str,
     out_dir: str,
     cfg: HashSplitterConfig,
+    rebuild_lexicon: bool = True,
 ) -> dict:
     """Slice-preserving expunge: physically drop tombstoned postings
     while keeping the segment layout (``compact_index`` is the segment
@@ -450,30 +459,44 @@ def purge_index(
                 _link_tree(doc_src, doc_dst)
             mf = catalog.manifest_file(index_dir, k)  # type: ignore[arg-type]
             if os.path.exists(mf):
-                os.makedirs(os.path.dirname(
-                    catalog.manifest_file(out_dir, k)  # type: ignore[arg-type]
-                ), exist_ok=True)
+                dst_mf = catalog.manifest_file(out_dir, k)  # type: ignore[arg-type]
+                os.makedirs(os.path.dirname(dst_mf), exist_ok=True)
                 try:
-                    os.link(mf, catalog.manifest_file(out_dir, k))  # type: ignore[arg-type]
-                except OSError:
-                    pass
+                    os.link(mf, dst_mf)
+                except OSError:  # cross-device: copy, never drop lineage
+                    import shutil
+
+                    shutil.copy2(mf, dst_mf)
     if "slice" not in docstats.columns:
         # legacy layout: one un-sliced docstats table, filtered whole
         docstats.join(F.broadcast(dele_df), "doc_id", "left_anti").write.mode(
             "overwrite"
         ).parquet(catalog.docstats_path(out_dir))
-    return refresh_stats(spark, out_dir, cfg)
+    if not rebuild_lexicon and os.path.isdir(catalog.lexicon_path(index_dir)):
+        # carry the source lexicon (hardlinks): its df is an upper
+        # bound over the purged postings — the exact stale-stats state
+        # tombstoned serving already runs in, self-consistent for both
+        # scoring and prune bounds — so the swapped index stays fully
+        # formed until the caller's full refresh rebuilds it
+        _link_tree(catalog.lexicon_path(index_dir),
+                   catalog.lexicon_path(out_dir))
+    return refresh_stats(spark, out_dir, cfg,
+                         rebuild_lexicon=rebuild_lexicon)
 
 
 def purge_in_place(
     spark: SparkSession,
     index_dir: str,
     cfg: HashSplitterConfig,
+    rebuild_lexicon: bool = True,
 ) -> dict:
     """Crash-safe in-place :func:`purge_index` (the swap protocol of
     :func:`maybe_compact`); the purge half of :func:`upsert_docs`."""
     return _rewrite_in_place(
-        index_dir, lambda tmp: purge_index(spark, index_dir, tmp, cfg)
+        index_dir,
+        lambda tmp: purge_index(
+            spark, index_dir, tmp, cfg, rebuild_lexicon=rebuild_lexicon
+        ),
     )
 
 
@@ -539,6 +562,10 @@ def _rewrite_in_place(index_dir: str, rewrite) -> dict:
     sibling tmp dir and return its stats."""
     import shutil
 
+    # a prior swap may have crashed in the one-rename gap (index_dir
+    # absent, both siblings intact) — repair FIRST: the rmtrees below
+    # would otherwise destroy the only surviving copies of the index
+    catalog.recover_compaction(index_dir)
     base = index_dir.rstrip("/")
     tmp, bak = base + ".compact_tmp", base + ".pre_compact"
     shutil.rmtree(tmp, ignore_errors=True)
@@ -627,18 +654,22 @@ def upsert_docs(
 
     catalog.recover_compaction(index_dir)
     ids = docs_df.select(F.col(id_col).cast("long").alias("doc_id"))
-    dup = (
-        ids.groupBy("doc_id")
-        .count()
-        .where(F.col("count") > 1)
-        .limit(1)
-        .collect()
-    )
-    if dup:
+    # one pass for batch size + dup check (the per-id probe is an
+    # error-path-only second job)
+    agg = ids.agg(
+        F.count("*").alias("n"),
+        F.countDistinct("doc_id").alias("nd"),
+    ).collect()[0]
+    if agg["n"] != agg["nd"]:
+        dup = (
+            ids.groupBy("doc_id").count().where(F.col("count") > 1)
+            .limit(1).collect()
+        )
         raise ValueError(
             f"duplicate {id_col}={dup[0]['doc_id']} within the upsert "
             "batch: which row should win is ambiguous — dedupe first"
         )
+    n_rows = int(agg["n"])
     eng = SearchEngine.open(spark, index_dir)
     limit = eng.max_deleted_in_memory - eng.deleted_count
     collided = [
@@ -646,6 +677,10 @@ def upsert_docs(
         for r in catalog.read_docstats(spark, index_dir)
         .select("doc_id")
         .join(F.broadcast(ids), "doc_id", "left_semi")
+        # distinct: append-mode re-ingest can leave several docstats
+        # rows per doc_id (documented double-count state) — one
+        # tombstone per id, never per row
+        .distinct()
         .limit(limit + 1)
         .collect()
     ]
@@ -658,11 +693,23 @@ def upsert_docs(
         eng.delete_docs(collided)
     if catalog.read_deletes(index_dir).size:
         # purge BEFORE the re-ingest: a tombstone masks its doc_id in
-        # EVERY segment, including a newly appended replacement
-        purge_in_place(spark, index_dir, cfg)
+        # EVERY segment, including a newly appended replacement. The
+        # purge's own refresh skips the lexicon rebuild — the final
+        # refresh below redoes it anyway (one full-postings pass per
+        # upsert, not two); in the crash window between the two the
+        # lexicon is stale-df, exactly Lucene's pre-merge staleness,
+        # healed by re-running the upsert.
+        purge_in_place(spark, index_dir, cfg, rebuild_lexicon=False)
+    # completion is marked by the slice MANIFEST (written last in
+    # _write_segment): an upsert_N slice without one is a crashed
+    # half-write — reuse its key so mode=overwrite replaces the orphan
+    # instead of double-indexing the batch next to it
     taken = set(catalog.list_postings_slices(index_dir))
     n = 0
-    while f"upsert_{n}" in taken:
+    while (
+        f"upsert_{n}" in taken
+        and catalog.manifest_exists(index_dir, f"upsert_{n}")  # type: ignore[arg-type]
+    ):
         n += 1
     _write_segment(
         docs_df,
@@ -676,7 +723,7 @@ def upsert_docs(
     )
     stats = refresh_stats(spark, index_dir, cfg)
     return {
-        "upserted": ids.count(),
+        "upserted": n_rows,
         "replaced": len(collided),
         "stats": stats,
     }

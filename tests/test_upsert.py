@@ -335,3 +335,82 @@ def test_update_by_query_zero_matches_is_a_noop(spark, tmp_path):
     )
     assert res["matched"] == 0 and res["upserted"] == 0
     assert set(catalog.list_postings_slices(idx)) == before
+
+
+# --- review-pass regressions (crash windows, duplicate docstats) ------
+
+import shutil
+
+
+def test_purge_in_place_recovers_crashed_swap_first(spark, tmp_path):
+    """A prior in-place rewrite crashed in the one-rename gap (index
+    dir absent, both siblings on disk). purge_in_place must run
+    recovery BEFORE its sibling cleanup — the cleanup used to rmtree
+    the only surviving copies of the index."""
+    idx = _build4(spark, str(tmp_path / "idx"))
+    SearchEngine.open(spark, idx).delete_docs([3])
+    os.rename(idx, idx + ".pre_compact")  # the crash window state
+    os.makedirs(os.path.join(idx + ".compact_tmp", "junk"))
+    purge_in_place(spark, idx, CFG)
+    eng = SearchEngine.open(spark, idx)
+    assert eng.stats["n_docs"] == len(DOCS) - 1
+    assert 3 not in _ids(eng.term("join"))
+    assert eng.deleted_count == 0
+
+
+def test_upsert_retry_overwrites_orphan_half_segment(spark, tmp_path):
+    """Crash between the segment's postings write and its docstats/
+    manifest writes, then the documented 're-run the same upsert'
+    retry: completion is keyed on the MANIFEST, so the retry reuses
+    the orphan's slice key (mode=overwrite) instead of double-indexing
+    the batch into a sibling segment."""
+    idx = _build(spark, str(tmp_path / "idx"))
+    batch = _df(spark, [(0, "join newz"), (500, "newz insert")])
+    upsert_docs(spark, idx, batch, CFG)
+    # rewind to the crash window: postings exist, docstats + manifest
+    # of the batch segment do not
+    os.remove(catalog.manifest_file(idx, "upsert_0"))
+    shutil.rmtree(os.path.join(idx, "docstats", "slice=upsert_0"))
+    res = upsert_docs(spark, idx, batch, CFG)
+    assert res["upserted"] == 2
+    # the orphan key was reused — no upsert_1 stacked next to it
+    assert set(catalog.list_postings_slices(idx)) == {"0", "upsert_0"}
+    eng = SearchEngine.open(spark, idx)
+    assert _ids(eng.term("newz")) == [0, 500]
+    assert eng.stats["n_docs"] == len(DOCS) + 1
+    # scores equal a fresh build: doubled postings would inflate tf
+    fresh = SearchEngine.from_corpus(
+        _df(spark, [(i, t) for i, t in DOCS if i != 0]
+            + [(0, "join newz"), (500, "newz insert")]),
+        CFG, num_partitions=2,
+    )
+    got = {r["doc_id"]: r["score"] for r in eng.search("newz", k=5).collect()}
+    want = {r["doc_id"]: r["score"]
+            for r in fresh.search("newz", k=5).collect()}
+    assert set(got) == set(want)
+    for d, s in got.items():
+        assert s == pytest.approx(want[d], abs=1e-9)
+
+
+def test_upsert_counts_duplicate_docstats_rows_once(spark, tmp_path):
+    """Append-mode re-ingest leaves several docstats rows for one
+    doc_id (the documented double-count state); the collision probe
+    must count the ID once — and the purge then removes every stored
+    version."""
+    from elasticsearch_analysis_hashsplitter_spark.streaming.incremental import (
+        _write_segment,
+        refresh_stats,
+    )
+
+    idx = _build(spark, str(tmp_path / "idx"))
+    _write_segment(_df(spark, [(1, "join dupe")]), 99, CFG, idx,
+                   "doc_id", "content", 2)
+    refresh_stats(spark, idx, CFG)
+    assert SearchEngine.open(spark, idx).stats["n_docs"] == len(DOCS) + 1
+    res = upsert_docs(spark, idx, _df(spark, [(1, "upda ted")]), CFG)
+    assert res["replaced"] == 1  # one ID, not one per docstats row
+    eng = SearchEngine.open(spark, idx)
+    assert _ids(eng.term("upda")) == [1]
+    assert _ids(eng.term("dupe")) == []   # both old versions purged
+    assert 1 not in _ids(eng.term("join"))
+    assert eng.stats["n_docs"] == len(DOCS)

@@ -38,20 +38,12 @@ sys.path.insert(
 
 from serve_scale_probe import best_of, make_spark  # noqa: E402
 
+# single source of truth for the tie-group rank contract and the
+# inode-identity check — the same helpers the pytest pins use
+from tests.test_upsert import _inodes as dir_inodes  # noqa: E402
+from tests.test_upsert import _tie_groups as tie_groups  # noqa: E402
+
 REPL_MOD, REPL_RES = 100, 7  # 1% of the corpus replaced
-
-
-def tie_groups(ranked):
-    """[(doc, score)...] -> [frozenset(docs)...] grouped by
-    1e-9-rounded score, in rank order."""
-    groups, last = [], None
-    for doc, score in ranked:
-        key = round(score, 9)
-        if key != last:
-            groups.append(set())
-            last = key
-        groups[-1].add(doc)
-    return [frozenset(g) for g in groups]
 
 
 def main():
@@ -148,12 +140,7 @@ def main():
         # slice and hardlink the rest (inode-verified), the workload
         # shape of "re-ingest yesterday's crawl"
         def slice_inodes(k):
-            d = os.path.join(idx, "postings", f"slice={k}")
-            return {
-                f: os.stat(os.path.join(dp, f)).st_ino
-                for dp, _dirs, fs in os.walk(d)
-                for f in fs
-            }
+            return dir_inodes(os.path.join(idx, "postings", f"slice={k}"))
 
         slice_keys = [
             k for k in catalog.list_postings_slices(idx)

@@ -281,6 +281,18 @@ def _q_lang_facet(spark, sf_dir):
     return eng.terms_facet(node, _docs(spark, sf_dir), "lang", size=10)
 
 
+#: ES multi-get ids: a deterministic spread plus one id that exists in
+#: no corpus (found:false -> absent row)
+MGET_IDS = [1, 5, 7, 42, 99, 123, 99_999_999]
+
+
+def _q_mget(spark, sf_dir):
+    eng = _engine(spark, sf_dir, "tokens")
+    return eng.get(
+        MGET_IDS, _docs(spark, sf_dir), ["lang", "n_chars"]
+    ).orderBy("doc_id")
+
+
 def _q_stats_facet(spark, sf_dir):
     """ES statistical facet: numeric summary of n_chars over the
     conjunctive BM25_QUERY doc set. n_chars is integral, so every
@@ -1153,6 +1165,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_topk_batch": _q_bm25_batch,
         "bm25_explain": _q_bm25_explain,
         "search_fetch": _q_search_fetch,
+        "mget": _q_mget,
         "lang_facet": _q_lang_facet,
         "stats_facet": _q_stats_facet,
         "histogram_facet": _q_hist_facet,
@@ -1702,6 +1715,12 @@ WHERE d.doc_id IN (
 GROUP BY d.lang
 ORDER BY count DESC, value
 LIMIT 10""",
+        # ES multi-get: live indexed docs by id; unknown ids absent
+        "mget": (
+            "SELECT doc_id, lang, n_chars FROM documents WHERE doc_id IN ("
+            + ", ".join(str(i) for i in MGET_IDS)
+            + ") ORDER BY doc_id"
+        ),
         # ES statistical facet over the same doc set (n_chars integral:
         # all aggregates order-independent and exact in both engines)
         "stats_facet": f"""

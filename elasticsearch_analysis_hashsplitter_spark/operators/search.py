@@ -943,6 +943,41 @@ class SearchEngine:
             .limit(size)
         )
 
+    def get(
+        self,
+        doc_ids,
+        source: DataFrame,
+        cols: list[str] | None = None,
+    ) -> DataFrame:
+        """ES get / multi-get: fetch live INDEXED docs by id from the
+        ``_source`` table. Unknown ids are simply absent (ES
+        ``found: false``); tombstoned ids are masked driver-side (one
+        searchsorted, the liveDocs check a Lucene get performs);
+        existence means a docstats row — membership in the index, not
+        merely in the source table. Two broadcast semi-joins over
+        driver-held id lists — never a corpus shuffle."""
+        import numpy as np
+
+        ids = sorted({int(i) for i in doc_ids})
+        if ids and self._deleted is not None and self._deleted.size:
+            keep = _live_mask(
+                np.asarray(ids, dtype=np.int64), self._deleted
+            )
+            ids = [i for i, k in zip(ids, keep) if k]
+        if not ids:
+            empty = source.where(F.lit(False))
+            return empty.select("doc_id", *cols) if cols else empty
+        idf = self.spark.createDataFrame(
+            [(i,) for i in ids], "doc_id long"
+        )
+        indexed = (
+            self.docstats.select("doc_id")
+            .join(F.broadcast(idf), "doc_id", "left_semi")
+            .distinct()
+        )
+        out = source.join(F.broadcast(indexed), "doc_id", "left_semi")
+        return out.select("doc_id", *cols) if cols else out
+
     def stats_facet(
         self,
         node: ir.Node,

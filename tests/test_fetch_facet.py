@@ -113,3 +113,21 @@ def test_range_facet_bounds_overlap_and_empty(spark, src):
     assert got[3] == (900.0, None, 0, None, None, None)
     with pytest.raises(ValueError, match="at least one range"):
         e.range_facet(node, src, "n_chars", [])
+
+
+def test_mget_live_indexed_docs_only(spark, src):
+    e = SearchEngine.from_corpus(src, CFG, num_partitions=2)
+    got = {
+        r["doc_id"]: (r["lang"], r["n_chars"])
+        for r in e.get([2, 5, 999], src, ["lang", "n_chars"]).collect()
+    }
+    assert got == {2: ("go", 12), 5: ("go", 15)}  # 999 -> found:false
+    e.delete_docs([5])
+    assert [r["doc_id"] for r in e.get([2, 5], src).collect()] == [2]
+    assert e.get([], src).count() == 0
+    # indexed means a docstats row, not mere source membership: a
+    # source row the index never ingested is not served
+    wider = src.unionByName(
+        spark.createDataFrame([(400, "ghost", "py", 9)], SCHEMA)
+    )
+    assert [r["doc_id"] for r in e.get([2, 400], wider).collect()] == [2]

@@ -227,6 +227,54 @@ def _q_bm25_or(spark, sf_dir):
     )
 
 
+#: ES bool must_not exclusion used by the three bool gates: everything
+#: the "windo" prefix query matches (the same node the prefix gate runs)
+def _excl_node():
+    return qc.prefix_query("windo", TOK_CFG)
+
+
+def _q_bool_must_not(spark, sf_dir):
+    """ES bool filter: must (exact value) + must_not (prefix) — the
+    single-scan bitmask path with a NOT arm (zero vector unsatisfied)."""
+    eng = _engine(spark, sf_dir, "tokens")
+    node = qc.bool_filter(
+        must=[qc.field_query("spark", TOK_CFG, scored=False)],
+        must_not=[_excl_node()],
+    )
+    return _sorted_docs(eng.docs(node))
+
+
+def _q_bool_pure_not(spark, sf_dir):
+    """ES bool of ONLY must_not clauses — the implicit match_all
+    complement (zero-bits widening over every indexed doc)."""
+    eng = _engine(spark, sf_dir, "tokens")
+    node = qc.bool_filter(
+        must_not=[
+            _excl_node(),
+            qc.field_query("spark", TOK_CFG, scored=False),
+        ]
+    )
+    return _sorted_docs(eng.docs(node))
+
+
+def _q_bm25_excluded(spark, sf_dir):
+    """Scored bool must + must_not: BM25 ranks the survivors, excluded
+    docs are filtered (never scored), survivor scores untouched."""
+    eng = _engine(spark, sf_dir, "tokens")
+    return eng.search(BM25_QUERY, k=10, must_not=_excl_node()).select(
+        "doc_id", F.round("score", 4).alias("score")
+    )
+
+
+def _q_bm25_msm(spark, sf_dir):
+    """Lucene minimumNumberShouldMatch over the disjunctive scored
+    query: a doc must match >= 2 distinct query terms."""
+    eng = _engine(spark, sf_dir, "tokens")
+    return eng.search_any(BM25_QUERY, k=10, min_should_match=2).select(
+        "doc_id", F.round("score", 4).alias("score")
+    )
+
+
 BATCH_QUERIES = ["spark", "join", "window", "merge", "customer"]
 
 
@@ -1162,6 +1210,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "wildcard_mid_query": _q_wildcard_mid,
         "bm25_topk": _q_bm25,
         "bm25_topk_or": _q_bm25_or,
+        "bool_must_not": _q_bool_must_not,
+        "bool_pure_not": _q_bool_pure_not,
+        "bm25_topk_excluded": _q_bm25_excluded,
+        "bm25_min_should_match": _q_bm25_msm,
         "bm25_topk_batch": _q_bm25_batch,
         "bm25_explain": _q_bm25_explain,
         "search_fetch": _q_search_fetch,
@@ -1229,6 +1281,7 @@ def _bm25_oracle(
     prefix_cte: str = "",
     final_pred: str = "",
     offset: int = 0,
+    min_nt: int = 0,
 ) -> str:
     """Conjunctive/disjunctive BM25 top-10 oracle. ``final_pred``
     filters the scored candidates BEFORE the top-k (the tombstone
@@ -1240,6 +1293,8 @@ def _bm25_oracle(
     in_list = ", ".join("'" + t + "'" for t in terms)
     k1, b = TOK_CFG.bm25_k1, TOK_CFG.bm25_b
     having = f"WHERE nt = {len(terms)}" if conjunctive else ""
+    if min_nt > 1 and not conjunctive:
+        having = f"WHERE nt >= {min_nt}"
     if final_pred:
         having = (
             f"{having} AND {final_pred}" if having else f"WHERE {final_pred}"
@@ -1693,6 +1748,41 @@ LIMIT 10"""
         "wildcard_mid_query": _tok_ir_sql(qc.wildcard_query("c?stomer", TOK_CFG)),
         "bm25_topk": _bm25_oracle(),
         "bm25_topk_or": _bm25_oracle(conjunctive=False),
+        # ES bool must+must_not: the IR tree (with its Not arm rendered
+        # as EXCEPT) through the same translator the other filter gates use
+        "bool_must_not": _tok_ir_sql(
+            qc.bool_filter(
+                must=[qc.field_query("spark", TOK_CFG, scored=False)],
+                must_not=[qc.prefix_query("windo", TOK_CFG)],
+            )
+        ),
+        # pure-negative bool: complement against the FULL corpus (the
+        # engine's docstats base), not merely docs that have chunks
+        "bool_pure_not": (
+            f"WITH {_TOK_CTE} SELECT doc_id FROM ("
+            + sql_oracle.docs_select(
+                qc.bool_filter(
+                    must_not=[
+                        qc.prefix_query("windo", TOK_CFG),
+                        qc.field_query("spark", TOK_CFG, scored=False),
+                    ]
+                ),
+                TOK_CFG,
+                all_docs_sql="SELECT doc_id FROM documents",
+            )
+            + ") q ORDER BY doc_id"
+        ),
+        # scored must_not: survivors keep their full-corpus BM25 scores
+        "bm25_topk_excluded": _bm25_oracle(
+            final_pred=(
+                "doc_id NOT IN (SELECT doc_id FROM ("
+                + sql_oracle.docs_select(
+                    qc.prefix_query("windo", TOK_CFG), TOK_CFG
+                )
+                + ") _x)"
+            )
+        ),
+        "bm25_min_should_match": _bm25_oracle(conjunctive=False, min_nt=2),
         "bm25_topk_batch": _bm25_batch_oracle(),
         "bm25_explain": _bm25_explain_oracle(),
         # ES search_after: page 2 == OFFSET 10 on the strict total order

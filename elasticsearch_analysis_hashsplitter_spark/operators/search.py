@@ -1307,6 +1307,7 @@ class SearchEngine:
         k: int = 10,
         boost: float = 1.0,
         after: tuple | None = None,
+        must_not: ir.Node | None = None,
     ) -> DataFrame:
         """BM25 top-k for an exact value/token query (scored C1).
 
@@ -1321,13 +1322,18 @@ class SearchEngine:
         is stable because scores are deterministic doubles (bit-equal
         reproducibility is pinned) and the order is strict (doc_id
         breaks every tie) — the same contract ES relies on.
+
+        ``must_not``: an IR filter tree (compile with
+        :func:`plans.compile.bool_filter` / the C2-C8 filter builders)
+        whose matches are excluded from the result — ES bool
+        must+must_not, scores untouched for the survivors.
         """
         node = qc.field_query(value, self.cfg, scored=True)
         assert isinstance(node, (ir.ScoredTerms, ir.MatchNone))
         if isinstance(node, ir.MatchNone):
             return self._empty_scored()
         return self.bm25_topk(list(node.terms), k, boost=boost,
-                              after=after)
+                              after=after, must_not=must_not)
 
     def search_wildcard(
         self, pattern: str, k: int = 10, boost: float = 1.0
@@ -1364,7 +1370,12 @@ class SearchEngine:
         )
 
     def search_any(
-        self, value: str, k: int = 10, after: tuple | None = None
+        self,
+        value: str,
+        k: int = 10,
+        after: tuple | None = None,
+        must_not: ir.Node | None = None,
+        min_should_match: int = 1,
     ) -> DataFrame:
         """Disjunctive BM25 top-k (docs matching ANY chunk term of the
         analyzed value), with MaxScore/block-max pruning.
@@ -1372,13 +1383,26 @@ class SearchEngine:
         ``after``: search_after pagination. Later pages run the
         exhaustive single-pass OR — the MaxScore theta is a bound on
         the GLOBAL k-th score, so page-N docs are exactly the ones the
-        pruned plan is entitled to drop."""
+        pruned plan is entitled to drop.
+
+        ``must_not`` / ``min_should_match`` (ES bool should +
+        must_not + minimum_number_should_match) also run the exhaustive
+        single-pass OR: the MaxScore theta bootstrap bounds the k-th
+        score of the UNCONSTRAINED disjunction, and both constraints
+        can push the true k-th among qualifying docs below that bound —
+        a pruned plan could drop a qualifying hit, so it must not run.
+        The exhaustive plan is still one scan + one shuffle."""
         node = qc.field_query(value, self.cfg, scored=True)
         if isinstance(node, ir.MatchNone):
             return self._empty_scored()
-        if after is not None:
+        if after is not None or must_not is not None or min_should_match > 1:
             return self.bm25_topk(
-                list(node.terms), k, conjunctive=False, after=after
+                list(node.terms),
+                k,
+                conjunctive=False,
+                after=after,
+                must_not=must_not,
+                min_should_match=min_should_match,
             )
         return self.bm25_topk_disjunctive(list(node.terms), k)
 
@@ -1549,17 +1573,23 @@ class SearchEngine:
         """
         return self._filter_live(self._docs_inner(node))
 
+    def _all_docs(self) -> DataFrame:
+        """Every indexed doc_id (Lucene's maxDoc iteration base for
+        MatchAll and MUST_NOT complements). Tombstones are NOT masked
+        here — masking happens once at the :meth:`docs` boundary."""
+        return self.docstats.select(
+            F.col("doc_id").cast("long").alias("doc_id")
+        )
+
     def _docs_inner(self, node: ir.Node) -> DataFrame:
         node = ir.simplify(node)
         if isinstance(node, ir.MatchNone):
             return self.spark.createDataFrame([], _DOC_SCHEMA)
         if isinstance(node, ir.MatchAll):
-            return self.docstats.select(
-                F.col("doc_id").cast("long").alias("doc_id")
-            )
+            return self._all_docs()
         if isinstance(node, ir.ScoredTerms):
             return self._scored_terms_docs(node)
-        if isinstance(node, (ir.And, ir.Or)):
+        if isinstance(node, (ir.And, ir.Or, ir.Not)):
             leaves = ir.leaves(node)
             if (
                 len(leaves) <= 63
@@ -1569,9 +1599,35 @@ class SearchEngine:
                 )
             ):
                 return self._docs_bitmask(node, leaves)
-            kids = [self._docs_inner(c) for c in node.children]
+            if isinstance(node, ir.Not):
+                # complement of a tree too big for the bitmask path:
+                # one anti-join against the indexed doc set — the
+                # distributed form of Lucene's match-all-minus iteration
+                return self._all_docs().join(
+                    self._docs_inner(node.child), "doc_id", "left_anti"
+                )
             if isinstance(node, ir.And):
-                return reduce(lambda a, b: a.join(b, "doc_id", "inner"), kids)
+                pos = [
+                    c for c in node.children if not isinstance(c, ir.Not)
+                ]
+                neg = [
+                    c.child for c in node.children if isinstance(c, ir.Not)
+                ]
+                if pos:
+                    base = reduce(
+                        lambda a, b: a.join(b, "doc_id", "inner"),
+                        [self._docs_inner(c) for c in pos],
+                    )
+                else:
+                    base = self._all_docs()
+                # MUST_NOT children anti-join the positive doc set
+                # directly (never materialize their complement)
+                for n in neg:
+                    base = base.join(
+                        self._docs_inner(n), "doc_id", "left_anti"
+                    )
+                return base
+            kids = [self._docs_inner(c) for c in node.children]
             return reduce(DataFrame.unionByName, kids).dropDuplicates(
                 ["doc_id"]
             )
@@ -1588,6 +1644,8 @@ class SearchEngine:
                 return ("and", [index_tree(c) for c in n.children])
             if isinstance(n, ir.Or):
                 return ("or", [index_tree(c) for c in n.children])
+            if isinstance(n, ir.Not):
+                return ("not", index_tree(n.child))
             return ("leaf", next(counter))
 
         itree = index_tree(node)
@@ -1634,6 +1692,8 @@ class SearchEngine:
             kind, payload = t
             if kind == "leaf":
                 return (bv & (1 << payload)) != 0
+            if kind == "not":
+                return ~tree_ok(payload, bv)
             parts = [tree_ok(c, bv) for c in payload]
             out = parts[0]
             for v in parts[1:]:
@@ -1644,6 +1704,20 @@ class SearchEngine:
         def eval_tree(bits: pd.Series) -> pd.Series:
             return pd.Series(tree_ok(itree, bits.to_numpy()))
 
+        # Soundness: a doc hitting NO leaf never enters the scan, so the
+        # bitmask evaluation only sees docs with >=1 bit set. With pure
+        # AND/OR trees the all-zero vector can never match, so absent ==
+        # rejected. MUST_NOT makes the zero vector satisfiable (e.g.
+        # Not(x), or Or(a, Not(b))): evaluate the tree on zero bits
+        # driver-side and, if it matches, widen to every indexed doc via
+        # one left join (absent docs evaluate with bits = 0) — exactly
+        # the match-all-minus iteration ES runs for pure-negative bools.
+        zero_matches = bool(tree_ok(itree, np.zeros(1, dtype=np.int64))[0])
+        if zero_matches:
+            masks = self._all_docs().join(masks, "doc_id", "left").select(
+                "doc_id",
+                F.coalesce(F.col("bits"), F.lit(0)).alias("bits"),
+            )
         return masks.where(eval_tree("bits")).select("doc_id")
 
     def _scored_terms_docs(self, node: ir.ScoredTerms) -> DataFrame:
@@ -2042,6 +2116,8 @@ class SearchEngine:
         _anchor: str | None = None,
         after: tuple | None = None,
         global_stats: dict | None = None,
+        must_not: ir.Node | None = None,
+        min_should_match: int = 1,
     ) -> DataFrame:
         """Top-k (doc_id, score) for a bag of exact chunk terms.
 
@@ -2061,10 +2137,35 @@ class SearchEngine:
 
         ``global_stats``: see :meth:`bm25_scores` — cross-index
         (dfs_query_then_fetch) scoring weights.
+
+        ``must_not``: ES bool must_not in scored context — excluded
+        docs are filtered, never scored (Lucene MUST_NOT contributes
+        nothing to the score). The anti-join runs on the
+        candidate-sized aggregate; the conjunctive prunes
+        (anchor-id / block-range) stay sound because they are
+        membership-NECESSARY conditions, independent of which
+        candidates the exclusion later removes.
+
+        ``min_should_match``: disjunctive only — a doc must match at
+        least that many DISTINCT query terms (Lucene
+        minimumNumberShouldMatch over term clauses; chunk terms of one
+        analyzed value are always distinct thanks to the position
+        prefix, so distinct-term counting is clause counting).
         """
         scores = self.bm25_scores(
-            terms, conjunctive, boost, _anchor, global_stats=global_stats
+            terms,
+            conjunctive,
+            boost,
+            _anchor,
+            global_stats=global_stats,
+            min_should_match=min_should_match,
         )
+        if must_not is not None:
+            ex = ir.simplify(must_not)
+            if not isinstance(ex, ir.MatchNone):
+                scores = scores.join(
+                    self._docs_inner(ex), "doc_id", "left_anti"
+                )
         if after is not None:
             s, d = float(after[0]), int(after[1])
             scores = scores.where(
@@ -2084,6 +2185,7 @@ class SearchEngine:
         boost: float = 1.0,
         _anchor: str | None = None,
         global_stats: dict | None = None,
+        min_should_match: int = 1,
     ) -> DataFrame:
         """Aggregated (doc_id, score) for a bag of chunk terms —
         :meth:`bm25_topk` without the final top-k truncation. The
@@ -2101,6 +2203,10 @@ class SearchEngine:
         block pruning — keeps using this index's own stats, exactly as
         a Lucene shard executes a dfs-phase query: global weights,
         local postings."""
+        if min_should_match > 1 and conjunctive:
+            raise ValueError(
+                "min_should_match applies to disjunctive scoring only"
+            )
         if not terms:
             return self._empty_scored()
         weights: dict[str, int] = {}
@@ -2232,8 +2338,13 @@ class SearchEngine:
         # anchor test reads the same mask. Duplicate-safe (a re-ingested
         # doc's repeated term sets the same bit). Fallback to
         # countDistinct only past 63 distinct terms (a > 252-char value).
-        need_membership = (conjunctive and len(distinct) > 1) or (
-            _anchor is not None
+        need_msm = (not conjunctive) and min_should_match > 1
+        if need_msm and min_should_match > len(distinct):
+            return self._empty_scored()  # unsatisfiable n-of-m
+        need_membership = (
+            (conjunctive and len(distinct) > 1)
+            or (_anchor is not None)
+            or need_msm
         )
         aggs = [F.sum("contrib").alias("score")]
         use_mask = need_membership and len(distinct) <= 63
@@ -2257,6 +2368,12 @@ class SearchEngine:
                 agg = agg.where(
                     F.col("tmask") == (1 << len(distinct)) - 1
                 )
+            if need_msm:
+                # Lucene minimumNumberShouldMatch: popcount of the
+                # distinct-term membership mask, same single aggregation
+                agg = agg.where(
+                    F.bit_count("tmask") >= min_should_match
+                )
             if _anchor is not None:
                 agg = agg.where(
                     F.shiftright(
@@ -2267,6 +2384,8 @@ class SearchEngine:
         elif need_membership:
             if conjunctive and len(distinct) > 1:
                 agg = agg.where(F.col("n_terms") == len(distinct))
+            if need_msm:
+                agg = agg.where(F.col("n_terms") >= min_should_match)
             if _anchor is not None:
                 agg = agg.where(F.col("has_anchor"))
         # tombstone mask AFTER the aggregation (candidate-sized frame)

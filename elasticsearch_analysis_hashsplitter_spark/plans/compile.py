@@ -43,6 +43,7 @@ from .ir import (
     MatchAll,
     MatchNone,
     Node,
+    Not,
     Or,
     ScoredTerms,
     TermEq,
@@ -123,6 +124,39 @@ def wildcard_query(pattern: str, cfg: HashSplitterConfig) -> Node:
         else:
             clauses.append(TermEq(c))
     return simplify(And(clauses))
+
+
+def bool_filter(
+    must: list[Node] = (),
+    should: list[Node] = (),
+    must_not: list[Node] = (),
+) -> Node:
+    """ES bool filter over compiled plugin queries (SURVEY.md §2.5).
+
+    The host API wraps every plugin query in Lucene BooleanFilter
+    clauses the plugin itself never rewrites, so semantics are
+    inherited unchanged:
+
+    * ``must``      — every clause matches (Occur.MUST),
+    * ``should``    — at least one matches when any are given
+      (Lucene BooleanFilter requires >=1 SHOULD hit in filter context),
+    * ``must_not``  — none may match (Occur.MUST_NOT). A bool of ONLY
+      must_not clauses matches the complement — ES adds an implicit
+      MatchAllDocsQuery MUST clause; here the same fold yields a bare
+      ``Not`` node, which :meth:`SearchEngine.docs` evaluates against
+      the full indexed doc set.
+    """
+    kids: list[Node] = list(must)
+    if should:
+        kids.append(Or(list(should)))
+    if must_not:
+        mn = list(must_not)
+        # one complement of the union — De Morgan keeps the tree shallow
+        # and gives the evaluator a single anti-join side
+        kids.append(Not(mn[0] if len(mn) == 1 else Or(mn)))
+    if not kids:
+        return MatchNone()  # Lucene: an empty BooleanFilter matches nothing
+    return simplify(And(kids))
 
 
 def _len_bounds(remaining: int, L: int) -> tuple[int, int]:

@@ -13,8 +13,14 @@ The leaves mirror the reference's custom Lucene operators
 * ``MatchNone``     — MatchNoDocsFilter (MatchNoDocsFilter.java:29-53)
 * ``MatchAll``      — all documents (engine extension for open ranges)
 
-Interior nodes are pure AND / OR (the only shapes the reference's
-BooleanQuery/BooleanFilter trees use: MUST-only or SHOULD-only).
+Interior nodes are AND / OR (the only shapes the reference's own
+BooleanQuery/BooleanFilter trees use: MUST-only or SHOULD-only) plus
+``Not`` — the ES/Lucene bool ``must_not`` clause the host API wraps
+around every plugin query (SURVEY.md §2.5: semantics inherited from
+Lucene's BooleanClause.Occur.MUST_NOT, which the plugin's queries
+compose with untouched). A bare ``Not(x)`` means "every document not
+matching x" — exactly how ES executes a bool with only must_not
+clauses (it adds an implicit MatchAllDocsQuery MUST clause).
 ``ScoredTerms`` is the scored (BM25) flavor of an all-MUST term
 conjunction — the C1/C7 query path.
 
@@ -82,6 +88,13 @@ class Or(Node):
     children: list[Node] = field(default_factory=list)
 
 
+@dataclass
+class Not(Node):
+    """Complement: documents NOT matching ``child`` (Lucene MUST_NOT)."""
+
+    child: Node = field(default_factory=MatchNone)
+
+
 @dataclass(frozen=True)
 class ScoredTerms(Node):
     """BM25-scored conjunction of exact chunk terms (C1 scored path).
@@ -137,6 +150,15 @@ def simplify(node: Node) -> Node:
         if len(kids) == 1:
             return kids[0]
         return Or(kids)
+    if isinstance(node, Not):
+        c = simplify(node.child)
+        if isinstance(c, MatchAll):
+            return MatchNone()
+        if isinstance(c, MatchNone):
+            return MatchAll()
+        if isinstance(c, Not):  # double negation; c.child is simplified
+            return c.child
+        return Not(c)
     return node
 
 
@@ -146,4 +168,6 @@ def leaves(node: Node) -> list[Node]:
         for c in node.children:
             out.extend(leaves(c))
         return out
+    if isinstance(node, Not):
+        return leaves(node.child)
     return [node]

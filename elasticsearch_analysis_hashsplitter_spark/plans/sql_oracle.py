@@ -127,6 +127,12 @@ def _render(node: ir.Node, cfg: HashSplitterConfig, all_docs_sql: str) -> str:
             "(" + _render(c, cfg, all_docs_sql) + ")" for c in node.children
         ]
         return "SELECT doc_id FROM (" + " UNION ".join(parts) + ") _u"
+    if isinstance(node, ir.Not):
+        # Lucene MUST_NOT: the complement against the full doc set.
+        return (
+            "SELECT doc_id FROM ((" + all_docs_sql + ") EXCEPT ("
+            + _render(node.child, cfg, all_docs_sql) + ")) _n"
+        )
     # leaf
     return (
         "SELECT DISTINCT doc_id FROM chunks WHERE "

@@ -329,6 +329,36 @@ def _q_lang_facet(spark, sf_dir):
     return eng.terms_facet(node, _docs(spark, sf_dir), "lang", size=10)
 
 
+def _q_more_like_this(spark, sf_dir):
+    """ES more_like_this: re-analyze doc 0's _source, select the 10
+    highest tf*idf terms, scored disjunction excluding doc 0 itself."""
+    eng = _engine(spark, sf_dir, "tokens")
+    return eng.more_like_this(
+        0, _docs(spark, sf_dir), text_col="text", k=10, max_query_terms=10
+    ).select("doc_id", F.round("score", 4).alias("score"))
+
+
+def _q_sort_by_field(spark, sf_dir):
+    """ES sort on a _source field: the exact-value match set ordered by
+    n_chars desc (doc_id asc tie-break), scoring skipped."""
+    eng = _engine(spark, sf_dir, "tokens")
+    node = qc.field_query("spark", TOK_CFG, scored=False)
+    return eng.sort_search(
+        node, _docs(spark, sf_dir), "n_chars", k=10, ascending=False
+    )
+
+
+def _q_highlight(spark, sf_dir):
+    """ES highlight: token-window fragments with <em> marks over the
+    term query's hits; hit docs without the literal token (the chunk-AND
+    prefix false-positive family) emit no row."""
+    eng = _engine(spark, sf_dir, "tokens")
+    hits = eng.term("spark")
+    return eng.highlight(
+        hits, _docs(spark, sf_dir), "spark", text_col="text", frag_tokens=5
+    ).orderBy("doc_id")
+
+
 #: ES multi-get ids: a deterministic spread plus one id that exists in
 #: no corpus (found:false -> absent row)
 MGET_IDS = [1, 5, 7, 42, 99, 123, 99_999_999]
@@ -1214,6 +1244,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bool_pure_not": _q_bool_pure_not,
         "bm25_topk_excluded": _q_bm25_excluded,
         "bm25_min_should_match": _q_bm25_msm,
+        "more_like_this": _q_more_like_this,
+        "sort_by_field": _q_sort_by_field,
+        "highlight_first": _q_highlight,
         "bm25_topk_batch": _q_bm25_batch,
         "bm25_explain": _q_bm25_explain,
         "search_fetch": _q_search_fetch,
@@ -1783,6 +1816,72 @@ LIMIT 10"""
             )
         ),
         "bm25_min_should_match": _bm25_oracle(conjunctive=False, min_nt=2),
+        # ES more_like_this: term selection (top tf*idf of doc 0, term
+        # asc tie-break) + disjunctive BM25 excluding the source doc
+        "more_like_this": f"""
+WITH {_TOK_CTE},
+tf AS (SELECT doc_id, term, count(*) AS tf FROM chunks GROUP BY doc_id, term),
+dl AS (SELECT doc_id, count(*) AS dl FROM chunks GROUP BY doc_id),
+stats AS (SELECT (SELECT count(*) FROM documents) AS n, avg(dl) AS avgdl FROM dl),
+dfs_all AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+sel AS (
+  SELECT t.term, da.df
+  FROM tf t JOIN dfs_all da USING (term) CROSS JOIN stats s
+  WHERE t.doc_id = 0
+  ORDER BY t.tf * ln(1 + (s.n - da.df + 0.5) / (da.df + 0.5)) DESC, t.term
+  LIMIT 10
+),
+hits AS (
+  SELECT tf.doc_id,
+         sum(ln(1 + (s.n - sel.df + 0.5) / (sel.df + 0.5))
+             * tf.tf * ({TOK_CFG.bm25_k1} + 1)
+             / (tf.tf + {TOK_CFG.bm25_k1}
+                * (1 - {TOK_CFG.bm25_b}
+                   + {TOK_CFG.bm25_b} * dl.dl / s.avgdl))) AS score
+  FROM tf JOIN sel USING (term) JOIN dl USING (doc_id) CROSS JOIN stats s
+  WHERE tf.doc_id <> 0
+  GROUP BY tf.doc_id
+)
+SELECT doc_id, round(score, 4) AS score FROM hits
+ORDER BY score DESC, doc_id
+LIMIT 10""",
+        # ES sort on a field: match set ordered by n_chars desc
+        "sort_by_field": f"""
+WITH {_TOK_CTE}
+SELECT d.doc_id, d.n_chars
+FROM documents d
+WHERE d.doc_id IN (SELECT doc_id FROM (
+  {sql_oracle.docs_select(qc.field_query("spark", TOK_CFG, scored=False), TOK_CFG)}
+) m)
+ORDER BY d.n_chars DESC, d.doc_id
+LIMIT 10""",
+        # ES highlight: first-match token-window fragment with <em> marks;
+        # DuckDB list lambdas are 1-based where Spark's transform index is
+        # 0-based, hence the i-1
+        "highlight_first": f"""
+WITH {_TOK_CTE},
+hits AS (
+  {sql_oracle.docs_select(qc.field_query("spark", TOK_CFG, scored=False), TOK_CFG)}
+),
+tok AS (
+  SELECT d.doc_id, string_split_regex(d.text, '\\s+') AS toks
+  FROM documents d WHERE d.doc_id IN (SELECT doc_id FROM hits)
+),
+m AS (
+  SELECT doc_id, toks,
+         list_position(toks, 'spark') AS idx,
+         len(list_filter(toks, t -> t = 'spark'))::BIGINT AS n_matches
+  FROM tok
+)
+SELECT doc_id, n_matches,
+       array_to_string(
+         list_transform(
+           toks[greatest(1, idx - 2):greatest(1, idx - 2) + 4],
+           (x, i) -> CASE WHEN greatest(1, idx - 2) + i - 1 = idx
+                          THEN '<em>' || x || '</em>' ELSE x END
+         ), ' ') AS fragment
+FROM m WHERE n_matches > 0
+ORDER BY doc_id""",
         "bm25_topk_batch": _bm25_batch_oracle(),
         "bm25_explain": _bm25_explain_oracle(),
         # ES search_after: page 2 == OFFSET 10 on the strict total order

@@ -921,6 +921,57 @@ class SearchEngine:
             "doc_id", *keep, *cols
         )
 
+    def highlight(
+        self,
+        hits: DataFrame,
+        source: DataFrame,
+        value: str,
+        text_col: str = "text",
+        frag_tokens: int = 5,
+    ) -> DataFrame:
+        """ES ``highlight`` (plain-highlighter analogue): for each hit
+        doc, locate occurrences of the query value in ``_source`` and
+        emit the match count plus one fragment around the FIRST match
+        with the matched token wrapped in ``<em>…</em>`` — the same
+        re-analyze-the-source strategy ES's plain highlighter uses when
+        the field stores no term vectors (the reference maps
+        ``store: NO``). Fragments are token-windowed (``frag_tokens``
+        whitespace tokens centered on the match) rather than ES's
+        char-budgeted ones — a documented analogue; only the first
+        occurrence is marked (the plain highlighter's top fragment).
+
+        Docs among the hits with NO exact-token occurrence emit no row,
+        exactly like ES returning no highlight entry — which genuinely
+        happens here: the plugin's chunk-AND match has a documented
+        prefix/cross-token false-positive family (README.md:193-198),
+        so a hit doc need not contain the literal token.
+
+        All expression-level (split / array_position / filter /
+        slice / transform): whole-stage-codegen'd, zero Python, and the
+        hits side is broadcast so the corpus is never shuffled."""
+        if not value or re.search(r"\s", value):
+            raise ValueError("highlight value must be a single token")
+        toks = F.split(F.col(text_col), r"\s+")
+        idx = F.array_position(toks, value)  # 1-based, 0 when absent
+        n = F.size(F.filter(toks, lambda t: t == F.lit(value)))
+        start = F.greatest(F.lit(1), idx - F.lit(frag_tokens // 2))
+        frag = F.slice(toks, start, frag_tokens)
+        marked = F.transform(
+            frag,
+            lambda x, i: F.when(
+                (start + i) == idx,
+                F.concat(F.lit("<em>"), x, F.lit("</em>")),
+            ).otherwise(x),
+        )
+        joined = source.join(
+            F.broadcast(hits.select("doc_id")), "doc_id"
+        )
+        return joined.select(
+            "doc_id",
+            n.alias("n_matches"),
+            F.concat_ws(" ", marked).alias("fragment"),
+        ).where(F.col("n_matches") > 0)
+
     def terms_facet(
         self,
         node: ir.Node,
@@ -941,6 +992,34 @@ class SearchEngine:
             .agg(F.count("*").alias("count"))
             .orderBy(F.col("count").desc(), F.col("value").asc())
             .limit(size)
+        )
+
+    def sort_search(
+        self,
+        node: ir.Node,
+        source: DataFrame,
+        field: str,
+        k: int = 10,
+        ascending: bool = True,
+    ) -> DataFrame:
+        """ES ``sort`` on a field: the query's doc set ordered by a
+        ``_source`` field instead of relevance (``sort: [{field:
+        {order: ...}}]``) — scoring is skipped entirely, exactly as ES
+        does when a sort clause replaces ``_score``. Ties break on
+        doc_id asc (ES's implicit ``_doc`` tie-breaker), so the order
+        is strict and pageable.
+
+        Shape: one doc-set evaluation, one join to attach the sort
+        field, and a TakeOrderedAndProject for the top-k — per-partition
+        heaps, <= k rows to the driver, never a full sort of the match
+        set."""
+        hits = self.docs(node)
+        order = F.col(field).asc() if ascending else F.col(field).desc()
+        return (
+            source.join(hits, "doc_id")
+            .select("doc_id", field)
+            .orderBy(order, F.col("doc_id").asc())
+            .limit(k)
         )
 
     def get(
@@ -1166,6 +1245,82 @@ class SearchEngine:
         )
         return blocks.select("term", "docs", "tfs", "dls").mapInPandas(
             extract, schema=schema
+        )
+
+    def more_like_this(
+        self,
+        doc_id: int,
+        source: DataFrame,
+        text_col: str = "text",
+        k: int = 10,
+        max_query_terms: int = 25,
+        min_term_freq: int = 1,
+        min_doc_freq: int = 1,
+    ) -> DataFrame:
+        """ES ``more_like_this``: find docs similar to a stored one.
+
+        Faithful to how ES executes MLT against a field that stores no
+        term vectors (the reference maps ``store: NO``,
+        HashSplitterFieldMapper.java:78): fetch the doc's ``_source``
+        (here: one pruned point-read of the corpus table), RE-ANALYZE
+        it with the index's own analyzer chain, pick the
+        ``max_query_terms`` most interesting terms, and run them as a
+        scored disjunction with the source doc itself excluded (ES
+        ``include: false`` default).
+
+        Interestingness = tf * idf with the ENGINE's BM25 idf
+        (``ln(1+(N-df+0.5)/(df+0.5))``) rather than ES-0.19's
+        DefaultSimilarity idf — a documented intended divergence so the
+        selection criterion and the ranking function share one
+        similarity. Selection ties break on term asc (deterministic;
+        equal (tf, df) pairs give bit-equal scores). ``min_term_freq``
+        / ``min_doc_freq`` gate candidate terms exactly as in ES.
+
+        Scale shape: the analyze + select half is driver-side over ONE
+        document (exactly ES's coordinating-node work); df stats are
+        cached lexicon point-reads; the query half is the standard
+        exhaustive disjunctive plan — one scan + one shuffle. The
+        MaxScore-pruned path must not run here: its theta would bound
+        the k-th score INCLUDING the excluded source doc, which is
+        near-guaranteed to rank first.
+        """
+        from ..functions.tokenize import analyze
+
+        did = int(doc_id)
+        rows = (
+            source.where(F.col("doc_id") == did)
+            .select(text_col)
+            .limit(2)
+            .collect()
+        )
+        if not rows:
+            raise ValueError(f"doc_id {did} not found in source table")
+        terms = analyze(rows[0][0], self.cfg)
+        tf: dict[str, int] = {}
+        for t in terms:
+            tf[t] = tf.get(t, 0) + 1
+        cand = sorted(t for t, n in tf.items() if n >= min_term_freq)
+        if not cand:
+            return self._empty_scored()
+        n_docs = self.stats["n_docs"]
+        dfs = {r["term"]: r["df"] for r in self._term_stats(cand)}
+        scored = []
+        for t in cand:
+            df = dfs.get(t, 0)
+            if df < max(min_doc_freq, 1):
+                continue
+            idf = math.log(1.0 + (n_docs - df + 0.5) / (df + 0.5))
+            scored.append((-(tf[t] * idf), t))
+        if not scored:
+            return self._empty_scored()
+        scored.sort()
+        selected = [t for _, t in scored[:max_query_terms]]
+        hits = self.bm25_scores(selected, conjunctive=False).where(
+            F.col("doc_id") != did
+        )
+        return (
+            hits.orderBy(F.col("score").desc(), F.col("doc_id").asc())
+            .limit(k)
         )
 
     def _term_stats(self, terms: list[str]) -> list:

@@ -359,6 +359,28 @@ def _q_highlight(spark, sf_dir):
     ).orderBy("doc_id")
 
 
+def _q_scroll_all(spark, sf_dir):
+    """ES scroll: page-walk the ENTIRE conjunctive ranked result via the
+    search_after cursor (page_size 50) and reassemble — must equal the
+    oracle's one-shot total order."""
+    eng = _engine(spark, sf_dir, "tokens")
+    rows = [
+        (int(r["doc_id"]), float(r["score"]))
+        for page in eng.scroll(BM25_QUERY, page_size=50)
+        for r in page
+    ]
+    return spark.createDataFrame(
+        rows, "doc_id long, score double"
+    ).select("doc_id", F.round("score", 4).alias("score"))
+
+
+def _q_count(spark, sf_dir):
+    """ES count API: match count of the prefix query, no hits fetched."""
+    eng = _engine(spark, sf_dir, "tokens")
+    n = eng.count(qc.prefix_query("windo", TOK_CFG))
+    return spark.createDataFrame([(n,)], "n long")
+
+
 #: ES multi-get ids: a deterministic spread plus one id that exists in
 #: no corpus (found:false -> absent row)
 MGET_IDS = [1, 5, 7, 42, 99, 123, 99_999_999]
@@ -1247,6 +1269,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "more_like_this": _q_more_like_this,
         "sort_by_field": _q_sort_by_field,
         "highlight_first": _q_highlight,
+        "scroll_all": _q_scroll_all,
+        "count_query": _q_count,
         "bm25_topk_batch": _q_bm25_batch,
         "bm25_explain": _q_bm25_explain,
         "search_fetch": _q_search_fetch,
@@ -1315,6 +1339,7 @@ def _bm25_oracle(
     final_pred: str = "",
     offset: int = 0,
     min_nt: int = 0,
+    limit: int | None = 10,
 ) -> str:
     """Conjunctive/disjunctive BM25 top-10 oracle. ``final_pred``
     filters the scored candidates BEFORE the top-k (the tombstone
@@ -1359,7 +1384,7 @@ hits AS (
 SELECT doc_id, round(score, 4) AS score FROM hits
 {having}
 ORDER BY score DESC, doc_id
-LIMIT 10{f" OFFSET {offset}" if offset else ""}"""
+{f"LIMIT {limit}" if limit is not None else ""}{f" OFFSET {offset}" if offset else ""}"""
 
 
 def _bm25_explain_oracle() -> str:
@@ -1816,6 +1841,15 @@ LIMIT 10"""
             )
         ),
         "bm25_min_should_match": _bm25_oracle(conjunctive=False, min_nt=2),
+        # ES scroll: the page-walk reassembly must equal the unlimited
+        # one-shot total order
+        "scroll_all": _bm25_oracle(limit=None),
+        # ES count API
+        "count_query": f"""
+WITH {_TOK_CTE}
+SELECT count(*)::BIGINT AS n FROM (
+  {sql_oracle.docs_select(qc.prefix_query("windo", TOK_CFG), TOK_CFG)}
+) q""",
         # ES more_like_this: term selection (top tf*idf of doc 0, term
         # asc tie-break) + disjunctive BM25 excluding the source doc
         "more_like_this": f"""

@@ -1561,6 +1561,43 @@ class SearchEngine:
             )
         return self.bm25_topk_disjunctive(list(node.terms), k)
 
+    def scroll(
+        self,
+        value: str,
+        page_size: int = 10,
+        conjunctive: bool = True,
+        max_pages: int | None = None,
+    ):
+        """ES ``scroll``: iterate the ENTIRE ranked result set in stable
+        pages. Yields lists of Rows (one list per scroll batch, like
+        each ``_search/scroll`` response). Built on the search_after
+        cursor rather than ES's server-held context: an opened engine's
+        index is immutable (appends require :meth:`refresh`, which
+        returns a NEW engine), so the snapshot-consistency ES freezes a
+        scroll context for holds here by construction, and each page
+        costs one scan + one shuffle instead of a held reader.
+
+        ``max_pages`` bounds runaway iteration (None = to exhaustion).
+        """
+        if page_size < 1:
+            raise ValueError("page_size must be >= 1")
+        after = None
+        pages = 0
+        while max_pages is None or pages < max_pages:
+            if conjunctive:
+                df = self.search(value, k=page_size, after=after)
+            else:
+                df = self.search_any(value, k=page_size, after=after)
+            rows = df.collect()
+            if not rows:
+                return
+            yield rows
+            pages += 1
+            if len(rows) < page_size:
+                return
+            last = rows[-1]
+            after = (last["score"], last["doc_id"])
+
     def serve(
         self,
         requests,

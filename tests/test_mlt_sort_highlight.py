@@ -183,3 +183,47 @@ def test_highlight_drops_hits_without_literal_token(eng, src, spark):
 def test_highlight_multiword_value_raises(eng, src):
     with pytest.raises(ValueError):
         eng.highlight(eng.term("spark"), src, "two words")
+
+
+# ---------------------------------------------------------------- scroll
+def test_scroll_pages_reassemble_total_order(eng):
+    one_shot = [
+        (r["doc_id"], r["score"])
+        for r in eng.search("spark", k=100).collect()
+    ]
+    for page_size in (1, 2, 100):
+        walked = [
+            (r["doc_id"], r["score"])
+            for page in eng.scroll("spark", page_size=page_size)
+            for r in page
+        ]
+        assert walked == one_shot
+        # every non-final page is exactly page_size rows
+        sizes = [
+            len(page) for page in eng.scroll("spark", page_size=page_size)
+        ]
+        assert all(s == page_size for s in sizes[:-1])
+
+
+def test_scroll_max_pages_bounds_iteration(eng):
+    pages = list(eng.scroll("spark", page_size=1, max_pages=2))
+    assert len(pages) == 2
+
+
+def test_scroll_disjunctive_and_empty(eng):
+    walked = [
+        r["doc_id"]
+        for page in eng.scroll("spark window", page_size=3,
+                               conjunctive=False)
+        for r in page
+    ]
+    one_shot = [
+        r["doc_id"] for r in eng.search_any("spark window", k=100).collect()
+    ]
+    assert walked == one_shot
+    assert list(eng.scroll("zzzz", page_size=5)) == []
+
+
+def test_scroll_bad_page_size_raises(eng):
+    with pytest.raises(ValueError):
+        next(eng.scroll("spark", page_size=0))

@@ -21,8 +21,26 @@ def main(argv=None) -> int:
         required=True,
         choices=["search", "search_any", "batch", "serve", "term", "chunk_term",
                  "prefix", "wildcard", "range", "count", "delete",
-                 "delete_by_query", "upsert"],
+                 "delete_by_query", "upsert", "scroll", "mlt", "sort",
+                 "highlight"],
     )
+    p.add_argument("--must-not-prefix", default=None,
+                   help="ES bool must_not: exclude docs matching this "
+                        "prefix query (search / search_any)")
+    p.add_argument("--min-should-match", type=int, default=1,
+                   help="ES minimum_should_match over the analyzed "
+                        "terms (search_any)")
+    p.add_argument("--page-size", type=int, default=10,
+                   help="rows per page for --op scroll")
+    p.add_argument("--doc-id", type=int, default=None,
+                   help="source document id for --op mlt")
+    p.add_argument("--source-parquet", default=None,
+                   help="corpus (_source) parquet for --op mlt/sort/"
+                        "highlight: columns (doc_id, <text-col>, ...)")
+    p.add_argument("--text-col", default="content")
+    p.add_argument("--field", default=None,
+                   help="sort field for --op sort")
+    p.add_argument("--asc", action="store_true", default=False)
     p.add_argument("--docs-json", default=None,
                    help='inline docs for --op upsert: [[id, "text"], ...] '
                         "(each row replaces the stored doc with its id, "
@@ -71,12 +89,64 @@ def main(argv=None) -> int:
     spark = SparkSession.builder.appName("hashsplitter-query").getOrCreate()
     eng = SearchEngine.open(spark, args.index)
 
+    def _must_not():
+        if args.must_not_prefix is None:
+            return None
+        from elasticsearch_analysis_hashsplitter_spark.plans import (
+            compile as qc,
+        )
+
+        return qc.prefix_query(args.must_not_prefix, eng.cfg)
+
+    def _source():
+        if not args.source_parquet:
+            raise SystemExit(f"--op {args.op} needs --source-parquet")
+        return spark.read.parquet(args.source_parquet)
+
     if args.op == "search":
-        rows = eng.search(args.value, k=args.k).collect()
+        rows = eng.search(args.value, k=args.k,
+                          must_not=_must_not()).collect()
         print(json.dumps([(r["doc_id"], r["score"]) for r in rows]))
     elif args.op == "search_any":
-        rows = eng.search_any(args.value, k=args.k).collect()
+        rows = eng.search_any(
+            args.value, k=args.k, must_not=_must_not(),
+            min_should_match=args.min_should_match,
+        ).collect()
         print(json.dumps([(r["doc_id"], r["score"]) for r in rows]))
+    elif args.op == "scroll":
+        pages = [
+            [(r["doc_id"], r["score"]) for r in page]
+            for page in eng.scroll(args.value, page_size=args.page_size)
+        ]
+        print(json.dumps({"pages": len(pages),
+                          "rows": sum(len(p) for p in pages),
+                          "first": pages[0] if pages else [],
+                          "last": pages[-1] if pages else []}))
+    elif args.op == "mlt":
+        rows = eng.more_like_this(
+            args.doc_id, _source(), text_col=args.text_col, k=args.k
+        ).collect()
+        print(json.dumps([(r["doc_id"], r["score"]) for r in rows]))
+    elif args.op == "sort":
+        from elasticsearch_analysis_hashsplitter_spark.plans import (
+            compile as qc,
+        )
+
+        node = qc.field_query(args.value, eng.cfg, scored=False)
+        rows = eng.sort_search(
+            node, _source(), args.field, k=args.k, ascending=args.asc
+        ).collect()
+        print(json.dumps([(r["doc_id"], r[args.field]) for r in rows]))
+    elif args.op == "highlight":
+        hits = eng.term(args.value)
+        rows = (
+            eng.highlight(hits, _source(), args.value,
+                          text_col=args.text_col)
+            .orderBy("doc_id").limit(args.k).collect()
+        )
+        print(json.dumps(
+            [(r["doc_id"], r["n_matches"], r["fragment"]) for r in rows]
+        ))
     elif args.op == "batch":
         from elasticsearch_analysis_hashsplitter_spark.operators.search import (
             bm25_topk_batch,

@@ -359,6 +359,26 @@ def _q_highlight(spark, sf_dir):
     ).orderBy("doc_id")
 
 
+def _q_bm25_filtered(spark, sf_dir):
+    """ES filtered query {query, filter}: BM25 over the value with
+    membership restricted to the filter's matches, filter unscored."""
+    eng = _engine(spark, sf_dir, "tokens")
+    return eng.search(
+        BM25_QUERY, k=10, filter=qc.prefix_query("windo", TOK_CFG)
+    ).select("doc_id", F.round("score", 4).alias("score"))
+
+
+def _q_index_stats(spark, sf_dir):
+    """ES _stats: live doc count, tombstones, scoring stats."""
+    eng = _engine(spark, sf_dir, "tokens")
+    return eng.index_stats().select(
+        "docs_count",
+        "docs_deleted",
+        F.round("avgdl", 4).alias("avgdl"),
+        "total_terms",
+    )
+
+
 def _q_scroll_all(spark, sf_dir):
     """ES scroll: page-walk the ENTIRE conjunctive ranked result via the
     search_after cursor (page_size 50) and reassemble — must equal the
@@ -1271,6 +1291,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "highlight_first": _q_highlight,
         "scroll_all": _q_scroll_all,
         "count_query": _q_count,
+        "bm25_topk_filtered": _q_bm25_filtered,
+        "index_stats": _q_index_stats,
         "bm25_topk_batch": _q_bm25_batch,
         "bm25_explain": _q_bm25_explain,
         "search_fetch": _q_search_fetch,
@@ -1844,6 +1866,25 @@ LIMIT 10"""
         # ES scroll: the page-walk reassembly must equal the unlimited
         # one-shot total order
         "scroll_all": _bm25_oracle(limit=None),
+        # ES filtered query: membership restricted to the filter side
+        "bm25_topk_filtered": _bm25_oracle(
+            final_pred=(
+                "doc_id IN (SELECT doc_id FROM ("
+                + sql_oracle.docs_select(
+                    qc.prefix_query("windo", TOK_CFG), TOK_CFG
+                )
+                + ") _f)"
+            )
+        ),
+        # ES _stats: index-level counters recomputed from the raw corpus
+        "index_stats": f"""
+WITH {_TOK_CTE},
+dl AS (SELECT doc_id, count(*) AS dl FROM chunks GROUP BY doc_id)
+SELECT (SELECT count(*) FROM documents)::BIGINT AS docs_count,
+       0::BIGINT AS docs_deleted,
+       round(avg(dl), 4) AS avgdl,
+       sum(dl)::BIGINT AS total_terms
+FROM dl""",
         # ES count API
         "count_query": f"""
 WITH {_TOK_CTE}

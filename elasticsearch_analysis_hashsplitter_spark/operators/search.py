@@ -810,6 +810,26 @@ class SearchEngine:
         """Tombstoned doc ids currently masked (ES ``docs.deleted``)."""
         return 0 if self._deleted is None else int(self._deleted.size)
 
+    def index_stats(self) -> DataFrame:
+        """ES ``_stats``: one row of index-level counters —
+        ``docs_count`` (live docs: indexed minus tombstoned, ES
+        ``docs.count``), ``docs_deleted`` (tombstones awaiting purge),
+        ``avgdl`` and ``total_terms`` (the scoring stats, which stay
+        STALE until a purge exactly like ES's — surviving docs score
+        with pre-delete statistics). Driver-held numbers only; no job
+        runs."""
+        deleted = int(self.deleted_count)
+        return self.spark.createDataFrame(
+            [(
+                int(self.stats["n_docs"]) - deleted,
+                deleted,
+                float(self.stats["avgdl"]),
+                int(self.stats["total_terms"]),
+            )],
+            "docs_count long, docs_deleted long, avgdl double,"
+            " total_terms long",
+        )
+
     def delete_docs(self, doc_ids) -> int:
         """Tombstone documents by id. Returns how many ids were newly
         tombstoned (already-deleted and never-indexed ids are no-ops —
@@ -1463,6 +1483,7 @@ class SearchEngine:
         boost: float = 1.0,
         after: tuple | None = None,
         must_not: ir.Node | None = None,
+        filter: ir.Node | None = None,
     ) -> DataFrame:
         """BM25 top-k for an exact value/token query (scored C1).
 
@@ -1482,13 +1503,18 @@ class SearchEngine:
         :func:`plans.compile.bool_filter` / the C2-C8 filter builders)
         whose matches are excluded from the result — ES bool
         must+must_not, scores untouched for the survivors.
+
+        ``filter``: the ES filtered-query shape ``{query, filter}`` —
+        membership restricted to the filter's matches, scores untouched
+        (Lucene FilteredQuery never scores the filter side).
         """
         node = qc.field_query(value, self.cfg, scored=True)
         assert isinstance(node, (ir.ScoredTerms, ir.MatchNone))
         if isinstance(node, ir.MatchNone):
             return self._empty_scored()
         return self.bm25_topk(list(node.terms), k, boost=boost,
-                              after=after, must_not=must_not)
+                              after=after, must_not=must_not,
+                              filter=filter)
 
     def search_wildcard(
         self, pattern: str, k: int = 10, boost: float = 1.0
@@ -1531,6 +1557,7 @@ class SearchEngine:
         after: tuple | None = None,
         must_not: ir.Node | None = None,
         min_should_match: int = 1,
+        filter: ir.Node | None = None,
     ) -> DataFrame:
         """Disjunctive BM25 top-k (docs matching ANY chunk term of the
         analyzed value), with MaxScore/block-max pruning.
@@ -1540,17 +1567,23 @@ class SearchEngine:
         the GLOBAL k-th score, so page-N docs are exactly the ones the
         pruned plan is entitled to drop.
 
-        ``must_not`` / ``min_should_match`` (ES bool should +
-        must_not + minimum_number_should_match) also run the exhaustive
+        ``must_not`` / ``filter`` / ``min_should_match`` (ES bool
+        must_not, the filtered-query shape, and
+        minimum_number_should_match) also run the exhaustive
         single-pass OR: the MaxScore theta bootstrap bounds the k-th
-        score of the UNCONSTRAINED disjunction, and both constraints
+        score of the UNCONSTRAINED disjunction, and each constraint
         can push the true k-th among qualifying docs below that bound —
         a pruned plan could drop a qualifying hit, so it must not run.
         The exhaustive plan is still one scan + one shuffle."""
         node = qc.field_query(value, self.cfg, scored=True)
         if isinstance(node, ir.MatchNone):
             return self._empty_scored()
-        if after is not None or must_not is not None or min_should_match > 1:
+        if (
+            after is not None
+            or must_not is not None
+            or filter is not None
+            or min_should_match > 1
+        ):
             return self.bm25_topk(
                 list(node.terms),
                 k,
@@ -1558,6 +1591,7 @@ class SearchEngine:
                 after=after,
                 must_not=must_not,
                 min_should_match=min_should_match,
+                filter=filter,
             )
         return self.bm25_topk_disjunctive(list(node.terms), k)
 
@@ -2310,6 +2344,7 @@ class SearchEngine:
         global_stats: dict | None = None,
         must_not: ir.Node | None = None,
         min_should_match: int = 1,
+        filter: ir.Node | None = None,
     ) -> DataFrame:
         """Top-k (doc_id, score) for a bag of exact chunk terms.
 
@@ -2357,6 +2392,18 @@ class SearchEngine:
             if not isinstance(ex, ir.MatchNone):
                 scores = scores.join(
                     self._docs_inner(ex), "doc_id", "left_anti"
+                )
+        if filter is not None:
+            # ES filtered query {query, filter}: the filter restricts
+            # membership but never contributes to the score (Lucene
+            # FilteredQuery). Candidate-sized semi-join, same soundness
+            # argument as must_not.
+            fl = ir.simplify(filter)
+            if isinstance(fl, ir.MatchNone):
+                return self._empty_scored()
+            if not isinstance(fl, ir.MatchAll):
+                scores = scores.join(
+                    self._docs_inner(fl), "doc_id", "left_semi"
                 )
         if after is not None:
             s, d = float(after[0]), int(after[1])

@@ -252,6 +252,57 @@ def test_min_should_match_conjunctive_raises(eng):
                         min_should_match=2)
 
 
+def test_search_filter_restricts_without_rescoring(eng):
+    fl = qc.prefix_query("wind", CFG)
+    full = {
+        r["doc_id"]: r["score"]
+        for r in eng.search("spark", k=N_DOCS).collect()
+    }
+    got = {
+        r["doc_id"]: r["score"]
+        for r in eng.search("spark", k=N_DOCS, filter=fl).collect()
+    }
+    assert set(got) == set(full) & set(_expected(fl))
+    for d, s in got.items():
+        assert s == full[d]
+    # filter edge cases: MatchNone empties, MatchAll is identity
+    assert eng.search("spark", k=5, filter=ir.MatchNone()).count() == 0
+    ident = {
+        r["doc_id"]: r["score"]
+        for r in eng.search(
+            "spark", k=N_DOCS, filter=ir.MatchAll()
+        ).collect()
+    }
+    assert ident == full
+
+
+def test_index_stats_counts_and_tombstones(spark):
+    df = spark.createDataFrame(
+        [(i, _doc_text(i)) for i in range(N_DOCS)],
+        "doc_id long, content string",
+    )
+    own = SearchEngine.from_corpus(df, CFG, num_partitions=4)
+    row = own.index_stats().collect()[0]
+    total = sum(len(ts_list) for ts_list in (
+        # total term OCCURRENCES, not distinct: re-analyze each doc
+        __import__(
+            "elasticsearch_analysis_hashsplitter_spark.functions.tokenize",
+            fromlist=["analyze"],
+        ).analyze(_doc_text(i), CFG) for i in range(N_DOCS)
+    ))
+    assert row["docs_count"] == N_DOCS
+    assert row["docs_deleted"] == 0
+    assert row["total_terms"] == total
+    assert abs(row["avgdl"] - total / N_DOCS) < 1e-9
+    own.delete_docs([0, 1])
+    row2 = own.index_stats().collect()[0]
+    # ES semantics: live count shrinks, tombstones counted, scoring
+    # stats stay stale until purge
+    assert row2["docs_count"] == N_DOCS - 2
+    assert row2["docs_deleted"] == 2
+    assert row2["total_terms"] == total
+
+
 def test_search_any_must_not(eng):
     ex = _fq("date")
     full = {

@@ -1612,16 +1612,27 @@ class SearchEngine:
         costs one scan + one shuffle instead of a held reader.
 
         ``max_pages`` bounds runaway iteration (None = to exhaustion).
+
+        Every page runs the SAME scorer plan (the exhaustive
+        single-pass aggregation): mixing the theta-pruned disjunctive
+        plan for page 1 with the exhaustive plan for later pages would
+        let the cursor's boundary score differ in the last ulp between
+        the two float-summation orders and drop or repeat a boundary
+        doc — rank identity between the plans is pinned, bit identity
+        is not.
         """
         if page_size < 1:
             raise ValueError("page_size must be >= 1")
+        node = qc.field_query(value, self.cfg, scored=True)
+        if isinstance(node, ir.MatchNone):
+            return
+        terms = list(node.terms)
         after = None
         pages = 0
         while max_pages is None or pages < max_pages:
-            if conjunctive:
-                df = self.search(value, k=page_size, after=after)
-            else:
-                df = self.search_any(value, k=page_size, after=after)
+            df = self.bm25_topk(
+                terms, k=page_size, conjunctive=conjunctive, after=after
+            )
             rows = df.collect()
             if not rows:
                 return

@@ -217,8 +217,15 @@ def test_scroll_disjunctive_and_empty(eng):
                                conjunctive=False)
         for r in page
     ]
+    # reference = the SAME exhaustive scorer scroll uses for every page
+    # (the pruned search_any plan is rank-identical but not bit-identical,
+    # which is exactly why scroll never mixes the two)
+    node = qc.field_query("spark window", CFG, scored=True)
     one_shot = [
-        r["doc_id"] for r in eng.search_any("spark window", k=100).collect()
+        r["doc_id"]
+        for r in eng.bm25_topk(
+            list(node.terms), k=100, conjunctive=False
+        ).collect()
     ]
     assert walked == one_shot
     assert list(eng.scroll("zzzz", page_size=5)) == []

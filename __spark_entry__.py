@@ -1876,15 +1876,18 @@ LIMIT 10"""
                 + ") _f)"
             )
         ),
-        # ES _stats: index-level counters recomputed from the raw corpus
+        # ES _stats: index-level counters recomputed from the raw corpus.
+        # avgdl averages over ALL indexed docs (left join: a doc whose
+        # text analyzes to zero tokens has a docstats row with dl=0 in
+        # the engine and must count in the denominator here too)
         "index_stats": f"""
 WITH {_TOK_CTE},
 dl AS (SELECT doc_id, count(*) AS dl FROM chunks GROUP BY doc_id)
 SELECT (SELECT count(*) FROM documents)::BIGINT AS docs_count,
        0::BIGINT AS docs_deleted,
-       round(avg(dl), 4) AS avgdl,
-       sum(dl)::BIGINT AS total_terms
-FROM dl""",
+       round(avg(coalesce(dl.dl, 0)), 4) AS avgdl,
+       sum(coalesce(dl.dl, 0))::BIGINT AS total_terms
+FROM documents d LEFT JOIN dl ON d.doc_id = dl.doc_id""",
         # ES count API
         "count_query": f"""
 WITH {_TOK_CTE}
@@ -1939,7 +1942,8 @@ hits AS (
   {sql_oracle.docs_select(qc.field_query("spark", TOK_CFG, scored=False), TOK_CFG)}
 ),
 tok AS (
-  SELECT d.doc_id, string_split_regex(d.text, '\\s+') AS toks
+  SELECT d.doc_id,
+         string_split_regex(d.text, '{WS_RUN_REGEX}') AS toks
   FROM documents d WHERE d.doc_id IN (SELECT doc_id FROM hits)
 ),
 m AS (

@@ -218,6 +218,15 @@ def _block_ranges_frame_by_term(blocks: DataFrame, cap: int) -> DataFrame:
     )
 
 
+def _bm25_idf(n_docs: int, df: int) -> float:
+    """Lucene BM25 idf: ``ln(1 + (N - df + 0.5) / (df + 0.5))`` — the
+    ONE definition every scorer, prune bound, explain breakdown, and
+    more_like_this term selection shares. Bit-equal score
+    reproducibility is pinned across plans, so the formula must never
+    fork between call sites."""
+    return math.log(1.0 + (n_docs - df + 0.5) / (df + 0.5))
+
+
 def _live_mask(ids: np.ndarray, deleted: np.ndarray) -> np.ndarray:
     """Boolean mask selecting ids NOT in ``deleted`` (sorted, unique,
     non-empty). One searchsorted — the vectorized form of Lucene's
@@ -969,9 +978,15 @@ class SearchEngine:
         All expression-level (split / array_position / filter /
         slice / transform): whole-stage-codegen'd, zero Python, and the
         hits side is broadcast so the corpus is never shuffled."""
+        from ..functions.tokenize import JVM_WS_RUN_REGEX
+
         if not value or re.search(r"\s", value):
             raise ValueError("highlight value must be a single token")
-        toks = F.split(F.col(text_col), r"\s+")
+        # the analyzer's exact whitespace class (incl. \x1C-\x1F and
+        # Unicode spaces), NOT Java's ASCII-leaning bare \s — a doc like
+        # "ret\x1Cspark" IS a true analyzer hit for "spark" and must
+        # highlight (same divergence sql_oracle.py documents from r2)
+        toks = F.split(F.col(text_col), JVM_WS_RUN_REGEX)
         idx = F.array_position(toks, value)  # 1-based, 0 when absent
         n = F.size(F.filter(toks, lambda t: t == F.lit(value)))
         start = F.greatest(F.lit(1), idx - F.lit(frag_tokens // 2))
@@ -1219,10 +1234,7 @@ class SearchEngine:
             t: (
                 weights[t],
                 dfs.get(t, 0),
-                math.log(
-                    1.0
-                    + (n_docs - dfs.get(t, 0) + 0.5) / (dfs.get(t, 0) + 0.5)
-                ),
+                _bm25_idf(n_docs, dfs.get(t, 0)),
             )
             for t in distinct
         }
@@ -1329,8 +1341,7 @@ class SearchEngine:
             df = dfs.get(t, 0)
             if df < max(min_doc_freq, 1):
                 continue
-            idf = math.log(1.0 + (n_docs - df + 0.5) / (df + 0.5))
-            scored.append((-(tf[t] * idf), t))
+            scored.append((-(tf[t] * _bm25_idf(n_docs, df)), t))
         if not scored:
             return self._empty_scored()
         scored.sort()
@@ -1620,6 +1631,15 @@ class SearchEngine:
         the two float-summation orders and drop or repeat a boundary
         doc — rank identity between the plans is pinned, bit identity
         is not.
+
+        Snapshot consistency: segment APPENDS can't be observed
+        (an opened engine's file set is immutable; new segments require
+        :meth:`refresh`, which returns a new engine), but
+        :meth:`delete_docs` mutates THIS engine's tombstone set — ES's
+        scroll context would keep serving the frozen point-in-time set,
+        which a per-page mask cannot. Rather than silently diverge,
+        the generator pins the deletes epoch at creation and raises if
+        the index is mutated mid-scroll.
         """
         if page_size < 1:
             raise ValueError("page_size must be >= 1")
@@ -1627,9 +1647,15 @@ class SearchEngine:
         if isinstance(node, ir.MatchNone):
             return
         terms = list(node.terms)
+        epoch = self._deletes_epoch
         after = None
         pages = 0
         while max_pages is None or pages < max_pages:
+            if self._deletes_epoch != epoch:
+                raise RuntimeError(
+                    "index mutated (delete/upsert) during scroll — ES "
+                    "freezes a point-in-time context; restart the scroll"
+                )
             df = self.bm25_topk(
                 terms, k=page_size, conjunctive=conjunctive, after=after
             )
@@ -2052,8 +2078,7 @@ class SearchEngine:
         avgdl = self.stats["avgdl"] or 1.0
 
         def idf(t):
-            df = info.get(t, (0, 0, None))[0]
-            return math.log(1.0 + (n_docs - df + 0.5) / (df + 0.5))
+            return _bm25_idf(n_docs, info.get(t, (0, 0, None))[0])
 
         def ub(t):
             # sound upper bound on the term's per-doc contribution: tf is
@@ -2229,8 +2254,7 @@ class SearchEngine:
         total_ub = sum(ub(t) for t in present)
 
         def idf(t):
-            df = info.get(t, (0, 0, None))[0]
-            return math.log(1.0 + (n_docs - df + 0.5) / (df + 0.5))
+            return _bm25_idf(n_docs, info.get(t, (0, 0, None))[0])
 
         w_idf_map = F.create_map(
             *[
@@ -2283,12 +2307,7 @@ class SearchEngine:
         distinct = sorted(set(weights))
         params = {
             t: (
-                weights[t]
-                * math.log(
-                    1.0
-                    + (n_docs - info.get(t, (0, 0))[0] + 0.5)
-                    / (info.get(t, (0, 0))[0] + 0.5)
-                ),
+                weights[t] * _bm25_idf(n_docs, info.get(t, (0, 0))[0]),
                 i,
             )
             for i, t in enumerate(distinct)
@@ -2477,13 +2496,7 @@ class SearchEngine:
             idf_dfs = global_stats["dfs"]
         params = {
             t: (
-                boost
-                * weights[t]
-                * math.log(
-                    1.0
-                    + (n_docs - idf_dfs.get(t, 0) + 0.5)
-                    / (idf_dfs.get(t, 0) + 0.5)
-                ),
+                boost * weights[t] * _bm25_idf(n_docs, idf_dfs.get(t, 0)),
                 i,
             )
             for i, t in enumerate(distinct)
@@ -3088,8 +3101,7 @@ def _batch_scores(
     }
 
     def idf(t: str) -> float:
-        df = info[t][0]
-        return math.log(1.0 + (n_docs - df + 0.5) / (df + 0.5))
+        return _bm25_idf(n_docs, info[t][0])
 
     def term_ub_factor(t: str) -> float:
         # sound per-posting bound factor: tf at the term's max_tf, dl at

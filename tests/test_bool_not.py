@@ -283,13 +283,8 @@ def test_index_stats_counts_and_tombstones(spark):
     )
     own = SearchEngine.from_corpus(df, CFG, num_partitions=4)
     row = own.index_stats().collect()[0]
-    total = sum(len(ts_list) for ts_list in (
-        # total term OCCURRENCES, not distinct: re-analyze each doc
-        __import__(
-            "elasticsearch_analysis_hashsplitter_spark.functions.tokenize",
-            fromlist=["analyze"],
-        ).analyze(_doc_text(i), CFG) for i in range(N_DOCS)
-    ))
+    # total term OCCURRENCES, not distinct: re-analyze each doc
+    total = sum(len(analyze(_doc_text(i), CFG)) for i in range(N_DOCS))
     assert row["docs_count"] == N_DOCS
     assert row["docs_deleted"] == 0
     assert row["total_terms"] == total

@@ -123,11 +123,15 @@ def main(argv=None) -> int:
                           "first": pages[0] if pages else [],
                           "last": pages[-1] if pages else []}))
     elif args.op == "mlt":
+        if args.doc_id is None:
+            raise SystemExit("--op mlt needs --doc-id")
         rows = eng.more_like_this(
             args.doc_id, _source(), text_col=args.text_col, k=args.k
         ).collect()
         print(json.dumps([(r["doc_id"], r["score"]) for r in rows]))
     elif args.op == "sort":
+        if not args.field:
+            raise SystemExit("--op sort needs --field")
         from elasticsearch_analysis_hashsplitter_spark.plans import (
             compile as qc,
         )

@@ -380,13 +380,16 @@ def _q_index_stats(spark, sf_dir):
 
 
 def _q_scroll_all(spark, sf_dir):
-    """ES scroll: page-walk the ENTIRE conjunctive ranked result via the
-    search_after cursor (page_size 50) and reassemble — must equal the
-    oracle's one-shot total order."""
+    """ES scroll: page-walk the conjunctive ranked result via the
+    search_after cursor (4 pages of 50) and reassemble — must equal the
+    oracle's one-shot total order over the same 200-row prefix. Capped
+    because each page is one full scan+shuffle: at sf0.1 the uncapped
+    walk was 65 pages / 93 s of bench time proving nothing the first
+    four page seams don't."""
     eng = _engine(spark, sf_dir, "tokens")
     rows = [
         (int(r["doc_id"]), float(r["score"]))
-        for page in eng.scroll(BM25_QUERY, page_size=50)
+        for page in eng.scroll(BM25_QUERY, page_size=50, max_pages=4)
         for r in page
     ]
     return spark.createDataFrame(
@@ -1863,9 +1866,9 @@ LIMIT 10"""
             )
         ),
         "bm25_min_should_match": _bm25_oracle(conjunctive=False, min_nt=2),
-        # ES scroll: the page-walk reassembly must equal the unlimited
-        # one-shot total order
-        "scroll_all": _bm25_oracle(limit=None),
+        # ES scroll: the page-walk reassembly must equal the one-shot
+        # total order over the same 4-page (200-row) prefix
+        "scroll_all": _bm25_oracle(limit=200),
         # ES filtered query: membership restricted to the filter side
         "bm25_topk_filtered": _bm25_oracle(
             final_pred=(

@@ -1254,6 +1254,61 @@ def _q_multifield_scored(spark, sf_dir):
     )
 
 
+DIS_MAX_VALUES = ["spark", "join"]
+DIS_MAX_TIE = 0.3
+BOOSTING_NEG_BOOST = 0.2
+BEST_FIELDS_TIE = 0.3
+
+
+def _q_dis_max(spark, sf_dir):
+    """ES/Lucene dis_max over two analyzed values on the content field:
+    per-clause conjunctive BM25 frames combined by Lucene's
+    DisjunctionMaxScorer formula max + tie_breaker*(sum - max)."""
+    eng = _engine(spark, sf_dir, "tokens")
+    return eng.dis_max(
+        DIS_MAX_VALUES, k=10, tie_breaker=DIS_MAX_TIE
+    ).select("doc_id", F.round("score", 4).alias("score"))
+
+
+def _q_boosting(spark, sf_dir):
+    """ES/Lucene boosting query: positive BM25 ('spark join'
+    conjunctive), docs also matching the 'windo' prefix query demoted
+    by x0.2 — never excluded (contrast with bm25_topk_excluded)."""
+    eng = _engine(spark, sf_dir, "tokens")
+    return eng.boosting(
+        BM25_QUERY, _excl_node(), negative_boost=BOOSTING_NEG_BOOST, k=10
+    ).select("doc_id", F.round("score", 4).alias("score"))
+
+
+def _q_multifield_best_fields(spark, sf_dir):
+    """multi_match best_fields across the two mapped fields — the same
+    per-field score frames as multifield_scored, combined by dis_max
+    (max + tie_breaker*(sum-max)) instead of the bool-should sum."""
+    from elasticsearch_analysis_hashsplitter_spark.operators.multifield import (
+        MultiFieldEngine,
+    )
+
+    eng = MultiFieldEngine(
+        {
+            "content": _engine(spark, sf_dir, "tokens"),
+            "hash": _engine(spark, sf_dir, "hash"),
+        }
+    )
+    hv = (
+        _docs(spark, sf_dir)
+        .where(F.col("doc_id") == 0)
+        .select(F.md5("text").alias("h"))
+        .first()["h"]
+    )
+    out = eng.search_scored(
+        {"content": "spark", "hash": hv},
+        k=10,
+        mode="max",
+        tie_breaker=BEST_FIELDS_TIE,
+    )
+    return out.select("doc_id", F.round("score", 4).alias("score"))
+
+
 SERVE_VALUES = ["join", "spark"]
 
 
@@ -1333,6 +1388,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_near_dup_lsh": _q_embedding_near_dup_lsh,
         "multifield_and_query": _q_multifield,
         "multifield_scored": _q_multifield_scored,
+        "multifield_best_fields": _q_multifield_best_fields,
+        "dis_max_topk": _q_dis_max,
+        "boosting_topk": _q_boosting,
         "serve_search": _q_serve,
         "windowed_event_stats": _q_windowed_events,
         "sessionize_events": _q_sessionize,
@@ -1410,6 +1468,98 @@ SELECT doc_id, round(score, 4) AS score FROM hits
 {having}
 ORDER BY score DESC, doc_id
 {f"LIMIT {limit}" if limit is not None else ""}{f" OFFSET {offset}" if offset else ""}"""
+
+
+def _scored_clause_cte(alias: str, value: str) -> tuple[str, str]:
+    """One conjunctive-BM25 clause as a named CTE over the shared
+    tf/dl/stats CTEs — (cte_sql, clause terms count) for composing the
+    dis_max oracle."""
+    terms = sorted(set(qc.field_query(value, TOK_CFG).terms))
+    in_list = ", ".join("'" + t + "'" for t in terms)
+    k1, b = TOK_CFG.bm25_k1, TOK_CFG.bm25_b
+    return (
+        f"""{alias} AS (
+  SELECT doc_id, score FROM (
+    SELECT tf.doc_id,
+           sum(ln(1 + (s.n - d_{alias}.df + 0.5) / (d_{alias}.df + 0.5))
+               * tf.tf * ({k1} + 1)
+               / (tf.tf + {k1} * (1 - {b} + {b} * dl.dl / s.avgdl))) AS score,
+           count(DISTINCT tf.term) AS nt
+    FROM tf
+    JOIN (SELECT term, count(*) AS df FROM tf
+          WHERE term IN ({in_list}) GROUP BY term) d_{alias}
+      ON tf.term = d_{alias}.term
+    JOIN dl USING (doc_id)
+    CROSS JOIN stats s
+    GROUP BY tf.doc_id
+  ) h WHERE nt = {len(terms)}
+)""",
+        str(len(terms)),
+    )
+
+
+def _dis_max_oracle() -> str:
+    """Lucene DisjunctionMaxScorer: max(sub) + tie*(sum(sub)-max(sub))
+    over independently-scored conjunctive clauses."""
+    clauses = [
+        _scored_clause_cte(f"s{i}", v)[0]
+        for i, v in enumerate(DIS_MAX_VALUES)
+    ]
+    union = " UNION ALL ".join(
+        f"SELECT doc_id, score FROM s{i}"
+        for i in range(len(DIS_MAX_VALUES))
+    )
+    return f"""
+WITH {_TOK_CTE},
+tf AS (SELECT doc_id, term, count(*) AS tf FROM chunks GROUP BY doc_id, term),
+dl AS (SELECT doc_id, count(*) AS dl FROM chunks GROUP BY doc_id),
+stats AS (SELECT (SELECT count(*) FROM documents) AS n, avg(dl) AS avgdl FROM dl),
+{", ".join(clauses)},
+u AS ({union})
+SELECT doc_id, round(s, 4) AS score FROM (
+  SELECT doc_id,
+         max(score) + {DIS_MAX_TIE} * (sum(score) - max(score)) AS s
+  FROM u GROUP BY doc_id
+) g
+ORDER BY s DESC, doc_id
+LIMIT 10"""
+
+
+def _boosting_oracle() -> str:
+    """ES boosting query: positive conjunctive BM25, negative-match
+    docs demoted by x negative_boost before the top-k."""
+    terms = sorted(set(_bm25_terms))
+    in_list = ", ".join("'" + t + "'" for t in terms)
+    k1, b = TOK_CFG.bm25_k1, TOK_CFG.bm25_b
+    neg_sel = sql_oracle.docs_select(_excl_node(), TOK_CFG)
+    return f"""
+WITH {_TOK_CTE},
+tf AS (SELECT doc_id, term, count(*) AS tf FROM chunks GROUP BY doc_id, term),
+dl AS (SELECT doc_id, count(*) AS dl FROM chunks GROUP BY doc_id),
+stats AS (SELECT (SELECT count(*) FROM documents) AS n, avg(dl) AS avgdl FROM dl),
+dfs AS (SELECT term, count(*) AS df FROM tf
+        WHERE term IN ({in_list}) GROUP BY term),
+hits AS (
+  SELECT tf.doc_id,
+         sum(ln(1 + (s.n - dfs.df + 0.5) / (dfs.df + 0.5))
+             * tf.tf * ({k1} + 1)
+             / (tf.tf + {k1} * (1 - {b} + {b} * dl.dl / s.avgdl))) AS score,
+         count(DISTINCT tf.term) AS nt
+  FROM tf
+  JOIN dfs USING (term)
+  JOIN dl USING (doc_id)
+  CROSS JOIN stats s
+  GROUP BY tf.doc_id
+),
+neg AS ({neg_sel})
+SELECT doc_id, round(s, 4) AS score FROM (
+  SELECT doc_id,
+         CASE WHEN doc_id IN (SELECT doc_id FROM neg)
+              THEN score * {BOOSTING_NEG_BOOST} ELSE score END AS s
+  FROM hits WHERE nt = {len(terms)}
+) g
+ORDER BY s DESC, doc_id
+LIMIT 10"""
 
 
 def _bm25_explain_oracle() -> str:
@@ -1806,6 +1956,16 @@ u AS (
   UNION ALL
   SELECT doc_id, score FROM sc_h WHERE nt = (SELECT count(*) FROM qh)
 )
+"""
+    multifield_best_fields = multifield_scored + f"""
+SELECT doc_id, round(s, 4) AS score FROM (
+  SELECT doc_id,
+         max(score) + {BEST_FIELDS_TIE} * (sum(score) - max(score)) AS s
+  FROM u GROUP BY doc_id
+) g
+ORDER BY s DESC, doc_id
+LIMIT 10"""
+    multifield_scored = multifield_scored + """
 SELECT doc_id, round(sum(score), 4) AS score
 FROM u GROUP BY doc_id
 ORDER BY sum(score) DESC, doc_id
@@ -2148,6 +2308,9 @@ FROM reach GROUP BY src ORDER BY doc_id""",
         "embedding_near_dup_lsh": near_dup_lsh,
         "multifield_and_query": multifield,
         "multifield_scored": multifield_scored,
+        "multifield_best_fields": multifield_best_fields,
+        "dis_max_topk": _dis_max_oracle(),
+        "boosting_topk": _boosting_oracle(),
         "serve_search": serve_search,
         "ann_cosine_topk": ann,
         "embedding_near_dup": """

@@ -45,6 +45,8 @@ class MultiFieldEngine:
         values: dict[str, str],
         k: int = 10,
         require_all: bool = False,
+        mode: str = "sum",
+        tie_breaker: float = 0.0,
     ) -> DataFrame:
         """Cross-field scored BM25 top-k — the ES multi-field bool
         query shape over several hashsplitter-mapped fields (the
@@ -53,14 +55,22 @@ class MultiFieldEngine:
         per field). Each field's value is analyzed with THAT field's
         config and scored conjunctively over its chunk terms against
         its own sub-index statistics (df/avgdl per field, exactly as ES
-        per-field similarity); the per-field score frames are summed on
-        doc_id BEFORE ranking.
+        per-field similarity); the per-field score frames are combined
+        on doc_id BEFORE ranking.
 
-        ``require_all=False`` (default): bool-should — docs matching
-        ANY field rank by the sum of their matching fields' scores.
+        ``mode="sum"`` (default): bool-should / multi_match
+        most_fields — combined score is the sum of matching fields'
+        scores. ``mode="max"``: multi_match best_fields — Lucene
+        DisjunctionMaxQuery across the per-field clauses,
+        ``max + tie_breaker * (sum - max)``. Same union + single
+        groupBy plan either way; only the aggregate expression differs.
+
+        ``require_all=False`` (default): docs matching ANY field rank.
         ``require_all=True``: bool-must — docs must match every field.
         Top-k ties break on doc_id asc, as everywhere in the engine.
         """
+        if mode not in ("sum", "max"):
+            raise ValueError(f"unknown combine mode: {mode!r}")
         parts = []
         any_engine = next(iter(self.engines.values()))
         for fname in sorted(values):
@@ -78,10 +88,22 @@ class MultiFieldEngine:
         union = parts[0]
         for p in parts[1:]:
             union = union.unionByName(p)
-        agg = union.groupBy("doc_id").agg(
-            F.sum("score").alias("score"),
-            F.count("*").alias("n_fields"),
-        )
+        if mode == "max":
+            tb = float(tie_breaker)
+            agg = union.groupBy("doc_id").agg(
+                F.max("score").alias("mx"),
+                F.sum("score").alias("sm"),
+                F.count("*").alias("n_fields"),
+            )
+            agg = agg.withColumn(
+                "score",
+                F.col("mx") + F.lit(tb) * (F.col("sm") - F.col("mx")),
+            )
+        else:
+            agg = union.groupBy("doc_id").agg(
+                F.sum("score").alias("score"),
+                F.count("*").alias("n_fields"),
+            )
         if require_all:
             agg = agg.where(F.col("n_fields") == len(parts))
         return (

@@ -1606,6 +1606,95 @@ class SearchEngine:
             )
         return self.bm25_topk_disjunctive(list(node.terms), k)
 
+    def dis_max(
+        self,
+        values: list[str],
+        k: int = 10,
+        tie_breaker: float = 0.0,
+        boost: float = 1.0,
+    ) -> DataFrame:
+        """ES/Lucene ``dis_max`` over several analyzed values on this
+        field: each value compiles to its chunk-AND fieldQuery (the
+        reference's C1 shape) and is scored independently; a doc
+        matching any clause ranks by Lucene's DisjunctionMaxScorer
+        formula ``max(sub) + tie_breaker * (sum(sub) - max(sub))``.
+        tie_breaker=0 is pure best-clause-wins (what multi_match
+        best_fields compiles to); 1.0 degrades to the bool-should sum.
+
+        Plan shape: each clause is one exact candidate-sized score
+        frame (:meth:`bm25_scores` — the clause's own anchor/block
+        prunes stay sound because the frame is exact for its matches),
+        then ONE union + ONE groupBy over candidate-sized data. The
+        combinator never adds a postings scan.
+        """
+        parts = []
+        for v in values:
+            node = qc.field_query(v, self.cfg, scored=True)
+            if not isinstance(node, ir.ScoredTerms):
+                continue
+            parts.append(self.bm25_scores(list(node.terms), boost=boost))
+        if not parts:
+            return self._empty_scored()
+        union = parts[0]
+        for p in parts[1:]:
+            union = union.unionByName(p)
+        tb = float(tie_breaker)
+        agg = union.groupBy("doc_id").agg(
+            F.max("score").alias("mx"), F.sum("score").alias("sm")
+        )
+        return (
+            agg.select(
+                "doc_id",
+                (
+                    F.col("mx") + F.lit(tb) * (F.col("sm") - F.col("mx"))
+                ).alias("score"),
+            )
+            .orderBy(F.col("score").desc(), F.col("doc_id").asc())
+            .limit(k)
+        )
+
+    def boosting(
+        self,
+        positive: str,
+        negative: ir.Node,
+        negative_boost: float = 0.2,
+        k: int = 10,
+    ) -> DataFrame:
+        """ES/Lucene ``boosting`` query: rank by the positive value's
+        conjunctive BM25 score, DEMOTING (never excluding) docs that
+        also match the negative query — their score is multiplied by
+        ``negative_boost``. The negative side is pure membership
+        (Lucene never scores it), evaluated by the unscored doc-set
+        path; the demotion is one candidate-sized left join + CASE on
+        the exact score frame, so every clause-level prune stays sound
+        (top-k selection happens only after the demotion).
+        """
+        node = qc.field_query(positive, self.cfg, scored=True)
+        if not isinstance(node, ir.ScoredTerms):
+            return self._empty_scored()
+        scores = self.bm25_scores(list(node.terms))
+        nb = float(negative_boost)
+        neg = ir.simplify(negative)
+        if isinstance(neg, ir.MatchAll):
+            scores = scores.select(
+                "doc_id", (F.col("score") * nb).alias("score")
+            )
+        elif not isinstance(neg, ir.MatchNone):
+            nd = self._docs_inner(neg).select(
+                "doc_id", F.lit(True).alias("_neg")
+            )
+            scores = scores.join(nd, "doc_id", "left").select(
+                "doc_id",
+                F.when(F.col("_neg"), F.col("score") * nb)
+                .otherwise(F.col("score"))
+                .alias("score"),
+            )
+        return (
+            scores
+            .orderBy(F.col("score").desc(), F.col("doc_id").asc())
+            .limit(k)
+        )
+
     def scroll(
         self,
         value: str,

@@ -22,8 +22,18 @@ def main(argv=None) -> int:
         choices=["search", "search_any", "batch", "serve", "term", "chunk_term",
                  "prefix", "wildcard", "range", "count", "delete",
                  "delete_by_query", "upsert", "scroll", "mlt", "sort",
-                 "highlight"],
+                 "highlight", "dis_max", "boosting"],
     )
+    p.add_argument("--tie-breaker", type=float, default=0.0,
+                   help="dis_max tie breaker: score = max + "
+                        "tie_breaker * (sum - max) over the clause "
+                        "scores (0 = best clause wins)")
+    p.add_argument("--negative-prefix", default=None,
+                   help="ES boosting query negative clause: demote "
+                        "docs matching this prefix query")
+    p.add_argument("--negative-boost", type=float, default=0.2,
+                   help="score multiplier for negative matches "
+                        "(--op boosting)")
     p.add_argument("--must-not-prefix", default=None,
                    help="ES bool must_not: exclude docs matching this "
                         "prefix query (search / search_any)")
@@ -111,6 +121,26 @@ def main(argv=None) -> int:
         rows = eng.search_any(
             args.value, k=args.k, must_not=_must_not(),
             min_should_match=args.min_should_match,
+        ).collect()
+        print(json.dumps([(r["doc_id"], r["score"]) for r in rows]))
+    elif args.op == "dis_max":
+        vals = [v for v in (args.values or "").split(",") if v]
+        if not vals:
+            raise SystemExit("--op dis_max needs --values a,b,...")
+        rows = eng.dis_max(
+            vals, k=args.k, tie_breaker=args.tie_breaker
+        ).collect()
+        print(json.dumps([(r["doc_id"], r["score"]) for r in rows]))
+    elif args.op == "boosting":
+        if args.negative_prefix is None:
+            raise SystemExit("--op boosting needs --negative-prefix")
+        from elasticsearch_analysis_hashsplitter_spark.plans import (
+            compile as qc,
+        )
+
+        neg = qc.prefix_query(args.negative_prefix, eng.cfg)
+        rows = eng.boosting(
+            args.value, neg, negative_boost=args.negative_boost, k=args.k
         ).collect()
         print(json.dumps([(r["doc_id"], r["score"]) for r in rows]))
     elif args.op == "scroll":

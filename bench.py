@@ -862,21 +862,28 @@ def _headline_line(result: dict) -> str:
         line = json.dumps(out, separators=(",", ":"))
         if len(line) <= 1900:
             return line
-    # last resort: spec keys only, trimming the per-query map (slowest
-    # kept) until the line fits (never expected to trigger)
-    out = {
-        k: out[k]
-        for k in ("metric", "unit", "sf", "value", "queries")
-        if k in out
-    }
+    # Next rung: the per-query map is the bulk (68 gates x ~25 bytes) —
+    # trim it to the slowest-N, KEEPING the section picks. The eighth
+    # official r5 run hit the old inverted rung, which dropped the
+    # scaling section (the north-rule numbers!) to preserve all 68
+    # per-query floats; headline priority is sections > query map.
     by_cost = sorted(
-        out.get("queries", {}).items(), key=lambda kv: -kv[1]
+        result.get("queries", {}).items(), key=lambda kv: -kv[1]
     )
     for keep in range(len(by_cost), -1, -1):
-        out["queries"] = dict(sorted(by_cost[:keep]))
+        out["queries"] = {
+            k: round(v, 1) for k, v in sorted(by_cost[:keep])
+        }
         line = json.dumps(out, separators=(",", ":"))
         if len(line) <= 1900:
             return line
+    # truly last resort: spec keys only (never expected to trigger)
+    out = {
+        k: out[k]
+        for k in ("metric", "unit", "sf", "value")
+        if k in out
+    }
+    out["queries"] = {}
     return json.dumps(out, separators=(",", ":"))
 
 

@@ -21,7 +21,11 @@ operator family has. What it measures (warm engine, best-of-N):
    stats + exhaustive disjunction);
 7. highlight of a top-10 hit frame against the 1M corpus (broadcast);
 8. scroll: per-page cost across 3 pages (each page = one scan + one
-   shuffle, page N must cost ~page 1).
+   shuffle, page N must cost ~page 1);
+9. dis_max over two clauses (cost vs the two clause plans it unions;
+   single-clause identity dis_max([v]) == search(v) at scale);
+10. boosting (demote-never-exclude: expected top-10 recomputed from
+    the unconstrained top-50 + negative membership, exact doubles).
 
 Run on an idle box (assumes the 32 cores):
   python tools/clause_scale_probe.py --rows 1000000
@@ -248,6 +252,64 @@ def main():
             page_secs.append(round(time.time() - t0, 2))
             t0 = time.time()
         out["scroll_pages_seconds"] = page_secs
+
+        # 9. dis_max ------------------------------------------------------
+        from pyspark.sql import functions as F
+
+        t_dm1, dm1_rows = best_of(
+            args.reps,
+            lambda: eng.dis_max([hot], k=10, tie_breaker=0.3).collect(),
+        )
+        single_identity = [
+            (r["doc_id"], r["score"]) for r in dm1_rows
+        ] == [(r["doc_id"], r["score"]) for r in base_rows[:10]]
+        t_dm2, _ = best_of(
+            args.reps,
+            lambda: eng.dis_max([hot, "return"], k=10,
+                                tie_breaker=0.3).collect(),
+        )
+        out["dis_max_single_clause"] = {
+            "seconds": round(t_dm1, 2),
+            "identity_vs_search": single_identity,
+        }
+        out["dis_max_two_clauses"] = {
+            "seconds": round(t_dm2, 2),
+            "overhead_x_vs_one_scored": round(t_dm2 / t_q, 2),
+        }
+
+        # 10. boosting ----------------------------------------------------
+        nb = 0.2
+        t_bo, bo_rows = best_of(
+            args.reps,
+            lambda: eng.boosting(hot, excl_node, negative_boost=nb,
+                                 k=10).collect(),
+        )
+        ids = spark.createDataFrame(
+            [(int(d),) for d in base_scores], "doc_id long"
+        )
+        neg_ids = {
+            r["doc_id"]
+            for r in eng.docs(excl_node)
+            .join(F.broadcast(ids), "doc_id", "left_semi")
+            .collect()
+        }
+        # expected top-10 from the unconstrained top-50 (valid as long
+        # as the demoted #10 lies inside it — true at 1M with this df)
+        expect = sorted(
+            (
+                (d, s * nb if d in neg_ids else s)
+                for d, s in base_scores.items()
+            ),
+            key=lambda x: (-x[1], x[0]),
+        )[:10]
+        out["boosting"] = {
+            "seconds": round(t_bo, 2),
+            "overhead_x": round(t_bo / t_q, 2),
+            "parity": [
+                (r["doc_id"], r["score"]) for r in bo_rows
+            ] == expect,
+            "demoted_in_base_top50": len(neg_ids),
+        }
 
         print(json.dumps(out))
         return 0

@@ -1260,6 +1260,14 @@ BOOSTING_NEG_BOOST = 0.2
 BEST_FIELDS_TIE = 0.3
 
 
+def _q_match_all(spark, sf_dir):
+    """ES match_all: every live indexed doc at constant score — the
+    base query of facet-only requests. k chosen > corpus at sf0.001
+    and < corpus at sf0.01+ so both limit branches stay exercised."""
+    eng = _engine(spark, sf_dir, "tokens")
+    return eng.match_all(k=25).select("doc_id", "score")
+
+
 def _q_dis_max(spark, sf_dir):
     """ES/Lucene dis_max over two analyzed values on the content field:
     per-clause conjunctive BM25 frames combined by Lucene's
@@ -1391,6 +1399,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multifield_best_fields": _q_multifield_best_fields,
         "dis_max_topk": _q_dis_max,
         "boosting_topk": _q_boosting,
+        "match_all": _q_match_all,
         "serve_search": _q_serve,
         "windowed_event_stats": _q_windowed_events,
         "sessionize_events": _q_sessionize,
@@ -2311,6 +2320,10 @@ FROM reach GROUP BY src ORDER BY doc_id""",
         "multifield_best_fields": multifield_best_fields,
         "dis_max_topk": _dis_max_oracle(),
         "boosting_topk": _boosting_oracle(),
+        "match_all": (
+            "SELECT doc_id, (1.0)::DOUBLE AS score FROM documents "
+            "ORDER BY doc_id LIMIT 25"
+        ),
         "serve_search": serve_search,
         "ann_cosine_topk": ann,
         "embedding_near_dup": """

@@ -1606,6 +1606,19 @@ class SearchEngine:
             )
         return self.bm25_topk_disjunctive(list(node.terms), k)
 
+    def match_all(self, k: int = 10, boost: float = 1.0) -> DataFrame:
+        """ES ``match_all`` — every live indexed doc at a constant
+        score (= boost), doc_id-asc tie-break like every constant-score
+        path. The base query of facet-only / scan requests; membership
+        comes from docstats (one projection), tombstones masked at the
+        :meth:`docs` boundary."""
+        return (
+            self.docs(ir.MatchAll())
+            .select("doc_id", F.lit(float(boost)).alias("score"))
+            .orderBy("doc_id")
+            .limit(k)
+        )
+
     def dis_max(
         self,
         values: list[str],

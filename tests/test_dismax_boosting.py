@@ -235,3 +235,13 @@ def test_multifield_best_fields_mode(spark, tmp_path):
     assert [r["doc_id"] for r in got_sum] == [d for d, _ in want_sum]
     with pytest.raises(ValueError):
         eng.search_scored(vals, mode="geometric")
+
+
+def test_match_all_constant_score(eng):
+    rows = eng.match_all(k=N_DOCS + 10).collect()
+    assert [r["doc_id"] for r in rows] == list(range(N_DOCS))
+    assert all(r["score"] == 1.0 for r in rows)
+    first5 = eng.match_all(k=5, boost=3.0).collect()
+    assert [(r["doc_id"], r["score"]) for r in first5] == [
+        (i, 3.0) for i in range(5)
+    ]

@@ -22,7 +22,7 @@ def main(argv=None) -> int:
         choices=["search", "search_any", "batch", "serve", "term", "chunk_term",
                  "prefix", "wildcard", "range", "count", "delete",
                  "delete_by_query", "upsert", "scroll", "mlt", "sort",
-                 "highlight", "dis_max", "boosting"],
+                 "highlight", "dis_max", "boosting", "match_all"],
     )
     p.add_argument("--tie-breaker", type=float, default=0.0,
                    help="dis_max tie breaker: score = max + "
@@ -142,6 +142,9 @@ def main(argv=None) -> int:
         rows = eng.boosting(
             args.value, neg, negative_boost=args.negative_boost, k=args.k
         ).collect()
+        print(json.dumps([(r["doc_id"], r["score"]) for r in rows]))
+    elif args.op == "match_all":
+        rows = eng.match_all(k=args.k).collect()
         print(json.dumps([(r["doc_id"], r["score"]) for r in rows]))
     elif args.op == "scroll":
         pages = [

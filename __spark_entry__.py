@@ -1268,6 +1268,41 @@ def _q_match_all(spark, sf_dir):
     return eng.match_all(k=25).select("doc_id", "score")
 
 
+#: ES 0.19 custom_score script (Catalyst dialect): _score boosted by a
+#: doc-length field read from _source — shared verbatim semantics with
+#: the DuckDB oracle's final combine
+CUSTOM_SCORE_SCRIPT = "_score * (1.0 + ln(1 + n_chars) / 10.0)"
+
+
+def _q_custom_score(spark, sf_dir):
+    """ES 0.19 custom_score query: the conjunctive BM25 frame for
+    BM25_QUERY re-scored by a script over (_score, n_chars) — the
+    script result REPLACES the score, re-ranking before top-k."""
+    eng = _engine(spark, sf_dir, "tokens")
+    return eng.custom_score(
+        BM25_QUERY, CUSTOM_SCORE_SCRIPT, _docs(spark, sf_dir), k=10
+    ).select("doc_id", F.round("score", 4).alias("score"))
+
+
+def _q_analyze_tokens(spark, sf_dir):
+    """Distributed ES _analyze over the A1 hash-field analyzer: every
+    token the tokenizer emits for md5(text) of a 1-in-13 doc sample,
+    with the reference's full attribute set (term, stream position,
+    start/end character offsets — HashSplitterTokenizer.java:119-123)."""
+    from elasticsearch_analysis_hashsplitter_spark.operators.text import (
+        analyze_stream,
+    )
+
+    hashed = (
+        _docs(spark, sf_dir)
+        .where(F.col("doc_id") % 13 == 0)
+        .select("doc_id", F.md5("text").alias("hash"))
+    )
+    return analyze_stream(hashed, HASH_CFG, text_col="hash").orderBy(
+        "doc_id", "pos"
+    )
+
+
 def _q_dis_max(spark, sf_dir):
     """ES/Lucene dis_max over two analyzed values on the content field:
     per-clause conjunctive BM25 frames combined by Lucene's
@@ -1400,6 +1435,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dis_max_topk": _q_dis_max,
         "boosting_topk": _q_boosting,
         "match_all": _q_match_all,
+        "custom_score_topk": _q_custom_score,
+        "analyze_tokens": _q_analyze_tokens,
         "serve_search": _q_serve,
         "windowed_event_stats": _q_windowed_events,
         "sessionize_events": _q_sessionize,
@@ -1569,6 +1606,68 @@ SELECT doc_id, round(s, 4) AS score FROM (
 ) g
 ORDER BY s DESC, doc_id
 LIMIT 10"""
+
+
+def _custom_score_oracle() -> str:
+    """Conjunctive BM25 hits re-scored by CUSTOM_SCORE_SCRIPT's exact
+    formula over documents.n_chars (the _source field the script
+    reads), ranked by the script result."""
+    terms = sorted(set(_bm25_terms))
+    in_list = ", ".join("'" + t + "'" for t in terms)
+    k1, b = TOK_CFG.bm25_k1, TOK_CFG.bm25_b
+    return f"""
+WITH {_TOK_CTE},
+tf AS (SELECT doc_id, term, count(*) AS tf FROM chunks GROUP BY doc_id, term),
+dl AS (SELECT doc_id, count(*) AS dl FROM chunks GROUP BY doc_id),
+stats AS (SELECT (SELECT count(*) FROM documents) AS n, avg(dl) AS avgdl FROM dl),
+dfs AS (SELECT term, count(*) AS df FROM tf
+        WHERE term IN ({in_list}) GROUP BY term),
+hits AS (
+  SELECT tf.doc_id,
+         sum(ln(1 + (s.n - dfs.df + 0.5) / (dfs.df + 0.5))
+             * tf.tf * ({k1} + 1)
+             / (tf.tf + {k1} * (1 - {b} + {b} * dl.dl / s.avgdl))) AS score,
+         count(DISTINCT tf.term) AS nt
+  FROM tf
+  JOIN dfs USING (term)
+  JOIN dl USING (doc_id)
+  CROSS JOIN stats s
+  GROUP BY tf.doc_id
+)
+SELECT doc_id, round(s, 4) AS score FROM (
+  SELECT h.doc_id,
+         h.score * (1.0 + ln(1 + d.n_chars) / 10.0) AS s
+  FROM hits h JOIN documents d USING (doc_id)
+  WHERE h.nt = {len(terms)}
+) g
+ORDER BY s DESC, doc_id
+LIMIT 10"""
+
+
+def _analyze_tokens_oracle() -> str:
+    """Pure-SQL recomputation of the A1 attribute stream over md5(text)
+    for the 1-in-13 sample: term = prefix || 4-char gram, pos = chunk
+    index, offsets = (pos*L, min(pos*L+L, len))."""
+    L = HASH_CFG.chunk_length
+    pfx = HASH_CFG.prefixes.replace("'", "''")
+    pc = HASH_CFG.prefix_count
+    return f"""
+WITH vals AS (
+  SELECT doc_id, md5(text) AS v FROM documents WHERE doc_id % 13 = 0
+),
+g AS (
+  SELECT doc_id, v,
+         unnest(generate_series(1, CAST(ceil(length(v) / {L}.0) AS INT))) AS i
+  FROM vals
+)
+SELECT doc_id,
+       i - 1 AS pos,
+       substr('{pfx}', ((i - 1) % {pc}) + 1, 1)
+         || substr(v, (i - 1) * {L} + 1, {L}) AS term,
+       (i - 1) * {L} AS start_offset,
+       least(i * {L}, length(v)) AS end_offset
+FROM g
+ORDER BY doc_id, pos"""
 
 
 def _bm25_explain_oracle() -> str:
@@ -2324,6 +2423,8 @@ FROM reach GROUP BY src ORDER BY doc_id""",
             "SELECT doc_id, (1.0)::DOUBLE AS score FROM documents "
             "ORDER BY doc_id LIMIT 25"
         ),
+        "custom_score_topk": _custom_score_oracle(),
+        "analyze_tokens": _analyze_tokens_oracle(),
         "serve_search": serve_search,
         "ann_cosine_topk": ann,
         "embedding_near_dup": """

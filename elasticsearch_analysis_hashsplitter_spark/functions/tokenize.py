@@ -115,6 +115,36 @@ def chunk_value_with_offsets(
     return out
 
 
+def chunk_tokens_with_offsets(
+    tokens: Iterable[tuple[str, int]], cfg: HashSplitterConfig
+) -> list[tuple[str, int, int, int]]:
+    """A2 with stream attributes: ``[(term, position, start, end)]`` for
+    upstream ``(token, token_start_offset)`` pairs — exactly the
+    attributes the reference token filter emits
+    (HashSplitterTokenFilter.java:99, ``offsetAtt.setOffset(tokStart +
+    curPos, tokStart + curPos + curGramSize)``; the filter never touches
+    the position-increment attribute, so every chunk advances the stream
+    position by 1). ``position`` is the 0-based running chunk index
+    across the whole stream."""
+    out: list[tuple[str, int, int, int]] = []
+    L = cfg.chunk_length
+    pos = 0
+    for tok, tok_start in tokens:
+        for i in range((len(tok) + L - 1) // L):
+            cur = i * L
+            gram = min(L, len(tok) - cur)
+            out.append(
+                (
+                    cfg.prefix_at(i) + tok[cur : cur + gram],
+                    pos,
+                    tok_start + cur,
+                    tok_start + cur + gram,
+                )
+            )
+            pos += 1
+    return out
+
+
 def chunk_tokens(tokens: Iterable[str], cfg: HashSplitterConfig) -> list[str]:
     """A2: chunk each upstream token; prefix counter resets per token."""
     out: list[str] = []
@@ -182,6 +212,45 @@ def chunk_series(values: pd.Series, cfg: HashSplitterConfig) -> pa.Array:
     np.cumsum(counts, out=offsets[1:])
     return pa.ListArray.from_arrays(
         pa.array(offsets, type=pa.int64()), pa.array(flat, type=pa.string())
+    )
+
+
+def chunk_stream_frame(
+    values: pd.Series, cfg: HashSplitterConfig
+) -> pd.DataFrame:
+    """A1 attribute stream, vectorized: Series[str] -> DataFrame with one
+    row per emitted chunk — ``(row, pos, term, start_offset,
+    end_offset)`` — carrying exactly the attributes the reference
+    tokenizer sets per token (HashSplitterTokenizer.java:119-123:
+    term = prefix + gram, offsets = ``(oldPos, oldPos+gramSize)``; the
+    0-based ``pos`` is the stream position, one increment per chunk).
+    This is the distributed analogue of the ES ``_analyze`` API output
+    for the plugin's analyzer. Same cap+trim and chunking as
+    :func:`chunk_series`; all offset arithmetic is numpy over the
+    per-row chunk counts — no per-token Python."""
+    vals = values.fillna("")
+    if cfg.apply_input_cap:
+        vals = vals.str.slice(0, REFERENCE_INPUT_CAP).map(java_trim)
+    flat, counts = _chunk_flat(vals, cfg)
+    lens = vals.str.len().to_numpy(dtype=np.int64)
+    total = int(counts.sum())
+    row = np.repeat(np.arange(len(vals), dtype=np.int64), counts)
+    # stream position within each row: global arange minus the row's
+    # first flat index
+    firsts = np.zeros(len(vals), dtype=np.int64)
+    if len(vals):
+        firsts[1:] = np.cumsum(counts)[:-1]
+    pos = np.arange(total, dtype=np.int64) - np.repeat(firsts, counts)
+    start = pos * cfg.chunk_length
+    end = np.minimum(start + cfg.chunk_length, np.repeat(lens, counts))
+    return pd.DataFrame(
+        {
+            "row": row,
+            "pos": pos,
+            "term": flat,
+            "start_offset": start,
+            "end_offset": end,
+        }
     )
 
 

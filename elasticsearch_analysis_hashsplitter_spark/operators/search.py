@@ -1708,6 +1708,47 @@ class SearchEngine:
             .limit(k)
         )
 
+    def custom_score(
+        self,
+        value: str,
+        script: str | Column,
+        source: DataFrame,
+        k: int = 10,
+    ) -> DataFrame:
+        """ES 0.19 ``custom_score`` query: rank by a script evaluated
+        over the wrapped query's score plus the document's source
+        fields — the script's result REPLACES the score (ES
+        ``CustomScoreQueryParser``; scripts reference ``_score`` and
+        ``doc['field']``). The script here is a Catalyst SQL expression
+        (string) or ``Column`` over a frame exposing ``_score`` and
+        every ``source`` column — the same script model
+        ``update_by_query`` uses for its reindex transform.
+
+        Plan: the wrapped value's exact conjunctive BM25 frame (all
+        clause-level prunes stay sound — re-ranking happens over the
+        complete candidate set, before any top-k), one candidate-keyed
+        join to ``source`` for the field values (ES reads them from
+        ``_source``; the index stores none, HashSplitterFieldMapper
+        maps ``store: NO``), the script projection, then
+        TakeOrderedAndProject. No corpus-wide work beyond the postings
+        scan the wrapped query already does.
+        """
+        node = qc.field_query(value, self.cfg, scored=True)
+        if not isinstance(node, ir.ScoredTerms):
+            return self._empty_scored()
+        scores = self.bm25_scores(list(node.terms)).withColumnRenamed(
+            "score", "_score"
+        )
+        expr = F.expr(script) if isinstance(script, str) else script
+        rescored = source.join(scores, "doc_id").select(
+            "doc_id", expr.cast("double").alias("score")
+        )
+        return (
+            rescored
+            .orderBy(F.col("score").desc(), F.col("doc_id").asc())
+            .limit(k)
+        )
+
     def scroll(
         self,
         value: str,

@@ -140,3 +140,45 @@ def filter_documents(
     if min_tokens is not None:
         cond = cond & (token_count(text_col) >= min_tokens)
     return df.where(cond)
+
+
+def analyze_stream(
+    df: DataFrame,
+    cfg,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Distributed ES ``_analyze`` for the plugin's A1 analyzer: one row
+    per emitted token with the full attribute set the reference
+    tokenizer exposes — ``(doc_id, pos, term, start_offset,
+    end_offset)`` (HashSplitterTokenizer.java:119-123; ES's
+    ``_analyze`` API renders exactly these attributes per token).
+
+    Narrow map: :func:`~..functions.tokenize.chunk_stream_frame` runs
+    inside ``mapInPandas`` (Arrow-batched, zero per-token Python), so
+    the op is a single shuffle-free stage whose output partitioning
+    follows the input scan — at 100 TB this parallelizes per input
+    split with no exchange.
+    """
+    from ..functions.tokenize import chunk_stream_frame
+
+    src = df.select(
+        F.col(id_col).cast("long").alias("doc_id"),
+        F.col(text_col).cast("string").alias("_text"),
+    )
+
+    def gen(batches):
+        for pdf in batches:
+            out = chunk_stream_frame(pdf["_text"], cfg)
+            out.insert(
+                0, "doc_id", pdf["doc_id"].to_numpy()[out.pop("row")]
+            )
+            yield out
+
+    return src.mapInPandas(
+        gen,
+        schema=(
+            "doc_id long, pos int, term string, "
+            "start_offset int, end_offset int"
+        ),
+    )

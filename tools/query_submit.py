@@ -22,8 +22,12 @@ def main(argv=None) -> int:
         choices=["search", "search_any", "batch", "serve", "term", "chunk_term",
                  "prefix", "wildcard", "range", "count", "delete",
                  "delete_by_query", "upsert", "scroll", "mlt", "sort",
-                 "highlight", "dis_max", "boosting", "match_all"],
+                 "highlight", "dis_max", "boosting", "match_all",
+                 "custom_score", "analyze"],
     )
+    p.add_argument("--script", default=None,
+                   help="custom_score: Catalyst SQL expression over "
+                        "_score + source columns (ES script analogue)")
     p.add_argument("--tie-breaker", type=float, default=0.0,
                    help="dis_max tie breaker: score = max + "
                         "tie_breaker * (sum - max) over the clause "
@@ -214,6 +218,47 @@ def main(argv=None) -> int:
             coalesce=args.coalesce,
         )
         print(json.dumps(served))
+    elif args.op == "custom_score":
+        if not args.script:
+            raise SystemExit("--op custom_score needs --script")
+        rows = eng.custom_score(
+            args.value, args.script, _source(), k=args.k
+        ).collect()
+        print(json.dumps([(r["doc_id"], r["score"]) for r in rows]))
+    elif args.op == "analyze":
+        # ES _analyze against this index's analyzer: token stream with
+        # position + offsets (driver-side pure kernels; same functions
+        # the distributed analyze_stream vectorizes)
+        import re as _re
+
+        from elasticsearch_analysis_hashsplitter_spark.functions.tokenize import (
+            chunk_tokens_with_offsets,
+            chunk_value_with_offsets,
+        )
+
+        if args.value is None:
+            raise SystemExit("--op analyze needs --value")
+        if eng.cfg.token_mode == "value":
+            toks = [
+                {"token": t, "position": i, "start_offset": s,
+                 "end_offset": e}
+                for i, (t, s, e) in enumerate(
+                    chunk_value_with_offsets(args.value, eng.cfg)
+                )
+            ]
+        else:
+            pairs = [
+                (m.group(0), m.start())
+                for m in _re.finditer(eng.cfg.token_pattern, args.value)
+            ]
+            toks = [
+                {"token": t, "position": pos, "start_offset": s,
+                 "end_offset": e}
+                for t, pos, s, e in chunk_tokens_with_offsets(
+                    pairs, eng.cfg
+                )
+            ]
+        print(json.dumps({"tokens": toks}))
     elif args.op == "range":
         df = eng.range(args.lower, args.upper, args.include_lower,
                        args.include_upper)

@@ -329,6 +329,63 @@ def _q_lang_facet(spark, sf_dir):
     return eng.terms_facet(node, _docs(spark, sf_dir), "lang", size=10)
 
 
+#: query_facet clauses: a conjunctive value, a prefix clause, and a
+#: no-match value (the zero-count row ES still renders)
+QUERY_FACETS = {
+    "join_q": "join",       # field query
+    "none_q": "zzzznomatch",  # matches nothing -> count 0
+}
+QUERY_FACET_PREFIX = ("wind_p", "wind")  # prefix facet
+
+
+def _query_facet_nodes():
+    out = {
+        n: qc.field_query(v, TOK_CFG, scored=False)
+        for n, v in QUERY_FACETS.items()
+    }
+    name, pfx = QUERY_FACET_PREFIX
+    out[name] = qc.prefix_query(pfx, TOK_CFG)
+    return out
+
+
+def _q_query_facet(spark, sf_dir):
+    """ES query/filter facet: per named facet, count of docs matching
+    main AND facet; a no-match facet still emits its zero row."""
+    eng = _engine(spark, sf_dir, "tokens")
+    node = qc.field_query(BM25_QUERY, TOK_CFG, scored=False)
+    return eng.query_facet(node, _query_facet_nodes())
+
+
+def _q_terms_stats_facet(spark, sf_dir):
+    """ES terms_stats facet: per-lang stats of n_chars over the
+    BM25_QUERY doc set (count desc / term asc, 0.19 default order)."""
+    eng = _engine(spark, sf_dir, "tokens")
+    node = qc.field_query(BM25_QUERY, TOK_CFG, scored=False)
+    return eng.terms_stats_facet(
+        node, _docs(spark, sf_dir), "lang", "n_chars", size=10
+    )
+
+
+def _q_date_histogram_facet(spark, sf_dir):
+    """ES date_histogram facet (month buckets) over the BM25_QUERY doc
+    set. The corpus carries no timestamp, so the gate derives one
+    deterministically (2020-01-01 + doc_id % 400 days — the planted-
+    data pattern the embedding gates use); both engines bucket with
+    date_trunc('month') and render the key as yyyy-MM-dd."""
+    eng = _engine(spark, sf_dir, "tokens")
+    node = qc.field_query(BM25_QUERY, TOK_CFG, scored=False)
+    src = _docs(spark, sf_dir).select(
+        "doc_id",
+        F.date_add(
+            F.lit("2020-01-01").cast("date"),
+            (F.col("doc_id") % 400).cast("int"),
+        ).alias("ts"),
+    )
+    return eng.date_histogram_facet(node, src, "ts", "month").select(
+        F.date_format("key", "yyyy-MM-dd").alias("key"), "count"
+    )
+
+
 def _q_more_like_this(spark, sf_dir):
     """ES more_like_this: re-analyze doc 0's _source, select the 10
     highest tf*idf terms, scored disjunction excluding doc 0 itself."""
@@ -1402,6 +1459,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stats_facet": _q_stats_facet,
         "histogram_facet": _q_hist_facet,
         "range_facet": _q_range_facet,
+        "query_facet": _q_query_facet,
+        "terms_stats_facet": _q_terms_stats_facet,
+        "date_histogram_facet": _q_date_histogram_facet,
         "bm25_topk_page2": _q_bm25_page2,
         "bm25_topk_deleted": _q_bm25_deleted,
         "bm25_topk_purged": _q_bm25_purged,
@@ -2296,6 +2356,56 @@ FROM b LEFT JOIN v
   ON (b.lo IS NULL OR v.v >= b.lo) AND (b.hi IS NULL OR v.v < b.hi)
 GROUP BY b.rid, b.lo, b.hi
 ORDER BY b.rid""",
+        # ES query/filter facet: per-facet And(main, facet) counts;
+        # the no-match facet renders its zero row
+        "query_facet": f"""
+WITH {_TOK_CTE},
+m AS (SELECT doc_id FROM (
+  {sql_oracle.docs_select(qc.field_query(BM25_QUERY, TOK_CFG, scored=False), TOK_CFG)}
+) q)
+SELECT name, count FROM (
+  {" UNION ALL ".join(
+      "SELECT '" + name + "' AS name, "
+      "(SELECT count(*) FROM ("
+      + sql_oracle.docs_select(fnode, TOK_CFG)
+      + ") f WHERE f.doc_id IN (SELECT doc_id FROM m))::BIGINT AS count"
+      for name, fnode in sorted(_query_facet_nodes().items())
+  )}
+) u
+ORDER BY name""",
+        # ES terms_stats facet: per-lang stats of n_chars (integral ->
+        # exact aggregates), count desc / term asc, top 10
+        "terms_stats_facet": f"""
+WITH {_TOK_CTE}
+SELECT d.lang AS term,
+       count(*)::BIGINT AS count,
+       min(CAST(d.n_chars AS DOUBLE)) AS min,
+       max(CAST(d.n_chars AS DOUBLE)) AS max,
+       sum(CAST(d.n_chars AS DOUBLE)) AS total,
+       avg(CAST(d.n_chars AS DOUBLE)) AS mean
+FROM documents d
+WHERE d.doc_id IN (
+  SELECT doc_id FROM (
+    {sql_oracle.docs_select(qc.field_query(BM25_QUERY, TOK_CFG, scored=False), TOK_CFG)}
+  ) m)
+GROUP BY d.lang
+ORDER BY count DESC, term
+LIMIT 10""",
+        # ES date_histogram facet: month buckets of the derived
+        # deterministic timestamp, keys as yyyy-MM-dd strings
+        "date_histogram_facet": f"""
+WITH {_TOK_CTE}
+SELECT strftime(date_trunc('month',
+         DATE '2020-01-01' + (d.doc_id % 400) * INTERVAL 1 DAY),
+         '%Y-%m-%d') AS key,
+       count(*)::BIGINT AS count
+FROM documents d
+WHERE d.doc_id IN (
+  SELECT doc_id FROM (
+    {sql_oracle.docs_select(qc.field_query(BM25_QUERY, TOK_CFG, scored=False), TOK_CFG)}
+  ) m)
+GROUP BY key
+ORDER BY key""",
         # ES histogram facet: fixed 100-wide buckets, empty absent
         "histogram_facet": f"""
 WITH {_TOK_CTE}

@@ -1199,6 +1199,110 @@ class SearchEngine:
             .drop("rid")
         )
 
+    def query_facet(
+        self,
+        node: ir.Node,
+        facets: dict[str, ir.Node],
+    ) -> DataFrame:
+        """ES query facet / filter facet: for each named facet, the
+        count of docs matching BOTH the main query and the facet's
+        query. In ES 0.19 the two facet types differ only in how the
+        inner clause is parsed (query vs filter context) — the counts
+        are identical, so both map here to one ``And`` per facet.
+        Output ``(name, count)``, name asc; a facet matching nothing
+        still emits its zero row (ES always renders every requested
+        facet).
+
+        Shape: every facet's ``And(main, facet)`` doc set evaluates in
+        one unioned frame tagged by facet name — the per-facet scans
+        dedupe through Spark's exchange/scan reuse — then one tiny
+        count aggregation; the <= len(facets)-row result left-joins the
+        names table so empty facets surface as zeros."""
+        if not facets:
+            raise ValueError("query_facet needs at least one facet")
+        spark = self.spark
+        names = spark.createDataFrame(
+            [(n,) for n in sorted(facets)], "name string"
+        )
+        tagged = [
+            self.docs(ir.And((node, fnode))).select(
+                F.lit(name).alias("name"), "doc_id"
+            )
+            for name, fnode in sorted(facets.items())
+        ]
+        counts = (
+            reduce(DataFrame.unionByName, tagged)
+            .groupBy("name")
+            .agg(F.count("*").alias("count"))
+        )
+        return (
+            names.join(F.broadcast(counts), ["name"], "left")
+            .select(
+                "name", F.coalesce("count", F.lit(0)).alias("count")
+            )
+            .orderBy("name")
+        )
+
+    def terms_stats_facet(
+        self,
+        node: ir.Node,
+        source: DataFrame,
+        key_field: str,
+        value_field: str,
+        size: int = 10,
+    ) -> DataFrame:
+        """ES terms_stats facet: per distinct ``key_field`` value,
+        statistics of numeric ``value_field`` over the docs matching an
+        IR tree — ``(term, count, min, max, total, mean)``, count desc
+        / term asc (the 0.19 default ``order: count``), top ``size``.
+        Same single-join + tiny-aggregation shape as
+        :meth:`terms_facet`, tombstone-aware via :meth:`docs`."""
+        hits = self.docs(node)
+        col = F.col(value_field).cast("double")
+        return (
+            source.join(hits, "doc_id")
+            .groupBy(F.col(key_field).alias("term"))
+            .agg(
+                F.count(col).alias("count"),
+                F.min(col).alias("min"),
+                F.max(col).alias("max"),
+                F.sum(col).alias("total"),
+                F.avg(col).alias("mean"),
+            )
+            .orderBy(F.col("count").desc(), F.col("term").asc())
+            .limit(size)
+        )
+
+    def date_histogram_facet(
+        self,
+        node: ir.Node,
+        source: DataFrame,
+        field: str,
+        interval: str = "day",
+    ) -> DataFrame:
+        """ES date_histogram facet: doc counts per calendar bucket of a
+        timestamp/date ``source.field`` over the docs matching an IR
+        tree — ``(key, count)``, key asc, empty buckets absent (0.19
+        behavior). ``interval`` is a calendar unit (minute/hour/day/
+        week/month/quarter/year), bucketed by ``date_trunc`` — the same
+        truncation ES's TimeZoneRounding applies at UTC. Same
+        single-join shape as :meth:`histogram_facet`."""
+        allowed = {
+            "minute", "hour", "day", "week", "month", "quarter", "year",
+        }
+        if interval not in allowed:
+            raise ValueError(
+                f"interval must be one of {sorted(allowed)}: {interval}"
+            )
+        hits = self.docs(node)
+        key = F.date_trunc(interval, F.col(field)).alias("key")
+        return (
+            source.join(hits, "doc_id")
+            .groupBy(key)
+            .agg(F.count("*").alias("count"))
+            .orderBy("key")
+        )
+
     def explain(self, terms: list[str], doc_id: int) -> DataFrame:
         """Lucene ``Explanation`` parity: the per-term BM25 breakdown of
         one document's score for a bag of chunk terms — (term, weight,

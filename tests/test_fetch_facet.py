@@ -131,3 +131,82 @@ def test_mget_live_indexed_docs_only(spark, src):
         spark.createDataFrame([(400, "ghost", "py", 9)], SCHEMA)
     )
     assert [r["doc_id"] for r in e.get([2, 400], wider).collect()] == [2]
+
+
+def test_query_facet_counts_zero_row_and_tombstones(spark, src):
+    e = SearchEngine.from_corpus(src, CFG, num_partitions=2)
+    main = qc.field_query("join", CFG, scored=False)  # all 18 docs
+    facets = {
+        "merg": qc.field_query("merg", CFG, scored=False),  # odd ids
+        "none": qc.field_query("zzzz", CFG, scored=False),  # nothing
+        "all": qc.field_query("join", CFG, scored=False),
+    }
+    got = [
+        (r["name"], r["count"])
+        for r in e.query_facet(main, facets).collect()
+    ]
+    # name asc; the no-match facet still renders its zero row (ES
+    # always returns every requested facet)
+    assert got == [("all", 18), ("merg", 9), ("none", 0)]
+    e.delete_docs([1, 3])  # two odd (merg-matching) docs
+    got = dict(
+        (r["name"], r["count"])
+        for r in e.query_facet(main, facets).collect()
+    )
+    assert got == {"all": 16, "merg": 7, "none": 0}
+    with pytest.raises(ValueError, match="facet"):
+        e.query_facet(main, {})
+
+
+def test_terms_stats_facet_per_term_stats_and_order(spark, src):
+    e = SearchEngine.from_corpus(src, CFG, num_partitions=2)
+    node = qc.field_query("merg", CFG, scored=False)  # odd ids: 9 docs
+    got = [
+        (r["term"], r["count"], r["min"], r["max"], r["total"], r["mean"])
+        for r in e.terms_stats_facet(node, src, "lang", "n_chars").collect()
+    ]
+    # odd i in 0..17: lang cycle py/rs/go on i%3 -> rs@1,7,13 go@5,11,17
+    # py@3,9,15; n_chars = 10+i
+    import itertools
+    exp = {}
+    for i in range(1, 18, 2):
+        exp.setdefault(["py", "rs", "go"][i % 3], []).append(10 + i)
+    want = sorted(
+        (
+            (t, len(v), float(min(v)), float(max(v)), float(sum(v)),
+             sum(v) / len(v))
+            for t, v in exp.items()
+        ),
+        key=lambda x: (-x[1], x[0]),
+    )
+    assert got == want
+    # size cap keeps the count-desc/term-asc prefix
+    capped = e.terms_stats_facet(node, src, "lang", "n_chars", size=2)
+    assert [r["term"] for r in capped.collect()] == [t for t, *_ in want[:2]]
+
+
+def test_date_histogram_facet_month_buckets(spark, src):
+    from pyspark.sql import functions as F
+
+    e = SearchEngine.from_corpus(src, CFG, num_partitions=2)
+    node = qc.field_query("join", CFG, scored=False)  # all 18 docs
+    # derived ts: 2021-01-01 + 20*doc_id days -> months with gaps
+    ts_src = src.select(
+        "doc_id",
+        F.date_add(
+            F.lit("2021-01-01").cast("date"),
+            (F.col("doc_id") * 20).cast("int"),
+        ).alias("ts"),
+    )
+    got = [
+        (r["key"].strftime("%Y-%m"), r["count"])
+        for r in e.date_histogram_facet(node, ts_src, "ts", "month").collect()
+    ]
+    import datetime
+    exp = {}
+    for i in range(18):
+        d = datetime.date(2021, 1, 1) + datetime.timedelta(days=20 * i)
+        exp[d.strftime("%Y-%m")] = exp.get(d.strftime("%Y-%m"), 0) + 1
+    assert got == sorted(exp.items())  # key asc, empty buckets absent
+    with pytest.raises(ValueError, match="interval"):
+        e.date_histogram_facet(node, ts_src, "ts", "fortnight")

@@ -311,6 +311,123 @@ def main():
             "demoted_in_base_top50": len(neg_ids),
         }
 
+        # 11. custom_score -------------------------------------------------
+        # bounded-boost script so the expected top-10 is provably inside
+        # the unconstrained top-50 (max factor 1.006): exact parity via
+        # recompute, with the sufficiency threshold asserted at runtime
+        script = "_score * (1.0 + 0.001 * (doc_id % 7))"
+        t_cs, cs_rows = best_of(
+            args.reps,
+            lambda: eng.custom_score(hot, script, docs, k=10).collect(),
+        )
+        cs_expect = sorted(
+            (
+                (d, s * (1.0 + 0.001 * (d % 7)))
+                for d, s in base_scores.items()
+            ),
+            key=lambda x: (-x[1], x[0]),
+        )[:10]
+        rank50 = min(base_scores.values())
+        sufficient = rank50 * 1.006 < cs_expect[-1][1]
+        out["custom_score"] = {
+            "seconds": round(t_cs, 2),
+            "overhead_x": round(t_cs / t_q, 2),
+            "parity": sufficient and [
+                (r["doc_id"], r["score"]) for r in cs_rows
+            ] == cs_expect,
+            "recompute_window_sufficient": sufficient,
+        }
+
+        # 12. query/filter facet -------------------------------------------
+        t_qf, qf_rows = best_of(
+            args.reps,
+            lambda: eng.query_facet(
+                pos_node, {"excl": excl_node, "self": pos_node}
+            ).collect(),
+        )
+        qf = {r["name"]: r["count"] for r in qf_rows}
+        out["query_facet"] = {
+            "seconds": round(t_qf, 2),
+            "counts": qf,
+            # And(x, x) == x, and the cross facet equals section 1's
+            # positive-minus-NOT complement count
+            "parity": qf["self"] == n_pos
+            and qf["excl"] == n_pos - n_not,
+        }
+
+        # 13. terms_stats + date_histogram facets over the 1M corpus -------
+        t_ts, ts_rows = best_of(
+            args.reps,
+            lambda: eng.terms_stats_facet(
+                pos_node, docs.withColumn(
+                    "n_chars", F.length("content")
+                ), "lang", "n_chars",
+            ).collect(),
+        )
+        t_dh, dh_rows = best_of(
+            args.reps,
+            lambda: eng.date_histogram_facet(
+                pos_node,
+                docs.select(
+                    "doc_id",
+                    F.date_add(
+                        F.lit("2020-01-01").cast("date"),
+                        (F.col("doc_id") % 400).cast("int"),
+                    ).alias("ts"),
+                ),
+                "ts", "month",
+            ).collect(),
+        )
+        out["terms_stats_facet"] = {
+            "seconds": round(t_ts, 2), "terms": len(ts_rows),
+            "docs_counted": int(sum(r["count"] for r in ts_rows)),
+        }
+        out["date_histogram_facet"] = {
+            "seconds": round(t_dh, 2), "buckets": len(dh_rows),
+            "docs_counted": int(sum(r["count"] for r in dh_rows)),
+        }
+
+        # 14. analyze_stream (no index: the _analyze attribute stream) -----
+        from elasticsearch_analysis_hashsplitter_spark.config import (
+            HashSplitterConfig,
+        )
+        from elasticsearch_analysis_hashsplitter_spark.operators.text import (
+            analyze_stream,
+        )
+
+        hash_cfg = HashSplitterConfig(
+            chunk_length=4, size=32, apply_input_cap=False
+        )
+        cap_cfg = HashSplitterConfig(chunk_length=4)  # 1024-cap + trim
+        hashed = docs.select("doc_id", F.md5("content").alias("v"))
+
+        def run_stream(src, cfg, col):
+            # count + sum force full evaluation of every attribute row
+            return (
+                analyze_stream(src, cfg, text_col=col)
+                .agg(F.count("*"), F.sum("end_offset"))
+                .collect()[0][0]
+            )
+
+        t_a1, n_a1 = best_of(
+            2, lambda: run_stream(hashed, hash_cfg, "v")
+        )
+        t_a2, n_a2 = best_of(
+            2, lambda: run_stream(
+                docs.select("doc_id", "content"), cap_cfg, "content"
+            )
+        )
+        out["analyze_stream"] = {
+            "hash_field": {
+                "seconds": round(t_a1, 2), "tokens": int(n_a1),
+                "mtok_per_s": round(n_a1 / t_a1 / 1e6, 1),
+            },
+            "content_capped": {
+                "seconds": round(t_a2, 2), "tokens": int(n_a2),
+                "mtok_per_s": round(n_a2 / t_a2 / 1e6, 1),
+            },
+        }
+
         print(json.dumps(out))
         return 0
     finally:

@@ -723,6 +723,42 @@ def _q_multi_index(spark, sf_dir):
     )
 
 
+#: the percolator gate's registered queries — one of each query family
+#: plus a pure-negative bool (exercises the zero-mask plant) and a
+#: conjunction-with-exclusion (exercises leaf sharing across queries)
+def _perc_queries():
+    return {
+        "has_spark": qc.field_query("spark", TOK_CFG, scored=False),
+        "windo_prefix": qc.prefix_query("windo", TOK_CFG),
+        "sar_wild": qc.wildcard_query("s?ar*", TOK_CFG),
+        "spark_not_join": qc.bool_filter(
+            must=[qc.field_query("spark", TOK_CFG, scored=False)],
+            must_not=[qc.field_query("join", TOK_CFG, scored=False)],
+        ),
+        "no_spark": qc.bool_filter(
+            must_not=[qc.field_query("spark", TOK_CFG, scored=False)]
+        ),
+    }
+
+
+def _q_percolate(spark, sf_dir):
+    """ES 0.19 percolate API (reverse search): five registered queries
+    — field / prefix / wildcard / bool-with-exclusion / pure-negative —
+    evaluated against a 1-in-7 document sample in ONE broadcast leaf
+    join + ONE bit_or shuffle (operators/percolate.py). The oracle
+    re-derives each registered query's match set independently via the
+    IR -> SQL translator over the chunk CTE and unions them."""
+    from elasticsearch_analysis_hashsplitter_spark.operators.percolate import (
+        Percolator,
+    )
+
+    p = Percolator(spark, TOK_CFG)
+    for name, node in _perc_queries().items():
+        p.register(name, node)
+    sample = _docs(spark, sf_dir).where(F.col("doc_id") % 7 == 3)
+    return p.percolate(sample).orderBy("doc_id", "query_name")
+
+
 def _q_hash_prefix(spark, sf_dir):
     return _sorted_docs(_engine(spark, sf_dir, "hash").prefix("0"))
 
@@ -1468,6 +1504,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_topk_upserted": _q_bm25_upserted,
         "update_by_query": _q_update_by_query,
         "multi_index_search": _q_multi_index,
+        "percolate_matches": _q_percolate,
         "hash_prefix_query": _q_hash_prefix,
         "hash_wildcard_suffix": _q_hash_wildcard_suffix,
         "hash_range_query": _q_hash_range,
@@ -1990,6 +2027,26 @@ SELECT media_id,
 FROM h ORDER BY media_id"""
 
 
+def _percolate_oracle() -> str:
+    """Each registered percolator query re-derived independently via the
+    IR -> SQL translator, unioned under its name. The pure-negative
+    query's complement base is ALL documents (not just chunk-producing
+    ones) — ES percolates every submitted doc, termless or not."""
+    all_docs = "SELECT doc_id FROM documents"
+    arms = [
+        f"SELECT doc_id, '{name}' AS query_name FROM "
+        f"({sql_oracle.docs_select(node, TOK_CFG, all_docs_sql=all_docs)}) "
+        f"a_{i}"
+        for i, (name, node) in enumerate(sorted(_perc_queries().items()))
+    ]
+    union = "\nUNION ALL\n".join(arms)
+    return f"""
+WITH {_TOK_CTE}
+SELECT doc_id, query_name FROM ({union}) u
+WHERE doc_id % 7 = 3
+ORDER BY doc_id, query_name"""
+
+
 def oracle_sql() -> dict[str, str]:
     lex = f"""
 WITH {_TOK_CTE},
@@ -2470,6 +2527,7 @@ ORDER BY key""",
 SELECT doc_id, score,
        CASE WHEN doc_id % 2 = 0 THEN 'even' ELSE 'odd' END AS idx
 FROM ({_bm25_oracle()}) q""",
+        "percolate_matches": _percolate_oracle(),
         # semantic oracles on the raw derived value (stronger than mirroring)
         "hash_prefix_query": (
             "SELECT doc_id FROM documents WHERE md5(text) LIKE '0%' "

@@ -23,8 +23,13 @@ def main(argv=None) -> int:
                  "prefix", "wildcard", "range", "count", "delete",
                  "delete_by_query", "upsert", "scroll", "mlt", "sort",
                  "highlight", "dis_max", "boosting", "match_all",
-                 "custom_score", "analyze"],
+                 "custom_score", "analyze", "percolate"],
     )
+    p.add_argument("--queries-json", default=None,
+                   help="percolate: registered queries as a JSON list of "
+                        '[name, kind, value] with kind in '
+                        "field|prefix|wildcard|not_field (the ES "
+                        "_percolator registry)")
     p.add_argument("--script", default=None,
                    help="custom_score: Catalyst SQL expression over "
                         "_score + source columns (ES script analogue)")
@@ -294,6 +299,48 @@ def main(argv=None) -> int:
         print(json.dumps({"upserted": res["upserted"],
                           "replaced": res["replaced"],
                           "n_docs": res["stats"]["n_docs"]}))
+    elif args.op == "percolate":
+        # ES percolate: match doc(s) against the registered query set.
+        # Single-doc shape (--value = the doc text) or batch shape
+        # (--source-parquet with --id-col/--text-col).
+        from elasticsearch_analysis_hashsplitter_spark.operators.percolate import (  # noqa: E501
+            Percolator,
+        )
+        from elasticsearch_analysis_hashsplitter_spark.plans import (
+            compile as qc,
+        )
+
+        if not args.queries_json:
+            raise SystemExit("--op percolate needs --queries-json")
+        perc = Percolator(spark, eng.cfg)
+        for name, kind, value in json.loads(args.queries_json):
+            if kind == "field":
+                node = qc.field_query(value, eng.cfg, scored=False)
+            elif kind == "prefix":
+                node = qc.prefix_query(value, eng.cfg)
+            elif kind == "wildcard":
+                node = qc.wildcard_query(value, eng.cfg)
+            elif kind == "not_field":
+                node = qc.bool_filter(
+                    must_not=[qc.field_query(value, eng.cfg, scored=False)]
+                )
+            else:
+                raise SystemExit(f"unknown percolate query kind {kind!r}")
+            perc.register(name, node)
+        if args.value is not None:
+            docs = spark.createDataFrame(
+                [(0, args.value)], "doc_id long, text string"
+            )
+            out = perc.percolate(docs)
+            print(json.dumps(sorted(r["query_name"] for r in out.collect())))
+        else:
+            out = perc.percolate(
+                _source(), id_col="doc_id", text_col=args.text_col
+            )
+            rows = out.orderBy("doc_id", "query_name").collect()
+            print(json.dumps(
+                [[r["doc_id"], r["query_name"]] for r in rows]
+            ))
     elif args.op == "delete_by_query":
         from elasticsearch_analysis_hashsplitter_spark.plans import (
             compile as qc,

@@ -1416,6 +1416,77 @@ def _q_boosting(spark, sf_dir):
     ).select("doc_id", F.round("score", 4).alias("score"))
 
 
+#: parent/child gates: the corpus's `source` column plays ES's _parent
+#: routing key (20 parent keys at every SF; fan-out = |docs| / 20)
+HAS_PARENT_PRED = "parent LIKE 'src1%'"
+#: custom_filters_score: the EARLIER filter's boost is SMALLER than the
+#: later one's, so score_mode=first (first match wins, the ES default)
+#: provably differs from max on docs matching both
+CFS_FILTERS_SPEC = [("windo-prefix", 1.5), ("c?stomer-wild", 2.0)]
+SCRIPT_FILTER_EXPR = "n_chars % 3 = 1"
+
+
+def _cfs_filters():
+    return [
+        (_excl_node(), CFS_FILTERS_SPEC[0][1]),
+        (qc.wildcard_query("c?stomer", TOK_CFG), CFS_FILTERS_SPEC[1][1]),
+    ]
+
+
+def _q_has_child(spark, sf_dir):
+    """ES 0.19 has_child: the parents (source keys) having >=1 child
+    whose md5 hash field matches prefix '0' — constant-score in 0.19
+    (HasChildQueryParser wraps a score-deleting filter), so the gate
+    pins the distinct parent-key set. Selective at sf0.01: 25 of 500
+    children match, covering 12 of the 20 parents."""
+    eng = _engine(spark, sf_dir, "hash")
+    return eng.has_child(
+        qc.prefix_query("0", HASH_CFG), _docs(spark, sf_dir)
+    )
+
+
+def _q_has_parent(spark, sf_dir):
+    """ES 0.19 has_parent: the children whose parent key matches the
+    parent-level predicate (constant-score membership, like
+    has_child)."""
+    eng = _engine(spark, sf_dir, "tokens")
+    return eng.has_parent(HAS_PARENT_PRED, _docs(spark, sf_dir))
+
+
+def _q_top_children(spark, sf_dir):
+    """ES 0.19 top_children: parents ranked by the SUM of their
+    matching children's conjunctive BM25 scores for the flagship
+    value (sum is ES score_mode=sum; max/avg are pytest-pinned)."""
+    eng = _engine(spark, sf_dir, "tokens")
+    out = eng.top_children(
+        BM25_QUERY, _docs(spark, sf_dir), score_mode="sum", k=10
+    )
+    return out.select("parent", F.round("score", 4).alias("score"))
+
+
+def _q_script_filter(spark, sf_dir):
+    """ES 0.19 script filter inside a filtered query: BM25 ranking with
+    membership cut by a script over the _source field n_chars — scores
+    untouched (FilteredQuery never scores the filter side)."""
+    eng = _engine(spark, sf_dir, "tokens")
+    out = eng.script_filter(
+        BM25_QUERY, SCRIPT_FILTER_EXPR, _docs(spark, sf_dir), k=10
+    )
+    return out.select("doc_id", F.round("score", 4).alias("score"))
+
+
+def _q_custom_filters_score(spark, sf_dir):
+    """ES 0.19 custom_filters_score, score_mode=first (the ES default:
+    first matching filter in list order wins): BM25 x 1.5 for docs
+    matching the windo-prefix filter, x 2.0 for docs matching only the
+    c?stomer wildcard, x 1 for the rest."""
+    eng = _engine(spark, sf_dir, "tokens")
+    out = eng.custom_filters_score(
+        BM25_QUERY, _cfs_filters(), score_mode="first", k=10
+    )
+    return out.select("doc_id", F.round("score", 4).alias("score"))
+
+
 def _q_multifield_best_fields(spark, sf_dir):
     """multi_match best_fields across the two mapped fields — the same
     per-field score frames as multifield_scored, combined by dis_max
@@ -1531,6 +1602,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multifield_best_fields": _q_multifield_best_fields,
         "dis_max_topk": _q_dis_max,
         "boosting_topk": _q_boosting,
+        "has_child_query": _q_has_child,
+        "has_parent_query": _q_has_parent,
+        "top_children_sum": _q_top_children,
+        "script_filter": _q_script_filter,
+        "custom_filters_score": _q_custom_filters_score,
         "match_all": _q_match_all,
         "custom_score_topk": _q_custom_score,
         "analyze_tokens": _q_analyze_tokens,
@@ -1700,6 +1776,83 @@ SELECT doc_id, round(s, 4) AS score FROM (
          CASE WHEN doc_id IN (SELECT doc_id FROM neg)
               THEN score * {BOOSTING_NEG_BOOST} ELSE score END AS s
   FROM hits WHERE nt = {len(terms)}
+) g
+ORDER BY s DESC, doc_id
+LIMIT 10"""
+
+
+def _bm25_hits_ctes() -> tuple[str, int]:
+    """The shared conjunctive-BM25 ``hits`` CTE block for the flagship
+    value (chunks -> tf/dl/stats/dfs -> per-doc unrounded score + nt),
+    for oracles that combine UNROUNDED per-doc scores downstream —
+    rounding per doc before a sum/multiply would drift at the 4th
+    decimal. Returns (cte_block, n_terms)."""
+    terms = sorted(set(_bm25_terms))
+    in_list = ", ".join("'" + t + "'" for t in terms)
+    k1, b = TOK_CFG.bm25_k1, TOK_CFG.bm25_b
+    return (
+        f"""{_TOK_CTE},
+tf AS (SELECT doc_id, term, count(*) AS tf FROM chunks GROUP BY doc_id, term),
+dl AS (SELECT doc_id, count(*) AS dl FROM chunks GROUP BY doc_id),
+stats AS (SELECT (SELECT count(*) FROM documents) AS n, avg(dl) AS avgdl FROM dl),
+dfs AS (SELECT term, count(*) AS df FROM tf
+        WHERE term IN ({in_list}) GROUP BY term),
+hits AS (
+  SELECT tf.doc_id,
+         sum(ln(1 + (s.n - dfs.df + 0.5) / (dfs.df + 0.5))
+             * tf.tf * ({k1} + 1)
+             / (tf.tf + {k1} * (1 - {b} + {b} * dl.dl / s.avgdl))) AS score,
+         count(DISTINCT tf.term) AS nt
+  FROM tf
+  JOIN dfs USING (term)
+  JOIN dl USING (doc_id)
+  CROSS JOIN stats s
+  GROUP BY tf.doc_id
+)""",
+        len(terms),
+    )
+
+
+def _top_children_oracle() -> str:
+    """Parents ranked by the sum of their children's UNROUNDED
+    conjunctive BM25 scores (rounded only after the aggregate)."""
+    ctes, nt = _bm25_hits_ctes()
+    return f"""
+WITH {ctes}
+SELECT parent, round(s, 4) AS score FROM (
+  SELECT d.source AS parent, sum(h.score) AS s
+  FROM hits h JOIN documents d USING (doc_id)
+  WHERE h.nt = {nt}
+  GROUP BY d.source
+) g
+ORDER BY s DESC, parent
+LIMIT 10"""
+
+
+def _custom_filters_score_oracle() -> str:
+    """FiltersFunctionScoreQuery score_mode=first: per doc, the boost
+    of the FIRST matching filter in list order (arg_min over the list
+    position), 1 when none match, multiplied into the unrounded BM25
+    score before the top-k."""
+    ctes, nt = _bm25_hits_ctes()
+    f0 = sql_oracle.docs_select(_excl_node(), TOK_CFG)
+    f1 = sql_oracle.docs_select(
+        qc.wildcard_query("c?stomer", TOK_CFG), TOK_CFG
+    )
+    b0, b1 = CFS_FILTERS_SPEC[0][1], CFS_FILTERS_SPEC[1][1]
+    return f"""
+WITH {ctes},
+fb AS (
+  SELECT doc_id, arg_min(boost, ord) AS boost FROM (
+    SELECT doc_id, 0 AS ord, {b0} AS boost FROM ({f0}) q0
+    UNION ALL
+    SELECT doc_id, 1 AS ord, {b1} AS boost FROM ({f1}) q1
+  ) u GROUP BY doc_id
+)
+SELECT doc_id, round(s, 4) AS score FROM (
+  SELECT h.doc_id, h.score * coalesce(fb.boost, 1.0) AS s
+  FROM hits h LEFT JOIN fb USING (doc_id)
+  WHERE h.nt = {nt}
 ) g
 ORDER BY s DESC, doc_id
 LIMIT 10"""
@@ -2587,6 +2740,24 @@ FROM reach GROUP BY src ORDER BY doc_id""",
         "multifield_best_fields": multifield_best_fields,
         "dis_max_topk": _dis_max_oracle(),
         "boosting_topk": _boosting_oracle(),
+        # parent/child: the md5-hash-field prefix match is the semantic
+        # oracle form the hash gates use; parents = distinct source keys
+        "has_child_query": (
+            "SELECT DISTINCT source AS parent FROM documents "
+            "WHERE md5(text) LIKE '0%' ORDER BY parent"
+        ),
+        "has_parent_query": (
+            "SELECT doc_id FROM documents WHERE source LIKE 'src1%' "
+            "ORDER BY doc_id"
+        ),
+        "top_children_sum": _top_children_oracle(),
+        "script_filter": _bm25_oracle(
+            final_pred=(
+                "doc_id IN (SELECT doc_id FROM documents "
+                f"WHERE {SCRIPT_FILTER_EXPR})"
+            )
+        ),
+        "custom_filters_score": _custom_filters_score_oracle(),
         "match_all": (
             "SELECT doc_id, (1.0)::DOUBLE AS score FROM documents "
             "ORDER BY doc_id LIMIT 25"

@@ -1853,6 +1853,226 @@ class SearchEngine:
             .limit(k)
         )
 
+    # ------------------------------------------------------------------
+    # ES 0.19 parent/child family (has_child / has_parent / top_children)
+    # ------------------------------------------------------------------
+    def has_child(
+        self,
+        node: ir.Node,
+        source: DataFrame,
+        parent_col: str = "source",
+    ) -> DataFrame:
+        """ES 0.19 ``has_child`` query/filter: the PARENT documents that
+        have at least one child matching the inner query. In 0.19 the
+        has_child *query* is constant-score (``HasChildQueryParser``
+        wraps the child filter in a deleting-all-scores wrapper), so
+        query and filter differ only in ES bookkeeping — one method
+        serves both, returning the distinct parent keys.
+
+        The corpus models one parent type keyed by ``parent_col`` (ES's
+        ``_parent`` field routes each child to its parent); the inner
+        query is any IR tree over this engine's indexed field, evaluated
+        by the shared (tombstone-aware) doc-set path.
+
+        Plan: child doc-set eval (the inner query's own single
+        scan+shuffle), a LEFT SEMI join of the corpus's pruned
+        ``(doc_id, parent)`` projection against the match set, then one
+        distinct on the parent key. Both shuffles are linear in the
+        child match set / parent count; the distinct's partial
+        aggregation absorbs parent-key skew (a parent with millions of
+        matching children contributes one row per map partition)."""
+        kids = self.docs(node)
+        return (
+            source.select("doc_id", F.col(parent_col).alias("parent"))
+            .join(kids, "doc_id", "left_semi")
+            .select("parent")
+            .distinct()
+            .orderBy("parent")
+        )
+
+    def has_parent(
+        self,
+        parent_pred: Column | str,
+        source: DataFrame,
+        parent_col: str = "source",
+    ) -> DataFrame:
+        """ES 0.19 ``has_parent`` query/filter: the CHILD documents whose
+        parent matches a parent-level query (constant-score in 0.19,
+        like has_child). Parent documents here are the distinct parent
+        keys — the corpus carries no separate parent fields — so the
+        parent query is a Catalyst predicate over the key (documented
+        analogue of a parent-type query).
+
+        Plan: the matching parent set is computed from the pruned
+        single-column projection and broadcast (parent cardinality is
+        corpus cardinality / fan-out — the classic small dim side), so
+        the child side is a broadcast semi join with zero shuffle of the
+        corpus; tombstoned children are masked like every doc-set
+        result."""
+        pred = (
+            F.expr(parent_pred)
+            if isinstance(parent_pred, str)
+            else parent_pred
+        )
+        parents = (
+            source.select(F.col(parent_col).alias("parent"))
+            .where(pred)
+            .distinct()
+        )
+        kids = (
+            source.select("doc_id", F.col(parent_col).alias("parent"))
+            .join(F.broadcast(parents), "parent", "left_semi")
+            .select("doc_id")
+        )
+        return self._filter_live(kids).orderBy("doc_id")
+
+    def top_children(
+        self,
+        value: str,
+        source: DataFrame,
+        parent_col: str = "source",
+        score_mode: str = "max",
+        k: int = 10,
+    ) -> DataFrame:
+        """ES 0.19 ``top_children`` query: rank PARENTS by aggregating
+        their matching children's BM25 scores (``score_mode`` max | sum
+        | avg — ES 0.19's three modes). ES approximates this by fetching
+        ``factor * k`` children and retrying with ``incremental_factor``
+        when too few parents survive; here the distributed plan computes
+        the EXACT aggregate over ALL matching children in one pass, so
+        the fetch-retry loop (an artifact of Lucene's doc-at-a-time
+        top-k) has nothing to approximate — documented divergence, same
+        results as ES's loop at convergence.
+
+        Plan: the value's exact conjunctive candidate score frame
+        (:meth:`bm25_scores` — clause prunes stay sound because parents
+        aggregate over the complete child candidate set), one
+        candidate-sized join to the corpus's ``(doc_id, parent)``
+        projection, one groupBy(parent) with map-side partial
+        aggregation (absorbs hot-parent skew), then
+        TakeOrderedAndProject."""
+        aggs = {"max": F.max, "sum": F.sum, "avg": F.avg}
+        if score_mode not in aggs:
+            raise ValueError(f"score_mode must be one of {sorted(aggs)}")
+        node = qc.field_query(value, self.cfg, scored=True)
+        if not isinstance(node, ir.ScoredTerms):
+            return self.spark.createDataFrame(
+                [], "parent string, score double"
+            )
+        scores = self.bm25_scores(list(node.terms))
+        joined = source.select(
+            "doc_id", F.col(parent_col).alias("parent")
+        ).join(scores, "doc_id")
+        return (
+            joined.groupBy("parent")
+            .agg(aggs[score_mode]("score").alias("score"))
+            .orderBy(F.col("score").desc(), F.col("parent").asc())
+            .limit(k)
+        )
+
+    def script_filter(
+        self,
+        value: str,
+        script: str | Column,
+        source: DataFrame,
+        k: int = 10,
+    ) -> DataFrame:
+        """ES 0.19 filtered query with a ``script`` filter: rank by the
+        wrapped value's conjunctive BM25, membership restricted to docs
+        whose ``_source`` fields satisfy the script — a Catalyst SQL
+        expression / Column over the corpus columns, the same script
+        model as :meth:`custom_score` and ``update_by_query``. Scores
+        untouched (Lucene's FilteredQuery never scores the filter side),
+        exactly like the IR ``filter=`` arm of :meth:`search`; the
+        script arm exists because script filters read ``doc['field']``
+        values the index never stores.
+
+        Plan: the script predicate is pushed into the corpus scan
+        (Catalyst predicate pushdown + column pruning — the scan reads
+        only ``doc_id`` and the script's columns), then one
+        candidate-sized LEFT SEMI join against the exact score frame.
+        Top-k selection happens after the membership cut, so every
+        clause-level prune stays sound."""
+        node = qc.field_query(value, self.cfg, scored=True)
+        if not isinstance(node, ir.ScoredTerms):
+            return self._empty_scored()
+        scores = self.bm25_scores(list(node.terms))
+        expr = F.expr(script) if isinstance(script, str) else script
+        keep = source.where(expr).select("doc_id")
+        return (
+            scores.join(keep, "doc_id", "left_semi")
+            .orderBy(F.col("score").desc(), F.col("doc_id").asc())
+            .limit(k)
+        )
+
+    def custom_filters_score(
+        self,
+        value: str,
+        filters: list[tuple[ir.Node, float]],
+        score_mode: str = "first",
+        k: int = 10,
+    ) -> DataFrame:
+        """ES 0.19 ``custom_filters_score`` query: the wrapped value's
+        BM25 score multiplied by a boost chosen from the filters a doc
+        matches — ``score_mode`` first (ES default: the first matching
+        filter in list order wins) | min | max | total | avg | multiply,
+        docs matching no filter keep boost 1 (``CustomFiltersScoreQuery
+        Parser``'s FiltersFunctionScoreQuery semantics).
+
+        Filters are IR trees over the indexed field (ES filters here are
+        index-level, unlike the ``_source``-reading script of
+        :meth:`custom_score`). Each filter's doc set is evaluated by the
+        shared tombstone-aware path and tagged with its list position +
+        boost; one union + one groupBy(doc_id) picks/combines the boost
+        per mode (``min_by`` for first-match-wins), then one
+        candidate-sized left join multiplies it into the exact score
+        frame before TakeOrderedAndProject — clause prunes stay sound
+        because re-weighting precedes any top-k."""
+        modes = {"first", "min", "max", "total", "avg", "multiply"}
+        if score_mode not in modes:
+            raise ValueError(f"score_mode must be one of {sorted(modes)}")
+        node = qc.field_query(value, self.cfg, scored=True)
+        if not isinstance(node, ir.ScoredTerms):
+            return self._empty_scored()
+        scores = self.bm25_scores(list(node.terms))
+        parts = []
+        for pos, (fnode, fboost) in enumerate(filters):
+            fn = ir.simplify(fnode)
+            if isinstance(fn, ir.MatchNone):
+                continue
+            d = self._all_docs() if isinstance(fn, ir.MatchAll) else (
+                self._docs_inner(fn)
+            )
+            parts.append(
+                d.select(
+                    "doc_id",
+                    F.lit(pos).alias("ord"),
+                    F.lit(float(fboost)).alias("boost"),
+                )
+            )
+        if parts:
+            union = reduce(lambda a, b: a.unionByName(b), parts)
+            agg = {
+                "first": F.min_by("boost", "ord"),
+                "min": F.min("boost"),
+                "max": F.max("boost"),
+                "total": F.sum("boost"),
+                "avg": F.avg("boost"),
+                "multiply": F.product("boost"),
+            }[score_mode]
+            boosts = union.groupBy("doc_id").agg(agg.alias("boost"))
+            scores = scores.join(boosts, "doc_id", "left").select(
+                "doc_id",
+                (
+                    F.col("score") * F.coalesce(F.col("boost"), F.lit(1.0))
+                ).alias("score"),
+            )
+        return (
+            scores
+            .orderBy(F.col("score").desc(), F.col("doc_id").asc())
+            .limit(k)
+        )
+
     def scroll(
         self,
         value: str,

@@ -23,8 +23,24 @@ def main(argv=None) -> int:
                  "prefix", "wildcard", "range", "count", "delete",
                  "delete_by_query", "upsert", "scroll", "mlt", "sort",
                  "highlight", "dis_max", "boosting", "match_all",
-                 "custom_score", "analyze", "percolate"],
+                 "custom_score", "analyze", "percolate", "has_child",
+                 "has_parent", "top_children", "script_filter",
+                 "custom_filters_score"],
     )
+    p.add_argument("--parent-col", default="source",
+                   help="corpus column playing ES's _parent routing key "
+                        "(has_child / has_parent / top_children)")
+    p.add_argument("--parent-pred", default=None,
+                   help="has_parent: Catalyst predicate over the parent "
+                        "key column `parent`, e.g. \"parent LIKE 'a%%'\"")
+    p.add_argument("--score-mode", default=None,
+                   help="top_children: max|sum|avg; "
+                        "custom_filters_score: first|min|max|total|avg|"
+                        "multiply (defaults: max / first)")
+    p.add_argument("--filters-json", default=None,
+                   help="custom_filters_score: JSON list of "
+                        '[kind, value, boost] with kind in '
+                        "field|prefix|wildcard")
     p.add_argument("--queries-json", default=None,
                    help="percolate: registered queries as a JSON list of "
                         '[name, kind, value] with kind in '
@@ -228,6 +244,57 @@ def main(argv=None) -> int:
             raise SystemExit("--op custom_score needs --script")
         rows = eng.custom_score(
             args.value, args.script, _source(), k=args.k
+        ).collect()
+        print(json.dumps([(r["doc_id"], r["score"]) for r in rows]))
+    elif args.op in ("has_child", "has_parent", "top_children"):
+        if args.op == "has_parent":
+            if not args.parent_pred:
+                raise SystemExit("--op has_parent needs --parent-pred")
+            rows = eng.has_parent(
+                args.parent_pred, _source(), parent_col=args.parent_col
+            ).collect()
+            print(json.dumps([r["doc_id"] for r in rows]))
+        elif args.op == "has_child":
+            from elasticsearch_analysis_hashsplitter_spark.plans import (
+                compile as qc,
+            )
+
+            node = qc.field_query(args.value, eng.cfg, scored=False)
+            rows = eng.has_child(
+                node, _source(), parent_col=args.parent_col
+            ).collect()
+            print(json.dumps([r["parent"] for r in rows]))
+        else:
+            rows = eng.top_children(
+                args.value, _source(), parent_col=args.parent_col,
+                score_mode=args.score_mode or "max", k=args.k,
+            ).collect()
+            print(json.dumps([(r["parent"], r["score"]) for r in rows]))
+    elif args.op == "script_filter":
+        if not args.script:
+            raise SystemExit("--op script_filter needs --script")
+        rows = eng.script_filter(
+            args.value, args.script, _source(), k=args.k
+        ).collect()
+        print(json.dumps([(r["doc_id"], r["score"]) for r in rows]))
+    elif args.op == "custom_filters_score":
+        from elasticsearch_analysis_hashsplitter_spark.plans import (
+            compile as qc,
+        )
+
+        builders = {
+            "field": lambda v: qc.field_query(v, eng.cfg, scored=False),
+            "prefix": lambda v: qc.prefix_query(v, eng.cfg),
+            "wildcard": lambda v: qc.wildcard_query(v, eng.cfg),
+        }
+        spec = json.loads(args.filters_json or "[]")
+        filters = [
+            (builders[kind](value), float(boost))
+            for kind, value, boost in spec
+        ]
+        rows = eng.custom_filters_score(
+            args.value, filters, score_mode=args.score_mode or "first",
+            k=args.k,
         ).collect()
         print(json.dumps([(r["doc_id"], r["score"]) for r in rows]))
     elif args.op == "analyze":

@@ -187,3 +187,84 @@ def test_ivf_index_pruned_scan_never_reads_base_table(spark, tmp_path):
     assert "Join" not in plan  # vectors come from the index partitions
     # exactly one file-scan node: the index; the in-memory base df is absent
     assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 1
+
+
+# ---------------------------------------------------------------------------
+# parent/child + late-r5 scoring surfaces (plan shapes)
+# ---------------------------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def pc_source(spark):
+    return spark.createDataFrame(
+        [
+            (i, f"p{i % 5}", i * 3 + 1, f"spark join window doc{i}")
+            for i in range(200)
+        ],
+        "doc_id long, source string, n_chars long, text string",
+    )
+
+
+def test_has_parent_broadcasts_parent_dim(disk_engine, pc_source):
+    """The matching parent keys are the classic small dim: the child
+    semi join must be broadcast — a shuffled corpus here would be the
+    100 TB regression."""
+    plan = _plan(disk_engine.has_parent("parent LIKE 'p1%'", pc_source))
+    assert "BroadcastHashJoin" in plan
+    assert "LeftSemi" in plan
+
+
+def test_top_children_is_take_ordered(disk_engine, pc_source):
+    """Parent ranking ends in per-partition heaps (TakeOrderedAndProject),
+    never a global sort, and the parent aggregate gets a map-side
+    partial (two HashAggregate levels) to absorb hot-parent skew."""
+    plan = _plan(
+        disk_engine.top_children("spark", pc_source, score_mode="sum")
+    )
+    assert "TakeOrderedAndProject" in plan
+    assert plan.count("HashAggregate") >= 2
+
+
+def test_script_filter_prunes_source_columns(
+    disk_engine, spark, tmp_path_factory, pc_source
+):
+    """The corpus side of the script semi join must read only doc_id +
+    the script's columns — dragging `text` into the scan would read
+    the whole corpus blob at scale (and the script predicate must be
+    pushed into the scan, not evaluated above it)."""
+    p = str(tmp_path_factory.mktemp("pcsrc") / "docs.parquet")
+    pc_source.write.parquet(p)
+    src = spark.read.parquet(p)
+    df = disk_engine.script_filter("spark", "n_chars % 2 = 0", src)
+    plan = _plan(df)
+    src_scans = [
+        seg for seg in plan.split("ReadSchema: ")[1:]
+        if "n_chars" in seg.splitlines()[0]
+    ]
+    assert src_scans, "source parquet scan missing from plan"
+    assert all(
+        "text" not in seg.splitlines()[0] for seg in src_scans
+    ), "script filter scan reads the text blob"
+
+
+def test_custom_filters_score_boost_pick_is_one_aggregate(disk_engine):
+    """The per-filter doc sets combine through ONE min_by groupBy (not
+    a join per filter) before the candidate-sized left join, and the
+    top-k stays TakeOrderedAndProject; no cartesian shapes appear."""
+    from elasticsearch_analysis_hashsplitter_spark.plans import (
+        compile as qc,
+    )
+
+    filters = [
+        (qc.prefix_query("spa", CFG), 1.5),
+        (qc.field_query("join", CFG, scored=False), 2.0),
+        (qc.field_query("window", CFG, scored=False), 0.5),
+    ]
+    df = disk_engine.custom_filters_score(
+        "spark", filters, score_mode="first", k=10
+    )
+    plan = _plan(df)
+    assert "min_by" in plan
+    assert "TakeOrderedAndProject" in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan

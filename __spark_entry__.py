@@ -1442,7 +1442,7 @@ def _q_has_child(spark, sf_dir):
     eng = _engine(spark, sf_dir, "hash")
     return eng.has_child(
         qc.prefix_query("0", HASH_CFG), _docs(spark, sf_dir)
-    )
+    ).orderBy("parent")
 
 
 def _q_has_parent(spark, sf_dir):
@@ -1450,7 +1450,9 @@ def _q_has_parent(spark, sf_dir):
     parent-level predicate (constant-score membership, like
     has_child)."""
     eng = _engine(spark, sf_dir, "tokens")
-    return eng.has_parent(HAS_PARENT_PRED, _docs(spark, sf_dir))
+    return eng.has_parent(HAS_PARENT_PRED, _docs(spark, sf_dir)).orderBy(
+        "doc_id"
+    )
 
 
 def _q_top_children(spark, sf_dir):
@@ -1649,40 +1651,16 @@ def _bm25_oracle(
     ``docs_table``+``prefix_cte`` instead rebuild everything over a
     restricted corpus (the post-purge model: stats AND membership over
     the live set)."""
-    terms = sorted(set(_bm25_terms))
-    in_list = ", ".join("'" + t + "'" for t in terms)
-    k1, b = TOK_CFG.bm25_k1, TOK_CFG.bm25_b
-    having = f"WHERE nt = {len(terms)}" if conjunctive else ""
+    ctes, nt = _bm25_hits_ctes(docs_table)
+    having = f"WHERE nt = {nt}" if conjunctive else ""
     if min_nt > 1 and not conjunctive:
         having = f"WHERE nt >= {min_nt}"
     if final_pred:
         having = (
             f"{having} AND {final_pred}" if having else f"WHERE {final_pred}"
         )
-    cte = (
-        _TOK_CTE
-        if docs_table == "documents"
-        else sql_oracle.chunks_cte_tokens(TOK_CFG, docs_table=docs_table)
-    )
     return f"""
-WITH {prefix_cte}{cte},
-tf AS (SELECT doc_id, term, count(*) AS tf FROM chunks GROUP BY doc_id, term),
-dl AS (SELECT doc_id, count(*) AS dl FROM chunks GROUP BY doc_id),
-stats AS (SELECT (SELECT count(*) FROM {docs_table}) AS n, avg(dl) AS avgdl FROM dl),
-dfs AS (SELECT term, count(*) AS df FROM tf
-        WHERE term IN ({in_list}) GROUP BY term),
-hits AS (
-  SELECT tf.doc_id,
-         sum(ln(1 + (s.n - dfs.df + 0.5) / (dfs.df + 0.5))
-             * tf.tf * ({k1} + 1)
-             / (tf.tf + {k1} * (1 - {b} + {b} * dl.dl / s.avgdl))) AS score,
-         count(DISTINCT tf.term) AS nt
-  FROM tf
-  JOIN dfs USING (term)
-  JOIN dl USING (doc_id)
-  CROSS JOIN stats s
-  GROUP BY tf.doc_id
-)
+WITH {prefix_cte}{ctes}
 SELECT doc_id, round(score, 4) AS score FROM hits
 {having}
 ORDER BY score DESC, doc_id
@@ -1781,20 +1759,27 @@ ORDER BY s DESC, doc_id
 LIMIT 10"""
 
 
-def _bm25_hits_ctes() -> tuple[str, int]:
+def _bm25_hits_ctes(docs_table: str = "documents") -> tuple[str, int]:
     """The shared conjunctive-BM25 ``hits`` CTE block for the flagship
-    value (chunks -> tf/dl/stats/dfs -> per-doc unrounded score + nt),
-    for oracles that combine UNROUNDED per-doc scores downstream —
-    rounding per doc before a sum/multiply would drift at the 4th
-    decimal. Returns (cte_block, n_terms)."""
+    value (chunks -> tf/dl/stats/dfs -> per-doc unrounded score + nt).
+    The ONE copy of the oracle BM25 formula: `_bm25_oracle` (and so
+    the 20+ gates built on it), `_custom_score_oracle`, and the
+    unrounded-downstream oracles (top_children / custom_filters_score
+    — rounding per doc before a sum/multiply would drift at the 4th
+    decimal) all compose from here. Returns (cte_block, n_terms)."""
     terms = sorted(set(_bm25_terms))
     in_list = ", ".join("'" + t + "'" for t in terms)
     k1, b = TOK_CFG.bm25_k1, TOK_CFG.bm25_b
+    cte = (
+        _TOK_CTE
+        if docs_table == "documents"
+        else sql_oracle.chunks_cte_tokens(TOK_CFG, docs_table=docs_table)
+    )
     return (
-        f"""{_TOK_CTE},
+        f"""{cte},
 tf AS (SELECT doc_id, term, count(*) AS tf FROM chunks GROUP BY doc_id, term),
 dl AS (SELECT doc_id, count(*) AS dl FROM chunks GROUP BY doc_id),
-stats AS (SELECT (SELECT count(*) FROM documents) AS n, avg(dl) AS avgdl FROM dl),
+stats AS (SELECT (SELECT count(*) FROM {docs_table}) AS n, avg(dl) AS avgdl FROM dl),
 dfs AS (SELECT term, count(*) AS df FROM tf
         WHERE term IN ({in_list}) GROUP BY term),
 hits AS (
@@ -1862,33 +1847,14 @@ def _custom_score_oracle() -> str:
     """Conjunctive BM25 hits re-scored by CUSTOM_SCORE_SCRIPT's exact
     formula over documents.n_chars (the _source field the script
     reads), ranked by the script result."""
-    terms = sorted(set(_bm25_terms))
-    in_list = ", ".join("'" + t + "'" for t in terms)
-    k1, b = TOK_CFG.bm25_k1, TOK_CFG.bm25_b
+    ctes, nt = _bm25_hits_ctes()
     return f"""
-WITH {_TOK_CTE},
-tf AS (SELECT doc_id, term, count(*) AS tf FROM chunks GROUP BY doc_id, term),
-dl AS (SELECT doc_id, count(*) AS dl FROM chunks GROUP BY doc_id),
-stats AS (SELECT (SELECT count(*) FROM documents) AS n, avg(dl) AS avgdl FROM dl),
-dfs AS (SELECT term, count(*) AS df FROM tf
-        WHERE term IN ({in_list}) GROUP BY term),
-hits AS (
-  SELECT tf.doc_id,
-         sum(ln(1 + (s.n - dfs.df + 0.5) / (dfs.df + 0.5))
-             * tf.tf * ({k1} + 1)
-             / (tf.tf + {k1} * (1 - {b} + {b} * dl.dl / s.avgdl))) AS score,
-         count(DISTINCT tf.term) AS nt
-  FROM tf
-  JOIN dfs USING (term)
-  JOIN dl USING (doc_id)
-  CROSS JOIN stats s
-  GROUP BY tf.doc_id
-)
+WITH {ctes}
 SELECT doc_id, round(s, 4) AS score FROM (
   SELECT h.doc_id,
          h.score * (1.0 + ln(1 + d.n_chars) / 10.0) AS s
   FROM hits h JOIN documents d USING (doc_id)
-  WHERE h.nt = {len(terms)}
+  WHERE h.nt = {nt}
 ) g
 ORDER BY s DESC, doc_id
 LIMIT 10"""

@@ -1880,14 +1880,15 @@ class SearchEngine:
         distinct on the parent key. Both shuffles are linear in the
         child match set / parent count; the distinct's partial
         aggregation absorbs parent-key skew (a parent with millions of
-        matching children contributes one row per map partition)."""
+        matching children contributes one row per map partition).
+        Output order is unspecified — callers that need a total order
+        (gates, CLIs) sort the parent-sized result themselves."""
         kids = self.docs(node)
         return (
             source.select("doc_id", F.col(parent_col).alias("parent"))
             .join(kids, "doc_id", "left_semi")
             .select("parent")
             .distinct()
-            .orderBy("parent")
         )
 
     def has_parent(
@@ -1908,7 +1909,9 @@ class SearchEngine:
         corpus cardinality / fan-out — the classic small dim side), so
         the child side is a broadcast semi join with zero shuffle of the
         corpus; tombstoned children are masked like every doc-set
-        result."""
+        result. Output order is unspecified — a hot parent predicate
+        makes this corpus-sized, so the engine never pays a global sort
+        for it (callers order if they need to)."""
         pred = (
             F.expr(parent_pred)
             if isinstance(parent_pred, str)
@@ -1924,7 +1927,7 @@ class SearchEngine:
             .join(F.broadcast(parents), "parent", "left_semi")
             .select("doc_id")
         )
-        return self._filter_live(kids).orderBy("doc_id")
+        return self._filter_live(kids)
 
     def top_children(
         self,

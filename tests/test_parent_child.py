@@ -126,12 +126,17 @@ def source(spark):
 
 
 def test_has_child_is_distinct_parents_of_matching_children(eng, source):
-    node = qc.field_query("flame", CFG, scored=False)
-    got = [r["parent"] for r in eng.has_child(node, source).collect()]
+    # "windows" (not "flame", which every parent has a child for):
+    # 8/40 children covering 6/7 parents — the selectivity guard below
+    # genuinely exercises the distinct/semi-join against a strict subset
+    node = qc.field_query("windows", CFG, scored=False)
+    got = sorted(
+        r["parent"] for r in eng.has_child(node, source).collect()
+    )
     want = sorted({PARENT[i] for i in _match_docs(ir.simplify(node))})
     assert got == want
     # selective: neither empty nor every parent
-    assert 0 < len(want) < N_PARENTS or len(want) == N_PARENTS
+    assert 0 < len(want) < N_PARENTS
 
 
 def test_has_child_match_none_is_empty(eng, source):

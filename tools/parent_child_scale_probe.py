@@ -174,27 +174,30 @@ def main():
                 hot, docs, parent_col="repo", score_mode="sum", k=10
             ).collect(),
         )
-        # full-scale aggregate identities (one extra pass each)
+        # full-scale aggregate identities — persist the two frames the
+        # parity checks reuse so the full postings scan / parent agg
+        # each run once instead of 2-3x
         sums = eng.top_children(
             hot, docs, parent_col="repo", score_mode="sum", k=100000
-        )
+        ).persist()
         cnt_parents = sums.count()
         total_by_parent = sums.agg(F.sum("score")).collect()[0][0]
+        sums.unpersist()
         node_sc = qc.field_query(hot, TOK_CFG, scored=True)
-        total_by_doc = (
-            eng.bm25_scores(list(node_sc.terms))
-            .agg(F.sum("score"))
-            .collect()[0][0]
-        )
+        hot_scores = eng.bm25_scores(list(node_sc.terms)).persist()
+        total_by_doc = hot_scores.agg(F.sum("score")).collect()[0][0]
         cand_repos = (
-            docs.join(
-                eng.bm25_scores(list(node_sc.terms)).select("doc_id"),
-                "doc_id",
-            )
+            docs.join(hot_scores.select("doc_id"), "doc_id")
             .select("repo")
             .distinct()
             .count()
         )
+        # drop the cache BEFORE the timed sections below — Spark's
+        # CacheManager matches analyzed plans, so a live cache of the
+        # hot-term score frame would silently serve the timed
+        # search/script_filter/custom_filters_score runs and fake the
+        # overhead ratios
+        hot_scores.unpersist()
         avg_top = eng.top_children(
             hot, docs, parent_col="repo", score_mode="avg", k=5
         ).collect()

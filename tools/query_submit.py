@@ -247,13 +247,15 @@ def main(argv=None) -> int:
         ).collect()
         print(json.dumps([(r["doc_id"], r["score"]) for r in rows]))
     elif args.op in ("has_child", "has_parent", "top_children"):
+        if args.op in ("has_child", "top_children") and not args.value:
+            raise SystemExit(f"--op {args.op} needs --value")
         if args.op == "has_parent":
             if not args.parent_pred:
                 raise SystemExit("--op has_parent needs --parent-pred")
             rows = eng.has_parent(
                 args.parent_pred, _source(), parent_col=args.parent_col
             ).collect()
-            print(json.dumps([r["doc_id"] for r in rows]))
+            print(json.dumps(sorted(r["doc_id"] for r in rows)))
         elif args.op == "has_child":
             from elasticsearch_analysis_hashsplitter_spark.plans import (
                 compile as qc,
@@ -263,7 +265,7 @@ def main(argv=None) -> int:
             rows = eng.has_child(
                 node, _source(), parent_col=args.parent_col
             ).collect()
-            print(json.dumps([r["parent"] for r in rows]))
+            print(json.dumps(sorted(r["parent"] for r in rows)))
         else:
             rows = eng.top_children(
                 args.value, _source(), parent_col=args.parent_col,
@@ -271,6 +273,8 @@ def main(argv=None) -> int:
             ).collect()
             print(json.dumps([(r["parent"], r["score"]) for r in rows]))
     elif args.op == "script_filter":
+        if not args.value:
+            raise SystemExit("--op script_filter needs --value")
         if not args.script:
             raise SystemExit("--op script_filter needs --script")
         rows = eng.script_filter(
@@ -278,6 +282,8 @@ def main(argv=None) -> int:
         ).collect()
         print(json.dumps([(r["doc_id"], r["score"]) for r in rows]))
     elif args.op == "custom_filters_score":
+        if not args.value:
+            raise SystemExit("--op custom_filters_score needs --value")
         from elasticsearch_analysis_hashsplitter_spark.plans import (
             compile as qc,
         )

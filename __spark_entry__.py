@@ -1377,6 +1377,45 @@ def _q_custom_score(spark, sf_dir):
     ).select("doc_id", F.round("score", 4).alias("score"))
 
 
+# ES ids query: present ids (0-499 step 3) plus absent ones (>=501 and
+# a far-out-of-range value) — the absent ids must match nothing
+IDS_LIST = tuple(range(0, 600, 3)) + (10**9,)
+
+
+def _q_ids_query(spark, sf_dir):
+    """ES ids query composed in a bool filter (IdsQueryParser,
+    constant-score): docs matching the value AND whose _id is in the
+    explicit list. DocIds has no postings predicate, so this exercises
+    the join-composition doc-set path next to a term leaf."""
+    eng = _engine(spark, sf_dir, "tokens")
+    node = qc.bool_filter(
+        must=[
+            qc.field_query("spark", TOK_CFG, scored=False),
+            qc.ids_query(IDS_LIST),
+        ]
+    )
+    return _sorted_docs(eng.docs(node))
+
+
+def _q_bm25_topk_ids(spark, sf_dir):
+    """ES filtered query with an ids filter: BM25 ranks the full
+    candidate set, membership restricted to the id list, survivor
+    scores untouched (constant-score filter context)."""
+    eng = _engine(spark, sf_dir, "tokens")
+    return eng.search(
+        BM25_QUERY, k=10, filter=qc.ids_query(IDS_LIST)
+    ).select("doc_id", F.round("score", 4).alias("score"))
+
+
+def _q_custom_boost_factor(spark, sf_dir):
+    """ES 0.19 custom_boost_factor: the wrapped query's BM25 score
+    times a constant factor (scores scale, ranks identical)."""
+    eng = _engine(spark, sf_dir, "tokens")
+    return eng.custom_boost_factor(BM25_QUERY, 2.5, k=10).select(
+        "doc_id", F.round("score", 4).alias("score")
+    )
+
+
 def _q_analyze_tokens(spark, sf_dir):
     """Distributed ES _analyze over the A1 hash-field analyzer: every
     token the tokenizer emits for md5(text) of a 1-in-13 doc sample,
@@ -1611,6 +1650,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "custom_filters_score": _q_custom_filters_score,
         "match_all": _q_match_all,
         "custom_score_topk": _q_custom_score,
+        "ids_query": _q_ids_query,
+        "bm25_topk_ids": _q_bm25_topk_ids,
+        "custom_boost_factor": _q_custom_boost_factor,
         "analyze_tokens": _q_analyze_tokens,
         "serve_search": _q_serve,
         "windowed_event_stats": _q_windowed_events,
@@ -1838,6 +1880,20 @@ SELECT doc_id, round(s, 4) AS score FROM (
   SELECT h.doc_id, h.score * coalesce(fb.boost, 1.0) AS s
   FROM hits h LEFT JOIN fb USING (doc_id)
   WHERE h.nt = {nt}
+) g
+ORDER BY s DESC, doc_id
+LIMIT 10"""
+
+
+def _custom_boost_factor_oracle() -> str:
+    """BM25 hits times the constant 2.5, rounded AFTER the multiply
+    and ordered by the unrounded product (matching the engine, which
+    orders before the gate's display rounding)."""
+    ctes, nt = _bm25_hits_ctes()
+    return f"""
+WITH {ctes}
+SELECT doc_id, round(s, 4) AS score FROM (
+  SELECT doc_id, score * 2.5 AS s FROM hits WHERE nt = {nt}
 ) g
 ORDER BY s DESC, doc_id
 LIMIT 10"""
@@ -2729,6 +2785,26 @@ FROM reach GROUP BY src ORDER BY doc_id""",
             "ORDER BY doc_id LIMIT 25"
         ),
         "custom_score_topk": _custom_score_oracle(),
+        # ES ids query in a bool: intersection with the explicit id
+        # list (absent ids match nothing)
+        "ids_query": _tok_ir_sql(
+            qc.bool_filter(
+                must=[
+                    qc.field_query("spark", TOK_CFG, scored=False),
+                    qc.ids_query(IDS_LIST),
+                ]
+            )
+        ),
+        # ids as a scored-query filter: full-corpus stats, membership
+        # restricted, scores untouched
+        "bm25_topk_ids": _bm25_oracle(
+            final_pred=(
+                "doc_id IN ("
+                + ", ".join(str(i) for i in IDS_LIST)
+                + ")"
+            )
+        ),
+        "custom_boost_factor": _custom_boost_factor_oracle(),
         "analyze_tokens": _analyze_tokens_oracle(),
         "serve_search": serve_search,
         "ann_cosine_topk": ann,

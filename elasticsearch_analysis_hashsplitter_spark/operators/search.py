@@ -1853,6 +1853,30 @@ class SearchEngine:
             .limit(k)
         )
 
+    def custom_boost_factor(
+        self, value: str, factor: float, k: int = 10
+    ) -> DataFrame:
+        """ES 0.19 ``custom_boost_factor`` query
+        (CustomBoostFactorQueryParser): the wrapped query's score
+        multiplied by a constant ``boost_factor``. Scores scale,
+        ranks never change — the ES type exists so a constant boost
+        composes inside bool/dis_max without a script. Delegates to
+        the shared BM25 frame; the multiply is one Catalyst projection
+        on the candidate-sized aggregate (no join, unlike
+        ``custom_score`` which must read _source fields)."""
+        node = qc.field_query(value, self.cfg, scored=True)
+        if not isinstance(node, ir.ScoredTerms):
+            return self._empty_scored()
+        return (
+            self.bm25_scores(list(node.terms))
+            .select(
+                "doc_id",
+                (F.col("score") * float(factor)).alias("score"),
+            )
+            .orderBy(F.col("score").desc(), F.col("doc_id").asc())
+            .limit(k)
+        )
+
     # ------------------------------------------------------------------
     # ES 0.19 parent/child family (has_child / has_parent / top_children)
     # ------------------------------------------------------------------
@@ -2283,6 +2307,14 @@ class SearchEngine:
         raise TypeError(f"not a leaf: {leaf!r}")
 
     def _leaf_docs(self, leaf: ir.Node) -> DataFrame:
+        if isinstance(leaf, ir.DocIds):
+            # membership in the INDEX is part of the semantics (an id
+            # never ingested matches nothing), so filter the doc-stats
+            # table — a pruned scan of the small per-doc side, no
+            # postings touched
+            return self._all_docs().where(
+                F.col("doc_id").isin([int(i) for i in leaf.ids])
+            )
         blocks = self.postings.where(self._leaf_condition(leaf))
         return blocks.select("docs").mapInPandas(
             _decode_docs, schema=_DOC_SCHEMA
@@ -2327,7 +2359,12 @@ class SearchEngine:
             if (
                 len(leaves) <= 63
                 and not any(
-                    isinstance(x, (ir.MatchAll, ir.ScoredTerms))
+                    # DocIds reads doc ids, not the term dictionary —
+                    # it has no postings-scan predicate, so trees
+                    # containing one use the join composition below
+                    isinstance(
+                        x, (ir.MatchAll, ir.ScoredTerms, ir.DocIds)
+                    )
                     for x in leaves
                 )
             ):

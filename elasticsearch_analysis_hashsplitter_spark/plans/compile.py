@@ -83,6 +83,15 @@ def chunk_term_query(term: str) -> Node:
     return TermEq(term)
 
 
+def ids_query(ids) -> Node:
+    """ES ``ids`` query/filter (IdsQueryParser): membership in an
+    explicit doc-id list — constant-score, composable in bool trees.
+    Duplicates collapse; an empty list folds to MatchNone downstream."""
+    from .ir import DocIds
+
+    return DocIds(tuple(sorted({int(i) for i in ids})))
+
+
 def prefix_query(value: str, cfg: HashSplitterConfig) -> Node:
     """C3/C4: prefix query (HashSplitterFieldMapper.java:454-529).
 

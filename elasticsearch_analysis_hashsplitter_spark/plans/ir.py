@@ -69,6 +69,17 @@ class TermPattern(Node):
 
 
 @dataclass(frozen=True)
+class DocIds(Node):
+    """ES ``ids`` query: membership in an explicit doc-id list
+    (IdsQueryParser / IdsFilterParser — constant-score, composable in
+    bool trees). Unlike every other leaf this predicate reads the doc
+    id itself, not the term dictionary, so the engine evaluates it
+    against the doc-stats table instead of the postings scan."""
+
+    ids: tuple[int, ...]
+
+
+@dataclass(frozen=True)
 class MatchNone(Node):
     pass
 
@@ -159,6 +170,9 @@ def simplify(node: Node) -> Node:
         if isinstance(c, Not):  # double negation; c.child is simplified
             return c.child
         return Not(c)
+    if isinstance(node, DocIds) and not node.ids:
+        # ES: an ids query with no values matches nothing
+        return MatchNone()
     return node
 
 

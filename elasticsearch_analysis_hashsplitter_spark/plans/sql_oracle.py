@@ -117,6 +117,14 @@ def _render(node: ir.Node, cfg: HashSplitterConfig, all_docs_sql: str) -> str:
             "SELECT DISTINCT doc_id FROM chunks WHERE term IN ("
             + in_list + ")"
         )
+    if isinstance(node, ir.DocIds):
+        in_list = ", ".join(str(int(i)) for i in node.ids)
+        # index membership is part of the semantics: ids never ingested
+        # match nothing, so restrict the explicit list to the doc set
+        return (
+            "SELECT doc_id FROM (" + all_docs_sql + ") _ids "
+            f"WHERE doc_id IN ({in_list})"
+        )
     if isinstance(node, ir.And):
         parts = [
             "(" + _render(c, cfg, all_docs_sql) + ")" for c in node.children

@@ -25,8 +25,13 @@ def main(argv=None) -> int:
                  "highlight", "dis_max", "boosting", "match_all",
                  "custom_score", "analyze", "percolate", "has_child",
                  "has_parent", "top_children", "script_filter",
-                 "custom_filters_score"],
+                 "custom_filters_score", "ids", "custom_boost_factor"],
     )
+    p.add_argument("--filter-ids", default=None,
+                   help="comma-separated doc ids for an ES ids filter on "
+                        "--op search (constant-score membership)")
+    p.add_argument("--factor", type=float, default=2.0,
+                   help="boost factor for --op custom_boost_factor")
     p.add_argument("--parent-col", default="source",
                    help="corpus column playing ES's _parent routing key "
                         "(has_child / has_parent / top_children)")
@@ -139,8 +144,31 @@ def main(argv=None) -> int:
         return spark.read.parquet(args.source_parquet)
 
     if args.op == "search":
+        fl = None
+        if args.filter_ids:
+            from elasticsearch_analysis_hashsplitter_spark.plans import (
+                compile as qc,
+            )
+
+            fl = qc.ids_query(args.filter_ids.split(","))
         rows = eng.search(args.value, k=args.k,
-                          must_not=_must_not()).collect()
+                          must_not=_must_not(), filter=fl).collect()
+        print(json.dumps([(r["doc_id"], r["score"]) for r in rows]))
+    elif args.op == "ids":
+        if not args.ids:
+            raise SystemExit("--op ids needs --ids a,b,...")
+        from elasticsearch_analysis_hashsplitter_spark.plans import (
+            compile as qc,
+        )
+
+        rows = eng.docs(qc.ids_query(args.ids.split(","))).collect()
+        print(json.dumps(sorted(r["doc_id"] for r in rows)))
+    elif args.op == "custom_boost_factor":
+        if not args.value:
+            raise SystemExit("--op custom_boost_factor needs --value")
+        rows = eng.custom_boost_factor(
+            args.value, args.factor, k=args.k
+        ).collect()
         print(json.dumps([(r["doc_id"], r["score"]) for r in rows]))
     elif args.op == "search_any":
         rows = eng.search_any(

@@ -723,6 +723,27 @@ def _q_multi_index(spark, sf_dir):
     )
 
 
+#: indices-query gate: the "even" half runs the flagship value, the
+#: "odd" half runs the no_match branch value
+INDICES_NO_MATCH = "window"
+
+
+def _q_indices_query(spark, sf_dir):
+    """ES 0.19 indices query over the parity-split alias: the "even"
+    index runs the main query, the "odd" index runs the no_match
+    branch — both scored with the dfs global weights (== full-corpus
+    stats since the halves are disjoint), merged by the coordinator."""
+    _q_multi_index(spark, sf_dir)  # ensure the parity engines exist
+    key = (id(spark), sf_dir, "multi")
+    return _ENGINES[key].indices_search(
+        ["even"], BM25_QUERY, no_match=INDICES_NO_MATCH, k=10
+    ).select(
+        "doc_id",
+        F.round("score", 4).alias("score"),
+        F.col("index").alias("idx"),
+    )
+
+
 #: the percolator gate's registered queries — one of each query family
 #: plus a pure-negative bool (exercises the zero-mask plant) and a
 #: conjunction-with-exclusion (exercises leaf sharing across queries)
@@ -1616,6 +1637,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_topk_upserted": _q_bm25_upserted,
         "update_by_query": _q_update_by_query,
         "multi_index_search": _q_multi_index,
+        "indices_query": _q_indices_query,
         "percolate_matches": _q_percolate,
         "hash_prefix_query": _q_hash_prefix,
         "hash_wildcard_suffix": _q_hash_wildcard_suffix,
@@ -1735,6 +1757,29 @@ def _scored_clause_cte(alias: str, value: str) -> tuple[str, str]:
 )""",
         str(len(terms)),
     )
+
+
+def _indices_query_oracle() -> str:
+    """The parity split with dfs global stats makes each branch's
+    scores equal a full-corpus evaluation restricted to its half:
+    score the main value over even doc_ids, the no_match value over
+    odd doc_ids, union, one top-10."""
+    c_main, _ = _scored_clause_cte("qm", BM25_QUERY)
+    c_nm, _ = _scored_clause_cte("qn", INDICES_NO_MATCH)
+    return f"""
+WITH {_TOK_CTE},
+tf AS (SELECT doc_id, term, count(*) AS tf FROM chunks GROUP BY doc_id, term),
+dl AS (SELECT doc_id, count(*) AS dl FROM chunks GROUP BY doc_id),
+stats AS (SELECT (SELECT count(*) FROM documents) AS n, avg(dl) AS avgdl FROM dl),
+{c_main},
+{c_nm}
+SELECT doc_id, round(s, 4) AS score, idx FROM (
+  SELECT doc_id, score AS s, 'even' AS idx FROM qm WHERE doc_id % 2 = 0
+  UNION ALL
+  SELECT doc_id, score AS s, 'odd' AS idx FROM qn WHERE doc_id % 2 = 1
+) u
+ORDER BY s DESC, doc_id, idx
+LIMIT 10"""
 
 
 def _dis_max_oracle() -> str:
@@ -2702,6 +2747,7 @@ ORDER BY key""",
 SELECT doc_id, score,
        CASE WHEN doc_id % 2 = 0 THEN 'even' ELSE 'odd' END AS idx
 FROM ({_bm25_oracle()}) q""",
+        "indices_query": _indices_query_oracle(),
         "percolate_matches": _percolate_oracle(),
         # semantic oracles on the raw derived value (stronger than mirroring)
         "hash_prefix_query": (

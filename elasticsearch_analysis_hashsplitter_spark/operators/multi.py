@@ -236,6 +236,83 @@ class MultiIndexEngine:
             .select("doc_id", "score", "index")
         )
 
+    def indices_search(
+        self,
+        indices: list[str],
+        value: str,
+        no_match: str = "none",
+        k: int = 10,
+        boost: float = 1.0,
+        dfs: bool = True,
+    ) -> DataFrame:
+        """ES 0.19 ``indices`` query (IndicesQueryParser): indexes in
+        ``indices`` run the main ``value`` query; every other index
+        runs the ``no_match`` branch — ``"none"`` (skip, ES
+        no_match_query=none), ``"all"`` (match_all, the ES default —
+        constant score ``boost``), or another value string (that
+        value's conjunctive query). Index names never addressed by
+        this coordinator are simply inert, like ES concrete-name
+        matching against an alias's member list.
+
+        Scoring follows this coordinator's dfs model: one driver-side
+        global-stats phase over the UNION of both branches' terms, so
+        every branch scores with the same global weights and the
+        merged order is well-defined (ES query_then_fetch local stats
+        via ``dfs=False``). Plan: per-index top-k (each its own
+        single-scan + single-shuffle pipeline, <= k rows out), one
+        union, one TakeOrderedAndProject — fan-out cost flat in corpus
+        size, exactly like :meth:`search`."""
+        sel = set(indices)
+        node_m = qc.field_query(value, self.cfg, scored=True)
+        main_terms = (
+            list(node_m.terms)
+            if isinstance(node_m, ir.ScoredTerms)
+            else []
+        )
+        nm_terms: list[str] = []
+        if no_match not in ("none", "all"):
+            node_n = qc.field_query(no_match, self.cfg, scored=True)
+            if isinstance(node_n, ir.ScoredTerms):
+                nm_terms = list(node_n.terms)
+        gs = (
+            self.global_term_stats(sorted({*main_terms, *nm_terms}))
+            if dfs
+            else None
+        )
+        parts = []
+        for e, name in zip(self.engines, self.names):
+            if name in sel:
+                if not main_terms:
+                    continue
+                topk = e.bm25_topk(
+                    main_terms, k, boost=boost, global_stats=gs
+                )
+            elif no_match == "none":
+                continue
+            elif no_match == "all":
+                topk = e.match_all(k=k, boost=boost)
+            else:
+                if not nm_terms:
+                    continue
+                topk = e.bm25_topk(
+                    nm_terms, k, boost=boost, global_stats=gs
+                )
+            parts.append(topk.withColumn("index", F.lit(name)))
+        if not parts:
+            return self._empty()
+        merged = parts[0]
+        for p in parts[1:]:
+            merged = merged.unionByName(p)
+        return (
+            merged.orderBy(
+                F.col("score").desc(),
+                F.col("doc_id").asc(),
+                F.col("index").asc(),
+            )
+            .limit(k)
+            .select("doc_id", "score", "index")
+        )
+
     # ------------------------------------------------------------------
     # unscored surfaces: filters, counts, facets fan out per index
     # ------------------------------------------------------------------

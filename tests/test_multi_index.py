@@ -218,3 +218,55 @@ def test_open_multi_from_disk(spark, tmp_path):
         _eng(spark, DOCS).search("join merg", k=10)
     )
     _assert_same_ranking(got, want)
+
+
+# ---------------------------------------------------------------------------
+# ES 0.19 indices query (IndicesQueryParser)
+# ---------------------------------------------------------------------------
+
+
+def test_indices_query_routes_per_index(multi, whole):
+    # even runs "join merg", odd runs "join"; dfs global weights over a
+    # disjoint split == full-corpus scoring restricted to each half
+    got = multi.indices_search(
+        ["even"], "join merg", no_match="join", k=30
+    ).collect()
+    full_main = dict(_rows(whole.search("join merg", k=30)))
+    full_nm = dict(_rows(whole.search("join", k=30)))
+    for r in got:
+        if r["doc_id"] % 2 == 0:
+            assert r["index"] == "even"
+            assert r["score"] == pytest.approx(
+                full_main[r["doc_id"]], abs=1e-9
+            )
+        else:
+            assert r["index"] == "odd"
+            assert r["score"] == pytest.approx(
+                full_nm[r["doc_id"]], abs=1e-9
+            )
+
+
+def test_indices_query_no_match_none_skips(multi):
+    got = multi.indices_search(["even"], "join", no_match="none", k=30)
+    rows = got.collect()
+    assert rows and all(r["doc_id"] % 2 == 0 for r in rows)
+    assert all(r["index"] == "even" for r in rows)
+
+
+def test_indices_query_no_match_all_constant_score(multi):
+    got = multi.indices_search(
+        ["even"], "join", no_match="all", k=60
+    ).collect()
+    odd = [r for r in got if r["index"] == "odd"]
+    assert odd and all(r["score"] == 1.0 for r in odd)
+
+
+def test_indices_query_unknown_names_inert(multi):
+    # an index list addressing nothing this coordinator holds: every
+    # member runs the no_match branch
+    got = multi.indices_search(
+        ["nope"], "join", no_match="none", k=30
+    )
+    assert got.count() == 0
+    got2 = multi.indices_search(["nope"], "join", no_match="join", k=30)
+    assert {r["index"] for r in got2.collect()} == {"even", "odd"}

@@ -25,8 +25,19 @@ def main(argv=None) -> int:
                  "highlight", "dis_max", "boosting", "match_all",
                  "custom_score", "analyze", "percolate", "has_child",
                  "has_parent", "top_children", "script_filter",
-                 "custom_filters_score", "ids", "custom_boost_factor"],
+                 "custom_filters_score", "ids", "custom_boost_factor",
+                 "multi_search", "indices"],
     )
+    p.add_argument("--indices", default=None,
+                   help="comma-separated extra index dirs — --index plus "
+                        "these form the alias for --op multi_search / "
+                        "indices (ES multi-index fan-out)")
+    p.add_argument("--match-indices", default=None,
+                   help="comma-separated index NAMES (dir basenames) that "
+                        "run the main query for --op indices")
+    p.add_argument("--no-match", default="none",
+                   help="indices-query no_match branch: none | all | a "
+                        "value string")
     p.add_argument("--filter-ids", default=None,
                    help="comma-separated doc ids for an ES ids filter on "
                         "--op search (constant-score membership)")
@@ -127,6 +138,36 @@ def main(argv=None) -> int:
     )
 
     spark = SparkSession.builder.appName("hashsplitter-query").getOrCreate()
+
+    if args.op in ("multi_search", "indices"):
+        from elasticsearch_analysis_hashsplitter_spark.operators.multi import (
+            MultiIndexEngine,
+        )
+
+        dirs = [args.index] + [
+            d for d in (args.indices or "").split(",") if d
+        ]
+        if len(dirs) < 2:
+            raise SystemExit(f"--op {args.op} needs --indices dir2[,...]")
+        m = MultiIndexEngine.open(spark, dirs)
+        if not args.value:
+            raise SystemExit(f"--op {args.op} needs --value")
+        if args.op == "multi_search":
+            rows = m.search(args.value, k=args.k).collect()
+        else:
+            sel = [
+                s for s in (args.match_indices or "").split(",") if s
+            ]
+            if not sel:
+                raise SystemExit("--op indices needs --match-indices")
+            rows = m.indices_search(
+                sel, args.value, no_match=args.no_match, k=args.k
+            ).collect()
+        print(json.dumps(
+            [(r["doc_id"], r["score"], r["index"]) for r in rows]
+        ))
+        return 0
+
     eng = SearchEngine.open(spark, args.index)
 
     def _must_not():

@@ -454,6 +454,22 @@ def _q_scroll_all(spark, sf_dir):
     ).select("doc_id", F.round("score", 4).alias("score"))
 
 
+def _q_scroll_scan(spark, sf_dir):
+    """ES search_type=scan: unscored scroll of the prefix query's doc
+    set in doc_id order (pages of 150) — the reassembly must equal the
+    one-shot ordered doc set (387 rows at sf0.01, so 3 pages cover it
+    and the exhaustion path is exercised)."""
+    eng = _engine(spark, sf_dir, "tokens")
+    ids = [
+        int(r["doc_id"])
+        for page in eng.scroll_scan(
+            qc.prefix_query("windo", TOK_CFG), page_size=150
+        )
+        for r in page
+    ]
+    return spark.createDataFrame([(i,) for i in ids], "doc_id long")
+
+
 def _q_count(spark, sf_dir):
     """ES count API: match count of the prefix query, no hits fetched."""
     eng = _engine(spark, sf_dir, "tokens")
@@ -1638,6 +1654,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "update_by_query": _q_update_by_query,
         "multi_index_search": _q_multi_index,
         "indices_query": _q_indices_query,
+        "scroll_scan": _q_scroll_scan,
         "percolate_matches": _q_percolate,
         "hash_prefix_query": _q_hash_prefix,
         "hash_wildcard_suffix": _q_hash_wildcard_suffix,
@@ -2748,6 +2765,7 @@ SELECT doc_id, score,
        CASE WHEN doc_id % 2 = 0 THEN 'even' ELSE 'odd' END AS idx
 FROM ({_bm25_oracle()}) q""",
         "indices_query": _indices_query_oracle(),
+        "scroll_scan": _tok_ir_sql(qc.prefix_query("windo", TOK_CFG)),
         "percolate_matches": _percolate_oracle(),
         # semantic oracles on the raw derived value (stronger than mirroring)
         "hash_prefix_query": (

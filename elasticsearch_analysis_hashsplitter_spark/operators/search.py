@@ -2163,6 +2163,69 @@ class SearchEngine:
             last = rows[-1]
             after = (last["score"], last["doc_id"])
 
+    def scroll_scan(
+        self,
+        node: ir.Node,
+        page_size: int = 500,
+        max_pages: int | None = None,
+    ):
+        """ES ``search_type=scan`` scroll: iterate ANY query's doc set
+        unscored, in doc_id order, in stable pages — the bulk-export
+        mode ES uses when ranking is irrelevant (reindex, dumps).
+        Yields lists of doc_id Rows. Cursor = last doc_id (strictly
+        increasing, so pages never overlap); each page is the query's
+        own doc-set plan + one TakeOrderedAndProject of ``page_size``
+        rows — no corpus-wide sort is ever materialized. Same
+        mutation guard as :meth:`scroll`: deletes mid-scan raise
+        rather than silently shifting pages."""
+        if page_size < 1:
+            raise ValueError("page_size must be >= 1")
+        node = ir.simplify(node)
+        if isinstance(node, ir.MatchNone):
+            return
+        epoch = self._deletes_epoch
+        after = None
+        pages = 0
+        while max_pages is None or pages < max_pages:
+            if self._deletes_epoch != epoch:
+                raise RuntimeError(
+                    "index mutated (delete/upsert) during scan scroll "
+                    "— ES freezes a point-in-time context; restart"
+                )
+            df = self.docs(node)
+            if after is not None:
+                df = df.where(F.col("doc_id") > after)
+            rows = df.orderBy("doc_id").limit(page_size).collect()
+            if not rows:
+                return
+            yield rows
+            pages += 1
+            if len(rows) < page_size:
+                return
+            after = rows[-1]["doc_id"]
+
+    def validate(self, node_or_value) -> dict:
+        """ES ``_validate/query?explain=true``: does the query
+        compile, and what does it rewrite to. Driver-side only — no
+        Spark job. Accepts a raw value string (analyzed as a field
+        query, like ES validates against the mapping's analyzer) or a
+        pre-built IR node. Returns the ES response shape:
+        ``{"valid": bool, "explanation": str}`` (``"error"`` instead
+        of an explanation when invalid)."""
+        try:
+            if isinstance(node_or_value, ir.Node):
+                node = node_or_value
+            else:
+                node = qc.field_query(
+                    str(node_or_value), self.cfg, scored=True
+                )
+            return {
+                "valid": True,
+                "explanation": ir.render(ir.simplify(node)),
+            }
+        except Exception as e:  # ES returns valid:false, never raises
+            return {"valid": False, "error": f"{type(e).__name__}: {e}"}
+
     def serve(
         self,
         requests,

@@ -176,6 +176,50 @@ def simplify(node: Node) -> Node:
     return node
 
 
+def render(node: Node) -> str:
+    """Human-readable rewrite of an IR tree — the ``explanation``
+    string of the ES ``_validate/query?explain=true`` response (ES
+    prints the rewritten Lucene query; this prints the compiled chunk
+    plan, which is the analogous post-analysis form)."""
+    if isinstance(node, TermEq):
+        return f"term:{node.term}"
+    if isinstance(node, TermPrefixLen):
+        return (
+            f"prefix:{node.prefix}*[len {node.min_len}-{node.max_len}]"
+        )
+    if isinstance(node, TermRangeLen):
+        lo = "*" if node.lower is None else node.lower
+        hi = "*" if node.upper is None else node.upper
+        lb = "[" if node.include_lower else "{"
+        rb = "]" if node.include_upper else "}"
+        return (
+            f"range:{lb}{lo} TO {hi}{rb}"
+            f"[len {node.min_len}-{node.max_len}]"
+        )
+    if isinstance(node, TermPattern):
+        return f"pattern:{node.pattern}"
+    if isinstance(node, DocIds):
+        return "ids:(" + " ".join(str(i) for i in node.ids) + ")"
+    if isinstance(node, MatchNone):
+        return "MatchNoDocsQuery"
+    if isinstance(node, MatchAll):
+        return "MatchAllDocsQuery"
+    if isinstance(node, ScoredTerms):
+        op = " AND " if node.conjunctive else " OR "
+        return (
+            "scored("
+            + op.join(f"term:{t}" for t in node.terms)
+            + ")"
+        )
+    if isinstance(node, And):
+        return "(" + " AND ".join(render(c) for c in node.children) + ")"
+    if isinstance(node, Or):
+        return "(" + " OR ".join(render(c) for c in node.children) + ")"
+    if isinstance(node, Not):
+        return "NOT " + render(node.child)
+    raise TypeError(node)
+
+
 def leaves(node: Node) -> list[Node]:
     if isinstance(node, (And, Or)):
         out: list[Node] = []

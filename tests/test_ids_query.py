@@ -129,3 +129,65 @@ def test_custom_boost_factor_scales_scores_rank_identical(eng):
     assert [r["doc_id"] for r in boosted] == [r["doc_id"] for r in base]
     for b, s in zip(boosted, base):
         assert b["score"] == pytest.approx(s["score"] * 2.5, rel=1e-12)
+
+
+# ---------------------------------------------------------------------------
+# search_type=scan scroll + _validate/query
+# ---------------------------------------------------------------------------
+
+
+def test_scroll_scan_pages_cover_doc_set_in_order(eng):
+    node = qc.field_query("spark", CFG, scored=False)
+    want = sorted(_docs_with("spark"))
+    pages = [
+        [r["doc_id"] for r in page]
+        for page in eng.scroll_scan(node, page_size=3)
+    ]
+    assert [i for p in pages for i in p] == want
+    assert all(len(p) <= 3 for p in pages)
+    # pages strictly increase, never overlap
+    flat = [i for p in pages for i in p]
+    assert flat == sorted(set(flat))
+
+
+def test_scroll_scan_match_none_yields_nothing(eng):
+    assert list(eng.scroll_scan(ir.MatchNone(), page_size=5)) == []
+
+
+def test_scroll_scan_raises_on_mid_scan_delete(spark):
+    df = spark.createDataFrame(
+        [(i, _doc_text(i)) for i in range(N_DOCS)],
+        "doc_id long, content string",
+    )
+    e2 = SearchEngine.from_corpus(df, CFG, num_partitions=2)
+    gen = e2.scroll_scan(ir.MatchAll(), page_size=4)
+    next(gen)
+    e2.delete_docs([0])
+    with pytest.raises(RuntimeError, match="mutated"):
+        next(gen)
+
+
+def test_validate_valid_value_renders_chunk_plan(eng):
+    out = eng.validate("spark")
+    assert out["valid"] is True
+    # the compiled rewrite names every positioned chunk term
+    terms = sorted(set(qc.field_query("spark", CFG).terms))
+    for t in terms:
+        assert t in out["explanation"]
+
+
+def test_validate_ir_node_and_invalid(eng):
+    out = eng.validate(qc.bool_filter(
+        must=[qc.prefix_query("spa", CFG)],
+        must_not=[qc.ids_query([3])],
+    ))
+    assert out["valid"] is True
+    assert "ids:(3)" in out["explanation"]
+    assert "NOT" in out["explanation"]
+
+    class Boom:
+        def __str__(self):
+            raise ValueError("unparseable")
+
+    bad = eng.validate(Boom())
+    assert bad["valid"] is False and "ValueError" in bad["error"]

@@ -26,8 +26,11 @@ def main(argv=None) -> int:
                  "custom_score", "analyze", "percolate", "has_child",
                  "has_parent", "top_children", "script_filter",
                  "custom_filters_score", "ids", "custom_boost_factor",
-                 "multi_search", "indices"],
+                 "multi_search", "indices", "scan", "validate"],
     )
+    p.add_argument("--query-kind", default="field",
+                   choices=["field", "prefix", "wildcard"],
+                   help="how --value compiles for --op scan")
     p.add_argument("--indices", default=None,
                    help="comma-separated extra index dirs — --index plus "
                         "these form the alias for --op multi_search / "
@@ -195,6 +198,31 @@ def main(argv=None) -> int:
         rows = eng.search(args.value, k=args.k,
                           must_not=_must_not(), filter=fl).collect()
         print(json.dumps([(r["doc_id"], r["score"]) for r in rows]))
+    elif args.op == "scan":
+        if not args.value:
+            raise SystemExit("--op scan needs --value")
+        from elasticsearch_analysis_hashsplitter_spark.plans import (
+            compile as qc,
+        )
+
+        builders = {
+            "field": lambda v: qc.field_query(v, eng.cfg, scored=False),
+            "prefix": lambda v: qc.prefix_query(v, eng.cfg),
+            "wildcard": lambda v: qc.wildcard_query(v, eng.cfg),
+        }
+        pages = [
+            [int(r["doc_id"]) for r in page]
+            for page in eng.scroll_scan(
+                builders[args.query_kind](args.value),
+                page_size=args.page_size,
+                max_pages=4,
+            )
+        ]
+        print(json.dumps(pages))
+    elif args.op == "validate":
+        if not args.value:
+            raise SystemExit("--op validate needs --value")
+        print(json.dumps(eng.validate(args.value)))
     elif args.op == "ids":
         if not args.ids:
             raise SystemExit("--op ids needs --ids a,b,...")

@@ -268,3 +268,17 @@ def test_custom_filters_score_boost_pick_is_one_aggregate(disk_engine):
     assert "TakeOrderedAndProject" in plan
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_ids_filter_pushes_into_docstats_scan(disk_engine):
+    """DocIds evaluates on the doc-stats side, never the postings:
+    the id list must reach the parquet scan as a pushed In filter and
+    the postings files must not appear in the plan at all."""
+    from elasticsearch_analysis_hashsplitter_spark.plans import (
+        compile as qc,
+    )
+
+    plan = _plan(disk_engine.docs(qc.ids_query([3, 7, 11])))
+    assert "PushedFilters" in plan
+    assert "In(doc_id" in plan
+    assert "postings" not in plan

@@ -456,14 +456,17 @@ def _q_scroll_all(spark, sf_dir):
 
 def _q_scroll_scan(spark, sf_dir):
     """ES search_type=scan: unscored scroll of the prefix query's doc
-    set in doc_id order (pages of 150) — the reassembly must equal the
-    one-shot ordered doc set (387 rows at sf0.01, so 3 pages cover it
-    and the exhaustion path is exercised)."""
+    set in doc_id order — the reassembly must equal the one-shot
+    ordered doc set over the same 600-row prefix. Capped at 4 pages
+    because each page is one full doc-set eval (the scroll_all lesson:
+    uncapped at sf0.1 this walked 26 pages / 52 s of bench time
+    proving nothing the first page seams don't); at sf0.01 the set is
+    387 rows, so the cap also crosses the exhaustion path there."""
     eng = _engine(spark, sf_dir, "tokens")
     ids = [
         int(r["doc_id"])
         for page in eng.scroll_scan(
-            qc.prefix_query("windo", TOK_CFG), page_size=150
+            qc.prefix_query("windo", TOK_CFG), page_size=150, max_pages=4
         )
         for r in page
     ]
@@ -2765,7 +2768,14 @@ SELECT doc_id, score,
        CASE WHEN doc_id % 2 = 0 THEN 'even' ELSE 'odd' END AS idx
 FROM ({_bm25_oracle()}) q""",
         "indices_query": _indices_query_oracle(),
-        "scroll_scan": _tok_ir_sql(qc.prefix_query("windo", TOK_CFG)),
+        # same 600-row (4-page) prefix as the gate's page cap
+        "scroll_scan": (
+            f"WITH {_TOK_CTE} SELECT doc_id FROM ("
+            + sql_oracle.docs_select(
+                qc.prefix_query("windo", TOK_CFG), TOK_CFG
+            )
+            + ") q ORDER BY doc_id LIMIT 600"
+        ),
         "percolate_matches": _percolate_oracle(),
         # semantic oracles on the raw derived value (stronger than mirroring)
         "hash_prefix_query": (

@@ -742,6 +742,23 @@ def _q_multi_index(spark, sf_dir):
     )
 
 
+def _q_multi_index_batch(spark, sf_dir):
+    """ES _msearch against the parity-split alias: the 5-query batch
+    over both halves with dfs global weights — per-query results must
+    equal the single merged index's batch (same oracle as
+    bm25_topk_batch plus the parity shard attribution)."""
+    _q_multi_index(spark, sf_dir)  # ensure the parity engines exist
+    m = _ENGINES[(id(spark), sf_dir, "multi")]
+    vals = {f"q_{t}": t for t in BATCH_QUERIES}
+    return m.search_batch(vals, k=10).select(
+        "query_id",
+        "doc_id",
+        F.round("score", 4).alias("score"),
+        F.col("rank").cast("long").alias("rank"),
+        F.col("index").alias("idx"),
+    ).orderBy("query_id", "rank")
+
+
 #: indices-query gate: the "even" half runs the flagship value, the
 #: "odd" half runs the no_match branch value
 INDICES_NO_MATCH = "window"
@@ -1657,6 +1674,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "update_by_query": _q_update_by_query,
         "multi_index_search": _q_multi_index,
         "indices_query": _q_indices_query,
+        "multi_index_batch": _q_multi_index_batch,
         "scroll_scan": _q_scroll_scan,
         "percolate_matches": _q_percolate,
         "hash_prefix_query": _q_hash_prefix,
@@ -2768,6 +2786,12 @@ SELECT doc_id, score,
        CASE WHEN doc_id % 2 = 0 THEN 'even' ELSE 'odd' END AS idx
 FROM ({_bm25_oracle()}) q""",
         "indices_query": _indices_query_oracle(),
+        # disjoint halves + dfs: the alias batch == the merged-index
+        # batch, shard attribution by parity
+        "multi_index_batch": f"""
+SELECT query_id, doc_id, score, rank,
+       CASE WHEN doc_id % 2 = 0 THEN 'even' ELSE 'odd' END AS idx
+FROM ({_bm25_batch_oracle()}) b""",
         # same 600-row (4-page) prefix as the gate's page cap
         "scroll_scan": (
             f"WITH {_TOK_CTE} SELECT doc_id FROM ("

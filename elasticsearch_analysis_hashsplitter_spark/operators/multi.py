@@ -236,6 +236,74 @@ class MultiIndexEngine:
             .select("doc_id", "score", "index")
         )
 
+    def search_batch(
+        self,
+        values: dict[str, str],
+        k: int = 10,
+        conjunctive: bool = True,
+        dfs: bool = True,
+    ) -> DataFrame:
+        """ES ``_msearch`` against the alias: top-k for MANY value
+        queries over every index in ONE job per shard plus one
+        coordinator merge — the multi-index form of the single-index
+        batch kernel (``bm25_topk_batch``), and the answer to the
+        measured per-query coordinator overhead (each single query
+        pays ~shard_count x fixed pipeline cost; a batch amortizes it
+        across all queries).
+
+        Plan: one dfs phase over the union of every query's terms,
+        per-shard batch scoring with the GLOBAL weights (exhaustive
+        scan per shard — the prune bounds are engine-local, see
+        ``_batch_scores``; a shard holds 1/N of the alias so the scan
+        is proportionally small), union of <= k rows per (query,
+        shard), one window re-rank to the final per-query top-k.
+        Returns (query_id, doc_id, score, rank, index), ordering per
+        query identical to :meth:`search` on the same value."""
+        from pyspark.sql import Window
+
+        from .search import bm25_topk_batch
+
+        qmap: dict[str, list[str]] = {}
+        for qid, value in values.items():
+            node = qc.field_query(value, self.cfg, scored=True)
+            if isinstance(node, ir.ScoredTerms):
+                qmap[qid] = list(node.terms)
+        if not qmap:
+            return self._empty_batch()
+        gs = (
+            self.global_term_stats(
+                sorted({t for ts in qmap.values() for t in ts})
+            )
+            if dfs
+            else None
+        )
+        parts = [
+            bm25_topk_batch(
+                e, qmap, k, conjunctive=conjunctive, global_stats=gs
+            ).withColumn("index", F.lit(name))
+            for e, name in zip(self.engines, self.names)
+        ]
+        merged = parts[0]
+        for p in parts[1:]:
+            merged = merged.unionByName(p)
+        w = Window.partitionBy("query_id").orderBy(
+            F.col("score").desc(),
+            F.col("doc_id").asc(),
+            F.col("index").asc(),
+        )
+        return (
+            merged.withColumn("rank", F.row_number().over(w))
+            .where(F.col("rank") <= k)
+            .select("query_id", "doc_id", "score", "rank", "index")
+        )
+
+    def _empty_batch(self) -> DataFrame:
+        return self.engines[0].spark.createDataFrame(
+            [],
+            "query_id string, doc_id long, score double, "
+            "rank int, index string",
+        )
+
     def indices_search(
         self,
         indices: list[str],

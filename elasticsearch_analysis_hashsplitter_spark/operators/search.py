@@ -3590,6 +3590,7 @@ def _batch_scores(
     anchor_ids_cutoff: int,
     source: DataFrame | None = None,
     local_topk: bool = False,
+    global_stats: dict | None = None,
 ):
     """Shared front half of the batch-retrieval paths: per-query prune
     metadata, pruned block scan, the vectorized scoring kernel, and the
@@ -3660,6 +3661,18 @@ def _batch_scores(
     spark = engine.spark
     n_docs = engine.stats["n_docs"]
     avgdl = engine.stats["avgdl"] or 1.0
+    if global_stats is not None:
+        # dfs_query_then_fetch weights (see bm25_scores): n/avgdl/df
+        # come from the coordinator. The prune machinery's theta
+        # bootstrap and block-max bounds are engine-local and would mix
+        # weight systems, so cross-index batches run the exhaustive
+        # scan — still one shuffle, and the per-shard corpus is 1/N of
+        # the alias. Term PRESENCE stays local (a conjunctive query
+        # missing a term in this shard matches nothing here — docs
+        # never span shards).
+        prune = False
+        n_docs = global_stats["n_docs"]
+        avgdl = global_stats["avgdl"] or 1.0
     k1, b = engine.cfg.bm25_k1, engine.cfg.bm25_b
 
     all_terms = sorted({t for ts in queries.values() for t in ts})
@@ -3671,7 +3684,12 @@ def _batch_scores(
     }
 
     def idf(t: str) -> float:
-        return _bm25_idf(n_docs, info[t][0])
+        df = (
+            global_stats["dfs"].get(t, info[t][0])
+            if global_stats is not None
+            else info[t][0]
+        )
+        return _bm25_idf(n_docs, df)
 
     def term_ub_factor(t: str) -> float:
         # sound per-posting bound factor: tf at the term's max_tf, dl at
@@ -4241,11 +4259,22 @@ def _batch_scores(
     return agg.select("qidx", "doc_id", "score"), active, qidx_of
 
 
-def _batch_plan_key(engine, queries, k, conjunctive, prune, frac, cutoff):
+def _batch_plan_key(
+    engine, queries, k, conjunctive, prune, frac, cutoff,
+    global_stats=None,
+):
     # the stand-down knobs are part of the compiled plan's shape; the
     # deletes epoch too — a plan compiled before a delete_docs call
     # embeds the OLD tombstone mask (literal/broadcast/kernel closure)
-    # and must never serve afterwards
+    # and must never serve afterwards. Coordinator (dfs) weights embed
+    # in the kernel closures, so they key the plan too.
+    gs_key = None
+    if global_stats is not None:
+        gs_key = (
+            global_stats["n_docs"],
+            global_stats["avgdl"],
+            tuple(sorted(global_stats["dfs"].items())),
+        )
     return (
         tuple(sorted((q, tuple(ts)) for q, ts in queries.items())),
         k,
@@ -4256,6 +4285,7 @@ def _batch_plan_key(engine, queries, k, conjunctive, prune, frac, cutoff):
         engine.conjunctive_exhaustive_cutoff,
         engine.disjunctive_exhaustive_cutoff,
         engine._deletes_epoch,
+        gs_key,
     )
 
 
@@ -4267,12 +4297,16 @@ def bm25_topk_batch(
     prune: bool = True,
     anchor_df_frac: float = 0.25,
     anchor_ids_cutoff: int = 32768,
+    global_stats: dict | None = None,
 ) -> DataFrame:
     """Bulk retrieval: top-k for MANY queries in ONE scoring job (design
     notes: :func:`_batch_scores`).
 
     Returns (query_id, doc_id, score, rank) with rank 1..k per query,
     ordering identical to :meth:`SearchEngine.bm25_topk` per query.
+    ``global_stats`` scores with coordinator (dfs) weights — the
+    multi-index batch path; forces the exhaustive scan (see
+    :func:`_batch_scores`).
 
     Repeated identical calls return the SAME DataFrame object from a
     per-engine plan cache: Spark caches the analyzed/optimized plan and
@@ -4287,7 +4321,7 @@ def bm25_topk_batch(
 
     key = _batch_plan_key(
         engine, queries, k, conjunctive, prune,
-        anchor_df_frac, anchor_ids_cutoff,
+        anchor_df_frac, anchor_ids_cutoff, global_stats,
     )
     with engine._cache_lock:
         hit = engine._batch_plan_cache.get(key)
@@ -4295,7 +4329,7 @@ def bm25_topk_batch(
         return hit
     agg, active, qidx_of = _batch_scores(
         engine, queries, k, conjunctive, prune,
-        anchor_df_frac, anchor_ids_cutoff,
+        anchor_df_frac, anchor_ids_cutoff, global_stats=global_stats,
     )
     if agg is None:
         return engine.spark.createDataFrame([], _BATCH_SCHEMA)

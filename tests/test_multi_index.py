@@ -270,3 +270,37 @@ def test_indices_query_unknown_names_inert(multi):
     assert got.count() == 0
     got2 = multi.indices_search(["nope"], "join", no_match="join", k=30)
     assert {r["index"] for r in got2.collect()} == {"even", "odd"}
+
+
+# ---------------------------------------------------------------------------
+# ES _msearch against the alias (search_batch)
+# ---------------------------------------------------------------------------
+
+
+def test_search_batch_equals_per_value_search(multi):
+    vals = {"a": "join merg", "b": "join", "c": "scan"}
+    got = multi.search_batch(vals, k=8).collect()
+    by_q = {}
+    for r in got:
+        by_q.setdefault(r["query_id"], []).append(r)
+    for qid, value in vals.items():
+        want = multi.search(value, k=8).collect()
+        rows = sorted(by_q.get(qid, []), key=lambda r: r["rank"])
+        assert [r["doc_id"] for r in rows] == [
+            w["doc_id"] for w in want
+        ], qid
+        for r, w in zip(rows, want):
+            assert r["score"] == pytest.approx(w["score"], abs=1e-9)
+            assert r["index"] == w["index"]
+
+
+def test_search_batch_skips_unmatchable_and_empty(multi):
+    # "zzzz" analyzes to terms absent everywhere -> no rows for it;
+    # an all-absent batch returns the empty frame with the full schema
+    got = multi.search_batch({"a": "join", "z": "zzzz"}, k=5).collect()
+    assert {r["query_id"] for r in got} == {"a"}
+    empty = multi.search_batch({"z": "zzzz"}, k=5)
+    assert empty.count() == 0
+    assert empty.columns == [
+        "query_id", "doc_id", "score", "rank", "index"
+    ]

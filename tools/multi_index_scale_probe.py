@@ -251,6 +251,59 @@ def main():
             "main_branch_scores_match_merged": branch_check(main_only),
         }
 
+        # 6. _msearch batch amortization -------------------------------
+        # The per-query coordinator overhead (section 1) is fixed
+        # per-pipeline driver cost; a 64-query batch should amortize it
+        # toward the merged-engine batch kernel's cost.
+        from elasticsearch_analysis_hashsplitter_spark.corpus import (
+            _VOCAB,
+        )
+        from elasticsearch_analysis_hashsplitter_spark.operators.search import (  # noqa: E501
+            bm25_topk_batch,
+        )
+
+        vals = {
+            f"q{i}": str(_VOCAB[(7 * i) % len(_VOCAB)])
+            for i in range(64)
+        }
+        qmap = {
+            qid: list(qc.field_query(v, TOK_CFG).terms)
+            for qid, v in vals.items()
+        }
+        bm25_topk_batch(whole, qmap, k=10).count()  # compile + warm
+        multi.search_batch(vals, k=10).count()
+        t_mb, _ = best_of(
+            args.reps, lambda: bm25_topk_batch(whole, qmap, k=10).count()
+        )
+        t_ab, _ = best_of(
+            args.reps, lambda: multi.search_batch(vals, k=10).count()
+        )
+        merged_batch = {
+            (r["query_id"], r["rank"]): r
+            for r in bm25_topk_batch(whole, qmap, k=10).collect()
+        }
+        alias_batch = {
+            (r["query_id"], r["rank"]): r
+            for r in multi.search_batch(vals, k=10).collect()
+        }
+        batch_parity = set(merged_batch) == set(alias_batch) and all(
+            a["doc_id"] == merged_batch[key]["doc_id"]
+            and abs(a["score"] - merged_batch[key]["score"])
+            <= 1e-9 * abs(merged_batch[key]["score"])
+            for key, a in alias_batch.items()
+        )
+        out["msearch_batch"] = {
+            "queries": 64,
+            "merged_batch_seconds": round(t_mb, 2),
+            "alias_batch_seconds": round(t_ab, 2),
+            "overhead_x": round(t_ab / t_mb, 2),
+            "alias_qps": round(64 / t_ab, 1),
+            "per_query_amortized_x_vs_single": round(
+                (t_ab / 64) / t_multi, 3
+            ),
+            "parity_rows_scores_1e9": batch_parity,
+        }
+
         # 5. count fan-out ---------------------------------------------
         pnode = qc.prefix_query("ret", TOK_CFG)
         out["count_fanout"] = {

@@ -26,7 +26,8 @@ def main(argv=None) -> int:
                  "custom_score", "analyze", "percolate", "has_child",
                  "has_parent", "top_children", "script_filter",
                  "custom_filters_score", "ids", "custom_boost_factor",
-                 "multi_search", "indices", "scan", "validate"],
+                 "multi_search", "msearch", "indices", "scan",
+                 "validate"],
     )
     p.add_argument("--query-kind", default="field",
                    choices=["field", "prefix", "wildcard"],
@@ -142,7 +143,7 @@ def main(argv=None) -> int:
 
     spark = SparkSession.builder.appName("hashsplitter-query").getOrCreate()
 
-    if args.op in ("multi_search", "indices"):
+    if args.op in ("multi_search", "msearch", "indices"):
         from elasticsearch_analysis_hashsplitter_spark.operators.multi import (
             MultiIndexEngine,
         )
@@ -153,6 +154,18 @@ def main(argv=None) -> int:
         if len(dirs) < 2:
             raise SystemExit(f"--op {args.op} needs --indices dir2[,...]")
         m = MultiIndexEngine.open(spark, dirs)
+        if args.op == "msearch":
+            vals = [v for v in (args.values or "").split(",") if v]
+            if not vals:
+                raise SystemExit("--op msearch needs --values a,b,...")
+            rows = m.search_batch(
+                {f"q{i}": v for i, v in enumerate(vals)}, k=args.k
+            ).orderBy("query_id", "rank").collect()
+            print(json.dumps([
+                (r["query_id"], r["doc_id"], r["score"], r["index"])
+                for r in rows
+            ]))
+            return 0
         if not args.value:
             raise SystemExit(f"--op {args.op} needs --value")
         if args.op == "multi_search":

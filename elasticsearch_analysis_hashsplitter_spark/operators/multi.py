@@ -297,6 +297,117 @@ class MultiIndexEngine:
             .select("query_id", "doc_id", "score", "rank", "index")
         )
 
+    def _batch_collect_terms(
+        self, qmap: dict[str, list[str]], k: int
+    ) -> dict:
+        """Serving half of :meth:`search_batch` over PRE-ANALYZED term
+        bags (the coalescer dedups concurrent clients on analyzed
+        terms, so values never reach this layer): per-shard batch
+        scoring with the dfs weights, one window merge, one collect —
+        returns query_key -> [(doc_id, score, index), ...] in rank
+        order."""
+        from pyspark.sql import Window
+
+        from .search import bm25_topk_batch
+
+        qmap = {q: ts for q, ts in qmap.items() if ts}
+        if not qmap:
+            return {}
+        gs = self.global_term_stats(
+            sorted({t for ts in qmap.values() for t in ts})
+        )
+        parts = [
+            bm25_topk_batch(e, qmap, k, global_stats=gs).withColumn(
+                "index", F.lit(name)
+            )
+            for e, name in zip(self.engines, self.names)
+        ]
+        merged = parts[0]
+        for p in parts[1:]:
+            merged = merged.unionByName(p)
+        w = Window.partitionBy("query_id").orderBy(
+            F.col("score").desc(),
+            F.col("doc_id").asc(),
+            F.col("index").asc(),
+        )
+        rows = (
+            merged.withColumn("rank", F.row_number().over(w))
+            .where(F.col("rank") <= k)
+            .orderBy("query_id", "rank")
+            .collect()
+        )
+        out: dict = {}
+        for r in rows:
+            out.setdefault(r["query_id"], []).append(
+                (r["doc_id"], r["score"], r["index"])
+            )
+        return out
+
+    def serve(
+        self,
+        requests,
+        k: int = 10,
+        max_workers: int = 8,
+        pool_prefix: str = "hashsplitter-mserve",
+        window_ms: float = 12.0,
+        max_batch: int = 64,
+        n_lanes: int = 2,
+    ) -> dict:
+        """Concurrent serving against the ALIAS: N client threads, the
+        same adaptive coalescing dispatcher as
+        :meth:`SearchEngine.serve`, but each drained wave executes as
+        ONE :meth:`search_batch`-shaped alias job (per-shard batch
+        kernels + one merge window) — the ES model of concurrent
+        searches against a multi-shard index. Answers are pinned to
+        :meth:`search` per value: same dfs weights, same (score desc,
+        doc_id asc, index asc) order; returns query_id -> list of
+        (doc_id, score, index)."""
+        import concurrent.futures as cf
+
+        from .search import ServeCoalescer
+
+        items = (
+            list(requests.items())
+            if isinstance(requests, dict)
+            else list(requests)
+        )
+        # warm every shard's term-stats cache with one point-read per
+        # engine up front (same rationale as SearchEngine.serve)
+        warm: list[str] = []
+        seen: set[str] = set()
+        for _, v in items:
+            node = qc.field_query(v, self.cfg, scored=True)
+            if isinstance(node, ir.ScoredTerms):
+                for t in node.terms:
+                    if t not in seen:
+                        seen.add(t)
+                        warm.append(t)
+        if warm:
+            for e in self.engines:
+                e._term_stats(warm)
+
+        coal = ServeCoalescer(
+            self.engines[0],
+            k=k,
+            window_ms=window_ms,
+            max_batch=max_batch,
+            pool=pool_prefix,
+            n_lanes=n_lanes,
+            batch_collect_fn=self._batch_collect_terms,
+            epoch_fn=lambda: tuple(
+                (e._layout_epoch, e._deletes_epoch) for e in self.engines
+            ),
+        )
+        try:
+            with cf.ThreadPoolExecutor(max_workers=max_workers) as ex:
+                futs = [
+                    (qid, ex.submit(coal.request, value))
+                    for qid, value in items
+                ]
+                return {qid: f.result() for qid, f in futs}
+        finally:
+            coal.close()
+
     def _empty_batch(self) -> DataFrame:
         return self.engines[0].spark.createDataFrame(
             [],

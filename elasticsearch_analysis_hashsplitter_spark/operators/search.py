@@ -3272,7 +3272,16 @@ class ServeCoalescer:
         pool: str = "hashsplitter-serve",
         result_cache: bool = False,
         n_lanes: int = 2,
+        batch_collect_fn=None,
+        epoch_fn=None,
     ):
+        """``batch_collect_fn(qmap, k) -> dict`` overrides the batch
+        execution (default: this engine's
+        :func:`bm25_topk_batch_collect`) — the multi-index coordinator
+        serves through the same dispatcher by injecting its alias
+        batch here. ``epoch_fn`` must cover every index whose mutation
+        invalidates cached results (default: this engine's layout +
+        deletes epochs)."""
         import concurrent.futures as cf
         import queue
 
@@ -3282,6 +3291,12 @@ class ServeCoalescer:
         self.max_batch = max_batch
         self.pool = pool
         self.result_cache = result_cache
+        self._batch_collect = batch_collect_fn or (
+            lambda qmap, kk: bm25_topk_batch_collect(engine, qmap, k=kk)
+        )
+        self._epoch = epoch_fn or (
+            lambda: (engine._layout_epoch, engine._deletes_epoch)
+        )
         self.n_lanes = max(int(n_lanes), 1)
         #: requests answered from the engine's request-result cache
         #: (diagnostics + pytest assertion hook)
@@ -3366,7 +3381,7 @@ class ServeCoalescer:
             futs: dict[str, list] = {}
             # layout epoch: a layout switch can change float-sum order;
             # deletes epoch: a tombstone changes membership outright
-            epoch = (eng._layout_epoch, eng._deletes_epoch)
+            epoch = self._epoch()
             for i, (value, fut) in enumerate(batch):
                 node = qc.field_query(value, eng.cfg, scored=True)
                 if isinstance(node, ir.MatchNone):
@@ -3390,7 +3405,7 @@ class ServeCoalescer:
                     futs[key] = [fut]
                     qmap[key] = list(node.terms)
             if qmap:
-                per = bm25_topk_batch_collect(eng, qmap, k=self.k)
+                per = self._batch_collect(qmap, self.k)
                 for key, fs in futs.items():
                     res = per.get(key, [])
                     if self.result_cache:

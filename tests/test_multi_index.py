@@ -304,3 +304,21 @@ def test_search_batch_skips_unmatchable_and_empty(multi):
     assert empty.columns == [
         "query_id", "doc_id", "score", "rank", "index"
     ]
+
+
+def test_serve_against_alias_matches_search(multi):
+    reqs = {f"r{i}": v for i, v in enumerate(
+        ["join merg", "join", "scan", "join merg", "merg"]
+    )}
+    got = multi.serve(reqs, k=6, max_workers=4, window_ms=20)
+    assert set(got) == set(reqs)
+    for qid, value in reqs.items():
+        want = [
+            (r["doc_id"], r["score"], r["index"])
+            for r in multi.search(value, k=6).collect()
+        ]
+        assert [(d, i) for d, _, i in got[qid]] == [
+            (d, i) for d, _, i in want
+        ], qid
+        for (_, gs, _), (_, ws, _) in zip(got[qid], want):
+            assert gs == pytest.approx(ws, abs=1e-9)

@@ -304,6 +304,46 @@ def main():
             "parity_rows_scores_1e9": batch_parity,
         }
 
+        # 7. concurrent alias serving ----------------------------------
+        reqs = {
+            f"r{i}": str(_VOCAB[(11 * i + 3) % len(_VOCAB)])
+            for i in range(32)
+        }
+        multi.serve(dict(list(reqs.items())[:4]), k=10)  # warm lanes
+        t0 = time.time()
+        served = multi.serve(reqs, k=10, max_workers=8)
+        t_serve = time.time() - t0
+        spot = list(reqs)[::8]
+        spot_ok = True
+        for qid in spot:
+            want = [
+                (r["doc_id"], r["index"])
+                for r in multi.search(reqs[qid], k=10).collect()
+            ]
+            if [(d, i) for d, _, i in served[qid]] != want:
+                spot_ok = False
+        t0 = time.time()
+        served_w = multi.serve(
+            reqs, k=10, max_workers=32, window_ms=150
+        )
+        t_serve_w = time.time() - t0
+        wide_ok = all(
+            [(d, i) for d, _, i in served_w[q]]
+            == [(d, i) for d, _, i in served[q]]
+            for q in reqs
+        )
+        out["alias_serving"] = {
+            "clients": 8,
+            "requests": 32,
+            "qps": round(32 / t_serve, 1),
+            "spot_answers_match_search": spot_ok,
+            # all 32 clients at once + a wide window -> one or two
+            # waves: per-wave x per-shard plan-compile amortizes and
+            # throughput approaches the msearch batch path
+            "qps_wide_window": round(32 / t_serve_w, 1),
+            "wide_window_answers_identical": wide_ok,
+        }
+
         # 5. count fan-out ---------------------------------------------
         pnode = qc.prefix_query("ret", TOK_CFG)
         out["count_fanout"] = {

@@ -26,7 +26,7 @@ def main(argv=None) -> int:
                  "custom_score", "analyze", "percolate", "has_child",
                  "has_parent", "top_children", "script_filter",
                  "custom_filters_score", "ids", "custom_boost_factor",
-                 "multi_search", "msearch", "indices", "scan",
+                 "multi_search", "msearch", "mserve", "indices", "scan",
                  "validate"],
     )
     p.add_argument("--query-kind", default="field",
@@ -143,7 +143,7 @@ def main(argv=None) -> int:
 
     spark = SparkSession.builder.appName("hashsplitter-query").getOrCreate()
 
-    if args.op in ("multi_search", "msearch", "indices"):
+    if args.op in ("multi_search", "msearch", "mserve", "indices"):
         from elasticsearch_analysis_hashsplitter_spark.operators.multi import (
             MultiIndexEngine,
         )
@@ -154,6 +154,19 @@ def main(argv=None) -> int:
         if len(dirs) < 2:
             raise SystemExit(f"--op {args.op} needs --indices dir2[,...]")
         m = MultiIndexEngine.open(spark, dirs)
+        if args.op == "mserve":
+            vals = [v for v in (args.values or "").split(",") if v]
+            if not vals:
+                raise SystemExit("--op mserve needs --values a,b,...")
+            got = m.serve(
+                {f"q{i}": v for i, v in enumerate(vals)},
+                k=args.k,
+                max_workers=args.workers,
+            )
+            print(json.dumps(
+                {qid: got[qid] for qid in sorted(got)}
+            ))
+            return 0
         if args.op == "msearch":
             vals = [v for v in (args.values or "").split(",") if v]
             if not vals:

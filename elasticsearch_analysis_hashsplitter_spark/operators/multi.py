@@ -259,17 +259,35 @@ class MultiIndexEngine:
         shard), one window re-rank to the final per-query top-k.
         Returns (query_id, doc_id, score, rank, index), ordering per
         query identical to :meth:`search` on the same value."""
-        from pyspark.sql import Window
-
-        from .search import bm25_topk_batch
-
         qmap: dict[str, list[str]] = {}
         for qid, value in values.items():
             node = qc.field_query(value, self.cfg, scored=True)
             if isinstance(node, ir.ScoredTerms):
                 qmap[qid] = list(node.terms)
+        frame = self._ranked_batch_frame(qmap, k, conjunctive, dfs)
+        return frame if frame is not None else self._empty_batch()
+
+    def _ranked_batch_frame(
+        self,
+        qmap: dict[str, list[str]],
+        k: int,
+        conjunctive: bool = True,
+        dfs: bool = True,
+    ) -> DataFrame | None:
+        """The ONE copy of the alias batch fan-out/merge (consumed by
+        :meth:`search_batch` and the serving path): dfs phase over the
+        union of the term bags, per-shard batch kernels with the
+        global weights, union, window re-rank. The tie-break here
+        (score desc, doc_id asc, index asc) must stay identical to
+        :meth:`search`'s coordinator merge. None when nothing can
+        match."""
+        from pyspark.sql import Window
+
+        from .search import bm25_topk_batch
+
+        qmap = {q: ts for q, ts in qmap.items() if ts}
         if not qmap:
-            return self._empty_batch()
+            return None
         gs = (
             self.global_term_stats(
                 sorted({t for ts in qmap.values() for t in ts})
@@ -305,37 +323,12 @@ class MultiIndexEngine:
         terms, so values never reach this layer): per-shard batch
         scoring with the dfs weights, one window merge, one collect —
         returns query_key -> [(doc_id, score, index), ...] in rank
-        order."""
-        from pyspark.sql import Window
-
-        from .search import bm25_topk_batch
-
-        qmap = {q: ts for q, ts in qmap.items() if ts}
-        if not qmap:
+        order. Shares the fan-out/merge with :meth:`search_batch`
+        (:meth:`_ranked_batch_frame`)."""
+        frame = self._ranked_batch_frame(qmap, k)
+        if frame is None:
             return {}
-        gs = self.global_term_stats(
-            sorted({t for ts in qmap.values() for t in ts})
-        )
-        parts = [
-            bm25_topk_batch(e, qmap, k, global_stats=gs).withColumn(
-                "index", F.lit(name)
-            )
-            for e, name in zip(self.engines, self.names)
-        ]
-        merged = parts[0]
-        for p in parts[1:]:
-            merged = merged.unionByName(p)
-        w = Window.partitionBy("query_id").orderBy(
-            F.col("score").desc(),
-            F.col("doc_id").asc(),
-            F.col("index").asc(),
-        )
-        rows = (
-            merged.withColumn("rank", F.row_number().over(w))
-            .where(F.col("rank") <= k)
-            .orderBy("query_id", "rank")
-            .collect()
-        )
+        rows = frame.orderBy("query_id", "rank").collect()
         out: dict = {}
         for r in rows:
             out.setdefault(r["query_id"], []).append(

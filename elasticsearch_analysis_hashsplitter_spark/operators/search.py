@@ -2369,14 +2369,27 @@ class SearchEngine:
             return c
         raise TypeError(f"not a leaf: {leaf!r}")
 
+    #: above this, a DocIds leaf joins instead of inlining literals —
+    #: a 500k-literal In() expression explodes analysis/codegen on the
+    #: driver, while a broadcast semi join of the id list is flat
+    _DOC_IDS_INLINE_MAX = 1024
+
     def _leaf_docs(self, leaf: ir.Node) -> DataFrame:
         if isinstance(leaf, ir.DocIds):
             # membership in the INDEX is part of the semantics (an id
             # never ingested matches nothing), so filter the doc-stats
             # table — a pruned scan of the small per-doc side, no
-            # postings touched
-            return self._all_docs().where(
-                F.col("doc_id").isin([int(i) for i in leaf.ids])
+            # postings touched. Small lists push down as an In()
+            # literal; large lists broadcast-semi-join (the literal
+            # form blows up the driver plan past a few thousand ids)
+            ids = [int(i) for i in leaf.ids]
+            if len(ids) <= self._DOC_IDS_INLINE_MAX:
+                return self._all_docs().where(F.col("doc_id").isin(ids))
+            id_df = self.spark.createDataFrame(
+                [(i,) for i in ids], "doc_id long"
+            )
+            return self._all_docs().join(
+                F.broadcast(id_df), "doc_id", "left_semi"
             )
         blocks = self.postings.where(self._leaf_condition(leaf))
         return blocks.select("docs").mapInPandas(

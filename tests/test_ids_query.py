@@ -191,3 +191,17 @@ def test_validate_ir_node_and_invalid(eng):
 
     bad = eng.validate(Boom())
     assert bad["valid"] is False and "ValueError" in bad["error"]
+
+
+def test_large_ids_list_uses_broadcast_join_and_matches(eng):
+    # past _DOC_IDS_INLINE_MAX the leaf switches from a literal In()
+    # to a broadcast semi join — answers must be identical, and the
+    # plan must carry the join instead of a giant literal list
+    big = list(range(0, 5000, 2)) + [10**9]
+    df = eng.docs(qc.ids_query(big))
+    want = {i for i in range(N_DOCS) if i % 2 == 0}
+    assert _ids(df) == want
+    plan = df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+    assert "BroadcastHashJoin" in plan

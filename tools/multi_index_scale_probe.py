@@ -102,10 +102,14 @@ def main():
             os.path.exists(os.path.join(d, "stats.json"))
             for d in [merged_dir] + shard_dirs
         )
-        docs = generate_corpus(spark, args.rows, partitions=args.cores * 2)
-        docs = docs.persist()
-        docs.count()
         if not reuse:
+            # corpus is only needed for the builds — a reused probe
+            # run must not pay the 1M-row materialization
+            docs = generate_corpus(
+                spark, args.rows, partitions=args.cores * 2
+            )
+            docs = docs.persist()
+            docs.count()
             t0 = time.time()
             shutil.rmtree(merged_dir, ignore_errors=True)
             build_index(docs, TOK_CFG, merged_dir, n_slices=4)

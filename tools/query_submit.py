@@ -32,6 +32,9 @@ def main(argv=None) -> int:
     p.add_argument("--query-kind", default="field",
                    choices=["field", "prefix", "wildcard"],
                    help="how --value compiles for --op scan")
+    p.add_argument("--max-pages", type=int, default=0,
+                   help="page cap for --op scan (0 = walk to "
+                        "exhaustion, like --op scroll)")
     p.add_argument("--indices", default=None,
                    help="comma-separated extra index dirs — --index plus "
                         "these form the alias for --op multi_search / "
@@ -220,7 +223,9 @@ def main(argv=None) -> int:
                 compile as qc,
             )
 
-            fl = qc.ids_query(args.filter_ids.split(","))
+            fl = qc.ids_query(
+                i for i in args.filter_ids.split(",") if i
+            )
         rows = eng.search(args.value, k=args.k,
                           must_not=_must_not(), filter=fl).collect()
         print(json.dumps([(r["doc_id"], r["score"]) for r in rows]))
@@ -241,7 +246,7 @@ def main(argv=None) -> int:
             for page in eng.scroll_scan(
                 builders[args.query_kind](args.value),
                 page_size=args.page_size,
-                max_pages=4,
+                max_pages=args.max_pages or None,
             )
         ]
         print(json.dumps(pages))
@@ -256,7 +261,9 @@ def main(argv=None) -> int:
             compile as qc,
         )
 
-        rows = eng.docs(qc.ids_query(args.ids.split(","))).collect()
+        rows = eng.docs(
+            qc.ids_query(i for i in args.ids.split(",") if i)
+        ).collect()
         print(json.dumps(sorted(r["doc_id"] for r in rows)))
     elif args.op == "custom_boost_factor":
         if not args.value:

@@ -31,6 +31,7 @@ from elasticsearch_analysis_hashsplitter_spark.functions.tokenize import (
     WS_RUN_REGEX,
 )
 from elasticsearch_analysis_hashsplitter_spark.plans import compile as qc
+from elasticsearch_analysis_hashsplitter_spark.plans import ir as ir_mod
 from elasticsearch_analysis_hashsplitter_spark.plans import sql_oracle
 
 #: per-token positioned chunks over documents.text (A2 / code-corpus mode)
@@ -329,6 +330,18 @@ def _q_lang_facet(spark, sf_dir):
     return eng.terms_facet(node, _docs(spark, sf_dir), "lang", size=10)
 
 
+def _q_global_facet(spark, sf_dir):
+    """ES 0.19 facet ``"global": true``: the facet ignores the main
+    query and aggregates over the WHOLE index (hits still reflect the
+    query — the gate pins the facet half). Engine-side that is the
+    same terms_facet over MatchAll; tombstones would still mask at
+    the docs() boundary."""
+    eng = _engine(spark, sf_dir, "tokens")
+    return eng.terms_facet(
+        ir_mod.MatchAll(), _docs(spark, sf_dir), "lang", size=10
+    )
+
+
 #: query_facet clauses: a conjunctive value, a prefix clause, and a
 #: no-match value (the zero-count row ES still renders)
 QUERY_FACETS = {
@@ -402,6 +415,20 @@ def _q_sort_by_field(spark, sf_dir):
     node = qc.field_query("spark", TOK_CFG, scored=False)
     return eng.sort_search(
         node, _docs(spark, sf_dir), "n_chars", k=10, ascending=False
+    )
+
+
+def _q_sort_multi_field(spark, sf_dir):
+    """ES multi-clause sort ({lang: asc}, {n_chars: desc}): clauses
+    apply in order, doc_id asc as the implicit _doc tie-breaker —
+    lang groups must hold ordered n_chars runs inside them."""
+    eng = _engine(spark, sf_dir, "tokens")
+    node = qc.field_query("spark", TOK_CFG, scored=False)
+    return eng.sort_search(
+        node,
+        _docs(spark, sf_dir),
+        [("lang", True), ("n_chars", False)],
+        k=15,
     )
 
 
@@ -1651,6 +1678,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_min_should_match": _q_bm25_msm,
         "more_like_this": _q_more_like_this,
         "sort_by_field": _q_sort_by_field,
+        "sort_multi_field": _q_sort_multi_field,
         "highlight_first": _q_highlight,
         "scroll_all": _q_scroll_all,
         "count_query": _q_count,
@@ -1661,6 +1689,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "search_fetch": _q_search_fetch,
         "mget": _q_mget,
         "lang_facet": _q_lang_facet,
+        "global_facet": _q_global_facet,
         "stats_facet": _q_stats_facet,
         "histogram_facet": _q_hist_facet,
         "range_facet": _q_range_facet,
@@ -2579,6 +2608,15 @@ WHERE d.doc_id IN (SELECT doc_id FROM (
 ) m)
 ORDER BY d.n_chars DESC, d.doc_id
 LIMIT 10""",
+        "sort_multi_field": f"""
+WITH {_TOK_CTE}
+SELECT d.doc_id, d.lang, d.n_chars
+FROM documents d
+WHERE d.doc_id IN (SELECT doc_id FROM (
+  {sql_oracle.docs_select(qc.field_query("spark", TOK_CFG, scored=False), TOK_CFG)}
+) m)
+ORDER BY d.lang ASC, d.n_chars DESC, d.doc_id
+LIMIT 15""",
         # ES highlight: first-match token-window fragment with <em> marks;
         # DuckDB list lambdas are 1-based where Spark's transform index is
         # 0-based, hence the i-1
@@ -2627,6 +2665,13 @@ WHERE d.doc_id IN (
     {sql_oracle.docs_select(qc.field_query(BM25_QUERY, TOK_CFG, scored=False), TOK_CFG)}
   ) m)
 GROUP BY d.lang
+ORDER BY count DESC, value
+LIMIT 10""",
+        # facet "global": true — the whole index, query ignored
+        "global_facet": """
+SELECT lang AS value, count(*)::BIGINT AS count
+FROM documents
+GROUP BY lang
 ORDER BY count DESC, value
 LIMIT 10""",
         # ES multi-get: live indexed docs by id; unknown ids absent

@@ -345,6 +345,7 @@ class MultiIndexEngine:
         window_ms: float = 12.0,
         max_batch: int = 64,
         n_lanes: int = 2,
+        result_cache: bool = False,
     ) -> dict:
         """Concurrent serving against the ALIAS: N client threads, the
         same adaptive coalescing dispatcher as
@@ -386,6 +387,10 @@ class MultiIndexEngine:
             max_batch=max_batch,
             pool=pool_prefix,
             n_lanes=n_lanes,
+            # the cache lives on engines[0] but the epoch below covers
+            # EVERY member index, so any shard's delete/layout change
+            # invalidates cached alias answers
+            result_cache=result_cache,
             batch_collect_fn=self._batch_collect_terms,
             epoch_fn=lambda: tuple(
                 (e._layout_epoch, e._deletes_epoch) for e in self.engines

@@ -1033,27 +1033,38 @@ class SearchEngine:
         self,
         node: ir.Node,
         source: DataFrame,
-        field: str,
+        field: str | list,
         k: int = 10,
         ascending: bool = True,
     ) -> DataFrame:
-        """ES ``sort`` on a field: the query's doc set ordered by a
-        ``_source`` field instead of relevance (``sort: [{field:
-        {order: ...}}]``) — scoring is skipped entirely, exactly as ES
-        does when a sort clause replaces ``_score``. Ties break on
+        """ES ``sort`` on fields: the query's doc set ordered by
+        ``_source`` fields instead of relevance (``sort: [{f1:
+        {order: ...}}, {f2: ...}]``) — scoring is skipped entirely,
+        exactly as ES does when a sort clause replaces ``_score``.
+        ``field`` is one name or a list of names / (name, ascending)
+        pairs — the ES multi-clause sort, applied in order; a bare
+        name in the list takes the call's ``ascending``. Ties break on
         doc_id asc (ES's implicit ``_doc`` tie-breaker), so the order
         is strict and pageable.
 
         Shape: one doc-set evaluation, one join to attach the sort
-        field, and a TakeOrderedAndProject for the top-k — per-partition
+        fields, and a TakeOrderedAndProject for the top-k — per-partition
         heaps, <= k rows to the driver, never a full sort of the match
         set."""
+        clauses = field if isinstance(field, list) else [field]
+        spec: list[tuple[str, bool]] = [
+            (c, ascending) if isinstance(c, str) else (c[0], bool(c[1]))
+            for c in clauses
+        ]
         hits = self.docs(node)
-        order = F.col(field).asc() if ascending else F.col(field).desc()
+        order = [
+            (F.col(f).asc() if asc else F.col(f).desc())
+            for f, asc in spec
+        ]
         return (
             source.join(hits, "doc_id")
-            .select("doc_id", field)
-            .orderBy(order, F.col("doc_id").asc())
+            .select("doc_id", *[f for f, _ in spec])
+            .orderBy(*order, F.col("doc_id").asc())
             .limit(k)
         )
 

@@ -205,3 +205,33 @@ def test_large_ids_list_uses_broadcast_join_and_matches(eng):
         df._jdf.queryExecution(), "formatted"
     )
     assert "BroadcastHashJoin" in plan
+
+
+def test_sort_search_multi_clause(spark):
+    df = spark.createDataFrame(
+        [(i, _doc_text(i)) for i in range(N_DOCS)],
+        "doc_id long, content string",
+    )
+    e2 = SearchEngine.from_corpus(df, CFG, num_partitions=2)
+    src = spark.createDataFrame(
+        [(i, i % 3, 100 - i) for i in range(N_DOCS)],
+        "doc_id long, grp long, val long",
+    )
+    node = qc.field_query("spark", CFG, scored=False)
+    got = [
+        (r["grp"], r["val"], r["doc_id"])
+        for r in e2.sort_search(
+            node, src, [("grp", True), ("val", False)], k=N_DOCS
+        ).collect()
+    ]
+    match = sorted(_docs_with("spark"))
+    want = sorted(
+        [(i % 3, 100 - i, i) for i in match],
+        key=lambda t: (t[0], -t[1], t[2]),
+    )
+    assert got == want
+    # single bare name keeps the old signature behavior
+    one = e2.sort_search(node, src, "val", k=3).collect()
+    assert [r["val"] for r in one] == sorted(
+        100 - i for i in match
+    )[:3]

@@ -322,3 +322,19 @@ def test_serve_against_alias_matches_search(multi):
         ], qid
         for (_, gs, _), (_, ws, _) in zip(got[qid], want):
             assert gs == pytest.approx(ws, abs=1e-9)
+
+
+def test_serve_result_cache_hits_and_invalidates(spark):
+    even = _eng(spark, [d for d in DOCS if d[0] % 2 == 0])
+    odd = _eng(spark, [d for d in DOCS if d[0] % 2 == 1])
+    m = MultiIndexEngine([even, odd], ["even", "odd"])
+    reqs = {f"r{i}": "join" for i in range(6)}  # one hot value
+    first = m.serve(reqs, k=5, max_workers=3, result_cache=True)
+    again = m.serve(reqs, k=5, max_workers=3, result_cache=True)
+    assert again == first
+    # a delete in ANY member index must invalidate cached answers
+    victim = first["r0"][0][0]
+    (even if victim % 2 == 0 else odd).delete_docs([victim])
+    after = m.serve({"r": "join"}, k=5, max_workers=1,
+                    result_cache=True)
+    assert victim not in [d for d, _, _ in after["r"]]

@@ -325,10 +325,22 @@ def main(argv=None) -> int:
         )
 
         node = qc.field_query(args.value, eng.cfg, scored=False)
+        # ES multi-clause sort: --field "lang,-n_chars" (leading '-'
+        # = desc); a single bare name keeps the --asc flag semantics
+        clauses = [f for f in args.field.split(",") if f]
+        spec = [
+            (f[1:], False) if f.startswith("-") else (f, True)
+            for f in clauses
+        ]
+        if len(spec) == 1 and not args.field.startswith("-"):
+            spec = [(spec[0][0], args.asc)]
         rows = eng.sort_search(
-            node, _source(), args.field, k=args.k, ascending=args.asc
+            node, _source(), spec, k=args.k
         ).collect()
-        print(json.dumps([(r["doc_id"], r[args.field]) for r in rows]))
+        names = [f for f, _ in spec]
+        print(json.dumps(
+            [tuple([r["doc_id"]] + [r[f] for f in names]) for r in rows]
+        ))
     elif args.op == "highlight":
         hits = eng.term(args.value)
         rows = (

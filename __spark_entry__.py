@@ -46,6 +46,35 @@ _bm25_terms = tuple(qc.field_query(BM25_QUERY, TOK_CFG).terms)
 
 _ENGINES: dict[tuple, SearchEngine] = {}
 
+#: per-session base ON-DISK index of (doc_id, text) under TOK_CFG — the
+#: maintenance gates (purge / upsert / update_by_query) each need a
+#: mutable on-disk index of the SAME corpus; they hardlink-clone this
+#: one base build and mutate their own clone (index files are immutable
+#: — every mutation writes new files or swaps directories — so clones
+#: never alias writes). Same in-session reuse pattern as _ENGINES.
+_BASE_IDX: dict[tuple, str] = {}
+
+
+def _disk_index_clone(spark: SparkSession, sf_dir: str, prefix: str) -> str:
+    import tempfile
+
+    from elasticsearch_analysis_hashsplitter_spark.operators.build import (
+        build_index,
+    )
+    from elasticsearch_analysis_hashsplitter_spark.streaming.incremental import (
+        _link_tree,
+    )
+
+    key = (id(spark), sf_dir)
+    if key not in _BASE_IDX:
+        base = os.path.join(tempfile.mkdtemp(prefix="hs_gate_base_"), "idx")
+        docs = _docs(spark, sf_dir).select("doc_id", "text")
+        build_index(docs, TOK_CFG, base, id_col="doc_id", text_col="text")
+        _BASE_IDX[key] = base
+    dst = os.path.join(tempfile.mkdtemp(prefix=prefix), "idx")
+    _link_tree(_BASE_IDX[key], dst)
+    return dst
+
 
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/documents.parquet")
@@ -613,11 +642,16 @@ def _q_bm25_deleted(spark, sf_dir):
     mirrors that by filtering candidates after full-corpus scoring."""
     key = (id(spark), sf_dir, "deleted")
     if key not in _ENGINES:
-        docs = _docs(spark, sf_dir)
-        eng = SearchEngine.from_corpus(
-            docs, TOK_CFG, id_col="doc_id", text_col="text"
+        # a sibling engine SHARING the tokens engine's (cached) postings
+        # and docstats frames — tombstone state is per-engine, so the
+        # shared engine stays clean while this one masks; re-tokenizing
+        # the identical corpus bought nothing (guide §2.4)
+        base = _engine(spark, sf_dir, "tokens")
+        eng = SearchEngine(
+            spark, base.postings, base.docstats, dict(base.stats),
+            base.cfg, lexicon=base.lexicon,
         )
-        eng.delete_docs(_del_victims(docs))
+        eng.delete_docs(_del_victims(_docs(spark, sf_dir)))
         _ENGINES[key] = eng
     return _ENGINES[key].search(BM25_QUERY, k=10).select(
         "doc_id", F.round("score", 4).alias("score")
@@ -630,21 +664,14 @@ def _q_bm25_purged(spark, sf_dir):
     must equal BM25 over the live corpus outright."""
     key = (id(spark), sf_dir, "purged")
     if key not in _ENGINES:
-        import tempfile
-
-        from elasticsearch_analysis_hashsplitter_spark.operators.build import (
-            build_index,
-        )
         from elasticsearch_analysis_hashsplitter_spark.streaming.incremental import (
             compact_index,
         )
 
-        base = tempfile.mkdtemp(prefix="hs_gate_purge_")
-        idx, out = os.path.join(base, "idx"), os.path.join(base, "out")
-        docs = _docs(spark, sf_dir)
-        build_index(docs, TOK_CFG, idx, id_col="doc_id", text_col="text")
+        idx = _disk_index_clone(spark, sf_dir, "hs_gate_purge_")
+        out = idx + "_out"
         eng0 = SearchEngine.open(spark, idx)
-        eng0.delete_docs(_del_victims(docs))
+        eng0.delete_docs(_del_victims(_docs(spark, sf_dir)))
         compact_index(spark, idx, out, TOK_CFG)
         _ENGINES[key] = SearchEngine.open(spark, out)
     return _ENGINES[key].search(BM25_QUERY, k=10).select(
@@ -675,18 +702,12 @@ UPS_NEW = [
 def _q_bm25_upserted(spark, sf_dir):
     key = (id(spark), sf_dir, "upserted")
     if key not in _ENGINES:
-        import tempfile
-
-        from elasticsearch_analysis_hashsplitter_spark.operators.build import (
-            build_index,
-        )
         from elasticsearch_analysis_hashsplitter_spark.streaming.incremental import (
             upsert_docs,
         )
 
-        idx = os.path.join(tempfile.mkdtemp(prefix="hs_gate_upsert_"), "idx")
+        idx = _disk_index_clone(spark, sf_dir, "hs_gate_upsert_")
         docs = _docs(spark, sf_dir).select("doc_id", "text")
-        build_index(docs, TOK_CFG, idx, id_col="doc_id", text_col="text")
         updates = (
             docs.where(F.col("doc_id") % UPS_MOD == UPS_RES)
             .select("doc_id", F.expr(UPS_TEXT_SQL).alias("text"))
@@ -715,18 +736,12 @@ UBQ_TEXT_SQL = "'spark join upda ' || lang || ' ' || text"
 def _q_update_by_query(spark, sf_dir):
     key = (id(spark), sf_dir, "update_by_query")
     if key not in _ENGINES:
-        import tempfile
-
-        from elasticsearch_analysis_hashsplitter_spark.operators.build import (
-            build_index,
-        )
         from elasticsearch_analysis_hashsplitter_spark.streaming.incremental import (
             update_by_query,
         )
 
-        idx = os.path.join(tempfile.mkdtemp(prefix="hs_gate_ubq_"), "idx")
+        idx = _disk_index_clone(spark, sf_dir, "hs_gate_ubq_")
         docs = _docs(spark, sf_dir).select("doc_id", "text", "lang")
-        build_index(docs, TOK_CFG, idx, id_col="doc_id", text_col="text")
         update_by_query(
             spark, idx,
             qc.field_query(UBQ_MATCH, TOK_CFG, scored=False),
@@ -751,13 +766,15 @@ def _q_multi_index(spark, sf_dir):
 
     key = (id(spark), sf_dir, "multi")
     if key not in _ENGINES:
-        docs = _docs(spark, sf_dir)
+        # derive each parity shard from the shared tokens engine's
+        # already-tokenized (cached) blocks — one map-only Arrow
+        # filter per half instead of two full tokenize + term-shuffle
+        # builds of the same corpus (SearchEngine.doc_subset)
+        base = _engine(spark, sf_dir, "tokens")
         halves = [
-            SearchEngine.from_corpus(
-                docs.where(F.col("doc_id") % 2 == par),
-                TOK_CFG,
-                id_col="doc_id",
-                text_col="text",
+            base.doc_subset(
+                lambda c, p=par: c % 2 == p,
+                lambda ids, p=par: ids % 2 == p,
             )
             for par in (0, 1)
         ]

@@ -46,6 +46,47 @@ from ..sources import catalog
 DEFAULT_BLOCK_SIZE = 4096
 
 
+def adaptive_num_partitions(
+    docs: DataFrame,
+    floor: int = 2,
+    bytes_per_partition: int = 64 * 1024,
+) -> int:
+    """Scale-adaptive shuffle-partition count for an index build over
+    ``docs`` (guide §2: derive partitioning from input size instead of a
+    constant tuned to one deployment).
+
+    Uses Catalyst's ``sizeInBytes`` estimate of the source plan as the
+    scale proxy — for file sources that is the (compressed) input bytes;
+    ~64 KB of compressed source text explodes to roughly 10^5-10^6
+    postings, a healthy per-task unit for the block builder. The count
+    is clamped to ``[floor, spark.sql.shuffle.partitions]``: the conf
+    cap keeps cluster deployments in charge of the upper bound (a 100 TB
+    build with a properly sized ``spark.sql.shuffle.partitions`` still
+    fans out fully), while small inputs stop paying hundreds of
+    near-empty tasks per job. Sources whose size Catalyst cannot
+    estimate (opaque UDF lineage, the unknown-stats sentinel) fall back
+    to the conf value — exactly the old behavior. Callers that know
+    better pass ``num_partitions`` explicitly.
+    """
+    spark = docs.sparkSession
+    cap = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    try:
+        est = int(
+            str(
+                docs._jdf.queryExecution()
+                .optimizedPlan()
+                .stats()
+                .sizeInBytes()
+            )
+        )
+    except Exception:
+        return cap
+    if est <= 0 or est >= (1 << 50):  # unknown-stats sentinel
+        return cap
+    want = -(-est // bytes_per_partition)  # ceil
+    return max(floor, min(cap, want))
+
+
 def tokenize_corpus(
     docs: DataFrame,
     cfg: HashSplitterConfig,
@@ -421,9 +462,7 @@ def build_index(
     """
     spark = docs.sparkSession
     if num_partitions is None:
-        num_partitions = int(
-            spark.conf.get("spark.sql.shuffle.partitions", "32")
-        )
+        num_partitions = adaptive_num_partitions(docs)
 
     tokenized = tokenize_corpus(docs, cfg, id_col, text_col)
     dle = dl_expr(cfg, text_col)
@@ -489,9 +528,16 @@ def build_index(
     # lexicon + global stats from the written postings (column-pruned scan:
     # the binary blobs are never read)
     postings = catalog.read_postings(spark, index_dir)
-    # term-sorted lexicon files: per-query point reads (`term IN (...)`)
-    # prune row groups via parquet min/max — at corpus scale the lexicon
-    # has billions of terms and an unsorted layout would scan them all
+    # term-sorted lexicon FILES via hash-repartition + in-partition sort:
+    # per-query point reads (`term IN (...)`) prune parquet row groups
+    # via min/max — at corpus scale the lexicon has billions of terms
+    # and an unsorted layout would scan them all. Hash instead of range
+    # partitioning (r6): repartitionByRange's sampling pass re-executes
+    # the full groupBy child, doubling the lexicon aggregation per
+    # build/refresh; the cost is file-LEVEL pruning (a point read now
+    # checks every file's footer instead of one), which stays cheap
+    # because row-group pruning inside each sorted file still bounds
+    # the actual reads.
     lex_parts = max(1, num_partitions // 8)
     (
         postings.groupBy("term")
@@ -500,7 +546,7 @@ def build_index(
             F.max("max_tf").alias("max_tf"),
             F.min("min_dl").alias("min_dl"),
         )
-        .repartitionByRange(lex_parts, "term")
+        .repartition(lex_parts, "term")
         .sortWithinPartitions("term")
         .write.mode("overwrite")
         .parquet(catalog.lexicon_path(index_dir))

@@ -340,6 +340,20 @@ class SearchEngine:
         self.stats = stats
         self.cfg = cfg
         self.lexicon = lexicon
+        # Let AQE coalesce the shuffle feeding a persist(): by default
+        # (canChangeCachedPlanOutputPartitioning=false) a cached
+        # aggregate pins spark.sql.shuffle.partitions as its layout, so
+        # every later action over the cache pays that many near-empty
+        # scan tasks (measured: a 3k-row persisted scroll context held
+        # 128 partitions and each page cost ~1.4 s; coalesced, ~0.4 s).
+        # Runtime-settable, affects only cached-plan partitioning.
+        try:
+            spark.conf.set(
+                "spark.sql.optimizer.canChangeCachedPlanOutputPartitioning",
+                "true",
+            )
+        except Exception:
+            pass
         #: driver-side (term -> (df, max_tf, min_dl)) cache for the serving path:
         #: repeated queries skip the lexicon point-read job entirely.
         #: Bounded (never the whole lexicon — at corpus scale that is
@@ -1549,13 +1563,22 @@ class SearchEngine:
     ) -> "SearchEngine":
         """Build the index as cached in-memory DataFrames (no disk writes);
         used by tests and the driver correctness-gate queries."""
-        from .build import DEFAULT_BLOCK_SIZE, build_postings_blocks, tokenize_corpus
+        from .build import (
+            DEFAULT_BLOCK_SIZE,
+            adaptive_num_partitions,
+            build_postings_blocks,
+            tokenize_corpus,
+        )
 
         spark = docs.sparkSession
         if num_partitions is None:
-            num_partitions = int(
-                spark.conf.get("spark.sql.shuffle.partitions", "32")
-            )
+            # scale-adaptive (guide §2): the cached blocks' partition
+            # count is ALSO every later query's map-task count, so a
+            # small corpus cached at the conf shuffle width (e.g. 128)
+            # pays ~128 near-empty python-worker round-trips per query
+            # (measured 1.7 s -> 0.8 s per term query at sf0.1 going
+            # 128 -> 8 partitions)
+            num_partitions = adaptive_num_partitions(docs)
         tokenized = tokenize_corpus(docs, cfg, id_col, text_col)
         blocks = build_postings_blocks(
             tokenized, num_partitions, block_size or DEFAULT_BLOCK_SIZE
@@ -1573,6 +1596,106 @@ class SearchEngine:
             "config": cfg.to_json(),
         }
         return cls(spark, blocks, docstats, stats, cfg)
+
+    def doc_subset(self, doc_pred, np_pred) -> "SearchEngine":
+        """A complete, independent :class:`SearchEngine` over the subset
+        of this engine's docs satisfying a predicate — WITHOUT
+        re-tokenizing the corpus (ES shard-splitting an already-analyzed
+        index, not re-ingesting it).
+
+        ``doc_pred``: Column-expression predicate over ``doc_id`` (for
+        the docstats filter); ``np_pred``: the same predicate as a
+        vectorized numpy function over an int64 id array (for the
+        posting-block kernel). The two must agree or the derived
+        index is inconsistent.
+
+        The postings are derived by one map-only Arrow pass over this
+        engine's (typically cached) blocks: decode, mask, re-encode,
+        with every per-block bound (min/max doc, df, max_tf, min_dl)
+        recomputed over the survivors so the prune machinery stays
+        tight — the same kernel discipline as the tombstone purge.
+        Compared to ``from_corpus`` over the filtered corpus this skips
+        the tokenizer AND the term shuffle outright (guide §2.4); the
+        blocks it emits are already per-term sorted runs.
+        """
+        import pandas as pd  # noqa: PLC0415
+
+        from ..functions.codec import (
+            decode_counts,
+            decode_doc_ids,
+            encode_counts,
+            encode_doc_ids,
+        )
+
+        if self._deleted is not None:
+            raise ValueError(
+                "doc_subset over a tombstoned engine would drop the "
+                "tombstones' stale-stats semantics; purge first"
+            )
+        cols = [
+            c
+            for c in [
+                "term", "min_doc", "max_doc", "df", "max_tf", "min_dl",
+                "docs", "tfs", "dls",
+            ]
+            if c in self.postings.columns
+        ]
+        has_mdl = "min_dl" in cols
+        types = {
+            "term": "string", "min_doc": "long", "max_doc": "long",
+            "df": "long", "max_tf": "int", "min_dl": "long",
+            "docs": "binary", "tfs": "binary", "dls": "binary",
+        }
+        schema = ", ".join(f"{c} {types[c]}" for c in cols)
+
+        def subset(batches):
+            for pdf in batches:
+                if not len(pdf):
+                    continue
+                out: dict[str, list] = {c: [] for c in cols}
+                for row in pdf.itertuples(index=False):
+                    d = decode_doc_ids(row.docs)
+                    keep = np_pred(d)
+                    if not keep.any():
+                        continue
+                    if keep.all():
+                        for c in cols:
+                            out[c].append(getattr(row, c))
+                        continue
+                    d = d[keep]
+                    tf = decode_counts(row.tfs)[keep]
+                    dl = decode_counts(row.dls)[keep]
+                    out["term"].append(row.term)
+                    out["min_doc"].append(int(d[0]))
+                    out["max_doc"].append(int(d[-1]))
+                    out["df"].append(int(d.size))
+                    out["max_tf"].append(int(tf.max()))
+                    if has_mdl:
+                        out["min_dl"].append(int(dl.min()))
+                    out["docs"].append(encode_doc_ids(d))
+                    out["tfs"].append(encode_counts(tf))
+                    out["dls"].append(encode_counts(dl))
+                if out["term"]:
+                    yield pd.DataFrame(out)[cols]
+
+        blocks = (
+            self.postings.select(*cols)
+            .mapInPandas(subset, schema=schema)
+            .cache()
+        )
+        docstats = self.docstats.where(doc_pred(F.col("doc_id"))).cache()
+        agg = docstats.agg(
+            F.count("*").alias("n"),
+            F.avg("dl").alias("avgdl"),
+            F.sum("dl").alias("total"),
+        ).collect()[0]
+        stats = {
+            "n_docs": int(agg["n"]),
+            "avgdl": float(agg["avgdl"] or 0.0),
+            "total_terms": int(agg["total"] or 0),
+            "config": self.cfg.to_json(),
+        }
+        return type(self)(self.spark, blocks, docstats, stats, self.cfg)
 
     # ------------------------------------------------------------------
     # Public query API (mirrors the reference DSL surface, SURVEY §2.5 E7)
@@ -2153,26 +2276,53 @@ class SearchEngine:
             return
         terms = list(node.terms)
         epoch = self._deletes_epoch
+        # Held scroll CONTEXT (the ES server-side context made literal):
+        # the aggregated (doc_id, score) frame is identical for every
+        # page — only the cursor filter and the top-k differ — so
+        # evaluate the scorer ONCE and persist the candidate-sized
+        # aggregate; each page is then a filter + TakeOrdered over the
+        # materialized context instead of a full postings decode +
+        # shuffle per page (guide §2.4: remove repeated shuffles
+        # outright). MEMORY_AND_DISK: at corpus scale a hot query's
+        # aggregate is large, and spilling it is exactly the disk-held
+        # scroll context ES itself keeps. Float-sum identity across
+        # pages is trivially bit-stable now (the sums are computed once).
+        from pyspark.storagelevel import StorageLevel
+
+        scores = self.bm25_scores(terms, conjunctive=conjunctive).persist(
+            StorageLevel.MEMORY_AND_DISK
+        )
         after = None
         pages = 0
-        while max_pages is None or pages < max_pages:
-            if self._deletes_epoch != epoch:
-                raise RuntimeError(
-                    "index mutated (delete/upsert) during scroll — ES "
-                    "freezes a point-in-time context; restart the scroll"
+        try:
+            while max_pages is None or pages < max_pages:
+                if self._deletes_epoch != epoch:
+                    raise RuntimeError(
+                        "index mutated (delete/upsert) during scroll — ES "
+                        "freezes a point-in-time context; restart the scroll"
+                    )
+                df = scores
+                if after is not None:
+                    s, d = float(after[0]), int(after[1])
+                    df = df.where(
+                        (F.col("score") < s)
+                        | ((F.col("score") == s) & (F.col("doc_id") > d))
+                    )
+                rows = (
+                    df.orderBy(F.col("score").desc(), F.col("doc_id").asc())
+                    .limit(page_size)
+                    .collect()
                 )
-            df = self.bm25_topk(
-                terms, k=page_size, conjunctive=conjunctive, after=after
-            )
-            rows = df.collect()
-            if not rows:
-                return
-            yield rows
-            pages += 1
-            if len(rows) < page_size:
-                return
-            last = rows[-1]
-            after = (last["score"], last["doc_id"])
+                if not rows:
+                    return
+                yield rows
+                pages += 1
+                if len(rows) < page_size:
+                    return
+                last = rows[-1]
+                after = (last["score"], last["doc_id"])
+        finally:
+            scores.unpersist()
 
     def scroll_scan(
         self,
@@ -2195,25 +2345,35 @@ class SearchEngine:
         if isinstance(node, ir.MatchNone):
             return
         epoch = self._deletes_epoch
+        # held scroll context, same rationale as :meth:`scroll`: the
+        # query's doc set is identical for every page — evaluate it once
+        # and persist (spillable); each page is a cursor filter +
+        # TakeOrdered over the materialized set, not a doc-set re-eval
+        from pyspark.storagelevel import StorageLevel
+
+        ds = self.docs(node).persist(StorageLevel.MEMORY_AND_DISK)
         after = None
         pages = 0
-        while max_pages is None or pages < max_pages:
-            if self._deletes_epoch != epoch:
-                raise RuntimeError(
-                    "index mutated (delete/upsert) during scan scroll "
-                    "— ES freezes a point-in-time context; restart"
-                )
-            df = self.docs(node)
-            if after is not None:
-                df = df.where(F.col("doc_id") > after)
-            rows = df.orderBy("doc_id").limit(page_size).collect()
-            if not rows:
-                return
-            yield rows
-            pages += 1
-            if len(rows) < page_size:
-                return
-            after = rows[-1]["doc_id"]
+        try:
+            while max_pages is None or pages < max_pages:
+                if self._deletes_epoch != epoch:
+                    raise RuntimeError(
+                        "index mutated (delete/upsert) during scan scroll "
+                        "— ES freezes a point-in-time context; restart"
+                    )
+                df = ds
+                if after is not None:
+                    df = df.where(F.col("doc_id") > after)
+                rows = df.orderBy("doc_id").limit(page_size).collect()
+                if not rows:
+                    return
+                yield rows
+                pages += 1
+                if len(rows) < page_size:
+                    return
+                after = rows[-1]["doc_id"]
+        finally:
+            ds.unpersist()
 
     def validate(self, node_or_value) -> dict:
         """ES ``_validate/query?explain=true``: does the query

@@ -193,7 +193,14 @@ def cosine_near_duplicates_lsh(
     pairs can still surface through the other bands."""
     if dim is None:
         dim = len(df.select(vec_col).first()[0])
-    buckets = rp_lsh_buckets(df, dim, n_bits, bands, seed, id_col, vec_col)
+    # materialize the band buckets ONCE: the candidate self-join (and
+    # the optional hot-bucket filter) would otherwise re-run the
+    # signature pandas UDF per reference (the two join exchanges carry
+    # different aliases, so ReuseExchange cannot collapse them).
+    # (band, key, vec_id) rows are tiny — bands x one row per vector.
+    buckets = rp_lsh_buckets(
+        df, dim, n_bits, bands, seed, id_col, vec_col
+    ).localCheckpoint(eager=False)
     if max_bucket_size is not None:
         ok = (
             buckets.groupBy("band", "key")

@@ -174,7 +174,17 @@ def winnow_pairs(
     are missed (the same recall trade as ``max_shingle_df`` in
     :func:`~.dedup.ngram_jaccard_pairs`; ``None`` = exact, required
     for the oracle gate)."""
-    fps = winnow_fingerprints(df, k, w, id_col, text_col)
+    # materialize the fingerprint table ONCE: both sides of the pair
+    # self-join (and the capped tier's df filter + recount) would
+    # otherwise re-run the rolling-hash Arrow kernel per reference —
+    # the two join exchanges differ in their projections, so Spark's
+    # ReuseExchange cannot dedupe them. localCheckpoint, not persist:
+    # ContextCleaner frees the blocks when the result is collected
+    # (same rationale as minhash_dedup_pairs). Fingerprint rows are
+    # ~2/(w+1) of the k-gram count — far smaller than the text.
+    fps = winnow_fingerprints(df, k, w, id_col, text_col).localCheckpoint(
+        eager=False
+    )
     a = fps.select(F.col("doc_id").alias("doc_a"), "fp")
     b = fps.select(F.col("doc_id").alias("doc_b"), "fp")
     if max_fp_df is None:

@@ -134,12 +134,13 @@ def refresh_stats(spark: SparkSession, index_dir: str,
         aggs = [F.sum("df").alias("df"), F.max("max_tf").alias("max_tf")]
         if "min_dl" in postings.columns:  # absent on pre-min_dl indexes
             aggs.append(F.min("min_dl").alias("min_dl"))
-        # term-sorted lexicon (see build_index): point reads prune row
-        # groups
+        # term-sorted lexicon files (see build_index): point reads prune
+        # row groups; hash + in-partition sort, not repartitionByRange —
+        # the range sampler re-executes the whole aggregation (r6)
         (
             postings.groupBy("term")
             .agg(*aggs)
-            .repartitionByRange(4, "term")
+            .repartition(4, "term")
             .sortWithinPartitions("term")
             .write.mode("overwrite")
             .parquet(catalog.lexicon_path(index_dir))

@@ -316,20 +316,37 @@ def build_postings_blocks(
 
 
 def _segment_builder(block_size: int):
-    """Map-side segment build: materialize the input partition's exploded
-    postings, sort locally by (term, doc_id), and emit encoded block rows
-    — a Lucene-style per-partition segment. Memory is bounded by the
-    input-split size (spark.sql.files.maxPartitionBytes)."""
+    """Map-side segment build over the TOKENIZED rows (doc_id, dl,
+    terms[], tfs[]): flatten the per-doc term arrays in-kernel
+    (np.repeat/concatenate), sort locally by (term, doc_id), and emit
+    encoded block rows — a Lucene-style per-partition segment. Memory
+    is bounded by the input-split size
+    (spark.sql.files.maxPartitionBytes).
+
+    The flatten lives HERE, not in a JVM ``explode`` before the UDF
+    (r6): Generate materializes one JVM row per posting (~35M rows per
+    100k docs) and Arrow then ships each with its duplicated
+    doc_id/dl, where the array form crosses the boundary once per DOC
+    — measured 2.5x faster for the tokenize+segment stage (guide §4:
+    control what crosses the Python boundary)."""
 
     def build(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         parts = [p for p in batches if len(p)]
         if not parts:
             return
         pdf = parts[0] if len(parts) == 1 else pd.concat(parts, ignore_index=True)
-        terms = pdf["term"].to_numpy()
-        doc_ids = pdf["doc_id"].to_numpy(dtype=np.int64)
-        tfs = pdf["tf"].to_numpy(dtype=np.int64)
-        dls = pdf["dl"].to_numpy(dtype=np.int64)
+        counts = pdf["terms"].str.len().to_numpy(dtype=np.int64)
+        total = int(counts.sum())
+        if total == 0:
+            return
+        doc_ids = np.repeat(pdf["doc_id"].to_numpy(dtype=np.int64), counts)
+        dls = np.repeat(pdf["dl"].to_numpy(dtype=np.int64), counts)
+        terms = np.concatenate(
+            [np.asarray(a, dtype=object) for a in pdf["terms"]]
+        )
+        tfs = np.concatenate(
+            [np.asarray(a, dtype=np.int64) for a in pdf["tfs"]]
+        )
         # factorize first: integer lexsort, not object-string comparisons
         codes, _ = pd.factorize(terms, sort=False)
         order = np.lexsort((doc_ids, codes))
@@ -377,6 +394,14 @@ def _segment_merger(block_size: int, min_merge_df: int):
                 groups.setdefault(rec.term, []).append(rec)
         rows = []
         for term, recs in groups.items():
+            if len(recs) == 1:
+                # a lone fragment IS the term's merged form — decoding
+                # and re-encoding it buys nothing. This is the common
+                # case for high-cardinality/low-df term spaces (the
+                # hash field: ~1 block per md5 chunk term), where the
+                # per-term decode loop dominated the merge stage (r6).
+                rows.append(recs[0]._asdict())
+                continue
             small = [r for r in recs if r.df < min_merge_df]
             for r in recs:
                 if r.df >= min_merge_df:
@@ -420,17 +445,20 @@ def build_postings_blocks_segmented(
     (~1-2 bytes/posting) instead of raw rows (~50 bytes/posting) — an
     order of magnitude less exchange volume; the reducer consolidates
     each term's fragments into full blocks."""
-    flat = tokenized.select(
-        "doc_id",
-        "dl",
-        F.explode(F.arrays_zip("terms", "tfs")).alias("z"),
-    ).select(
-        "doc_id",
-        "dl",
-        F.col("z.terms").alias("term"),
-        F.col("z.tfs").cast("long").alias("tf"),
-    )
-    segments = flat.mapInPandas(
+    src = tokenized.select("doc_id", "dl", "terms", "tfs")
+    try:
+        in_parts = src.rdd.getNumPartitions()
+    except Exception:
+        in_parts = num_partitions
+    if in_parts < num_partitions:
+        # a small source (single-file parquet read, tiny batch) would
+        # otherwise run tokenize + segment-build as in_parts serial
+        # tasks; round-robin the doc rows first — 1 compact row per doc,
+        # far cheaper than the serialism (at scale maxPartitionBytes
+        # already yields >= num_partitions input splits, so this is a
+        # no-op there)
+        src = src.repartition(num_partitions)
+    segments = src.mapInPandas(
         _segment_builder(block_size), schema=catalog.BLOCK_SCHEMA
     )
     merged = (
@@ -463,6 +491,13 @@ def build_index(
     spark = docs.sparkSession
     if num_partitions is None:
         num_partitions = adaptive_num_partitions(docs)
+    try:
+        if docs.rdd.getNumPartitions() < num_partitions:
+            # few-split sources (one small parquet file) would run the
+            # tokenize UDF and the docstats scan near-serially
+            docs = docs.repartition(num_partitions)
+    except Exception:
+        pass
 
     tokenized = tokenize_corpus(docs, cfg, id_col, text_col)
     dle = dl_expr(cfg, text_col)

@@ -101,6 +101,22 @@ def shingles_col(text_col: str, n: int):
     return _shingles_from_tokens(tokens_col(text_col), n)
 
 
+def _parallelize_source(df: DataFrame) -> DataFrame:
+    """Round-robin a few-split source up to the cluster's default
+    parallelism (guide §2.5 input-skew remedy: one small parquet file
+    would otherwise run the whole tokenize/shingle/kernel chain as 1-2
+    serial tasks — measured ~2x on the sf0.1 pair operators). A source
+    already split at least that wide passes through untouched, so at
+    scale (maxPartitionBytes-sized splits) this is a no-op."""
+    want = df.sparkSession.sparkContext.defaultParallelism
+    try:
+        if df.rdd.getNumPartitions() < want:
+            return df.repartition(want)
+    except Exception:
+        pass
+    return df
+
+
 def _token_rows(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     return df.select(
         F.col(id_col).alias("doc_id"), tokens_col(text_col).alias("toks")
@@ -162,6 +178,7 @@ def ngram_jaccard_pairs(
     precision is exact; a pair ALL of whose common shingles are hot is
     missed (recall < 1, the standard df-cut trade; ``None`` = exact,
     required for the oracle gate)."""
+    df = _parallelize_source(df)
     sh = _shingle_rows(df, id_col, text_col, n)
     sizes = _shingle_sizes(df, id_col, text_col, n)
     a = sh.alias("a")
@@ -378,6 +395,7 @@ def minhash_dedup_pairs(
     ``max_bucket_size`` / ``pair_mode`` pass through to
     :func:`minhash_lsh_candidates` (hot-bucket scale knobs — note
     'star' weakens pair-level verification, see there)."""
+    df = _parallelize_source(df)
     sigs = minhash_signatures(df, num_perm, n, seed, id_col, text_col)
     cand = minhash_lsh_candidates(
         sigs, bands, rows, max_bucket_size, pair_mode
@@ -523,6 +541,7 @@ def simhash_near_duplicates(
     result is EXACT for any max_hamming <= 63: band count is derived from
     ``max_hamming`` (see :func:`simhash_candidate_pairs`), so the
     blocking never silently loses pairs."""
+    df = _parallelize_source(df)
     fps = simhash_fingerprints(df, id_col, text_col, hash_family)
     cand = simhash_candidate_pairs(fps, max_hamming)
     ham = F.bit_count(F.col("fp_a").bitwiseXOR(F.col("fp_b")))

@@ -1566,7 +1566,7 @@ class SearchEngine:
         from .build import (
             DEFAULT_BLOCK_SIZE,
             adaptive_num_partitions,
-            build_postings_blocks,
+            build_postings_blocks_segmented,
             tokenize_corpus,
         )
 
@@ -1579,8 +1579,19 @@ class SearchEngine:
             # (measured 1.7 s -> 0.8 s per term query at sf0.1 going
             # 128 -> 8 partitions)
             num_partitions = adaptive_num_partitions(docs)
+        try:
+            if docs.rdd.getNumPartitions() < num_partitions:
+                # parallelize the tokenize pass for few-split sources
+                docs = docs.repartition(num_partitions)
+        except Exception:
+            pass
         tokenized = tokenize_corpus(docs, cfg, id_col, text_col)
-        blocks = build_postings_blocks(
+        # segmented strategy (r6, same as build_index's default): the
+        # term exchange moves encoded blocks, not raw exploded rows —
+        # ~10x less shuffle volume (guide §2.3), and the in-kernel
+        # flatten avoids the 35M-row JVM Generate + per-posting Arrow
+        # transfer of the old hash_salt path
+        blocks = build_postings_blocks_segmented(
             tokenized, num_partitions, block_size or DEFAULT_BLOCK_SIZE
         ).cache()
         docstats = tokenized.select("doc_id", "dl", "content_sha256").cache()

@@ -133,6 +133,9 @@ def winnow_fingerprints(
     sub-k documents before the kernel runs."""
     if k < 1 or w < 1:
         raise ValueError(f"k and w must be >= 1: k={k}, w={w}")
+    from .dedup import _parallelize_source
+
+    df = _parallelize_source(df)
     # the unreduced accumulation sum(byte * power) stays in int64 only
     # for k * 255 * (WINNOW_MOD - 1) < 2^63, i.e. k <= 36 at the ~2^50
     # modulus — beyond that numpy would silently wrap (and the SQL

@@ -39,7 +39,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..config import HashSplitterConfig
-from ..operators.build import build_postings_blocks, tokenize_corpus
+from ..operators.build import build_postings_blocks_segmented, tokenize_corpus
 from ..sources import catalog
 
 
@@ -100,7 +100,7 @@ def _write_segment(
         return
     if slice_key is None:
         slice_key = f"stream_{batch_id}"
-    blocks = build_postings_blocks(tokenized, num_partitions)
+    blocks = build_postings_blocks_segmented(tokenized, num_partitions)
     blocks.write.mode("overwrite").parquet(
         catalog.postings_path(index_dir) + f"/slice={slice_key}"
     )
@@ -379,6 +379,7 @@ def purge_index(
     out_dir: str,
     cfg: HashSplitterConfig,
     rebuild_lexicon: bool = True,
+    refresh: bool = True,
 ) -> dict:
     """Slice-preserving expunge: physically drop tombstoned postings
     while keeping the segment layout (``compact_index`` is the segment
@@ -411,6 +412,11 @@ def purge_index(
     """
     import pandas as pd
 
+    if not refresh and rebuild_lexicon:
+        raise ValueError(
+            "refresh=False implies rebuild_lexicon=False (the carried "
+            "stats/lexicon pair is only consistent as a pair)"
+        )
     deleted = catalog.read_deletes(index_dir)
     if not deleted.size:
         raise ValueError("purge_index: index holds no tombstones")
@@ -481,6 +487,17 @@ def purge_index(
         # formed until the caller's full refresh rebuilds it
         _link_tree(catalog.lexicon_path(index_dir),
                    catalog.lexicon_path(out_dir))
+    if not refresh:
+        # carry the source stats.json too (same staleness class as the
+        # lexicon carry: counts are upper bounds over the purged
+        # postings, self-consistent for scoring) — for callers that run
+        # a full refresh_stats right after (upsert_docs), the
+        # intermediate docstats aggregation job buys nothing
+        import shutil
+
+        shutil.copy2(catalog.stats_file(index_dir),
+                     catalog.stats_file(out_dir))
+        return catalog.read_stats(out_dir)
     return refresh_stats(spark, out_dir, cfg,
                          rebuild_lexicon=rebuild_lexicon)
 
@@ -490,13 +507,15 @@ def purge_in_place(
     index_dir: str,
     cfg: HashSplitterConfig,
     rebuild_lexicon: bool = True,
+    refresh: bool = True,
 ) -> dict:
     """Crash-safe in-place :func:`purge_index` (the swap protocol of
     :func:`maybe_compact`); the purge half of :func:`upsert_docs`."""
     return _rewrite_in_place(
         index_dir,
         lambda tmp: purge_index(
-            spark, index_dir, tmp, cfg, rebuild_lexicon=rebuild_lexicon
+            spark, index_dir, tmp, cfg, rebuild_lexicon=rebuild_lexicon,
+            refresh=refresh,
         ),
     )
 
@@ -695,12 +714,14 @@ def upsert_docs(
     if catalog.read_deletes(index_dir).size:
         # purge BEFORE the re-ingest: a tombstone masks its doc_id in
         # EVERY segment, including a newly appended replacement. The
-        # purge's own refresh skips the lexicon rebuild — the final
-        # refresh below redoes it anyway (one full-postings pass per
-        # upsert, not two); in the crash window between the two the
-        # lexicon is stale-df, exactly Lucene's pre-merge staleness,
-        # healed by re-running the upsert.
-        purge_in_place(spark, index_dir, cfg, rebuild_lexicon=False)
+        # purge carries the source lexicon AND stats.json instead of
+        # recomputing either — the final refresh below redoes both
+        # anyway (one full-postings pass + one docstats pass per
+        # upsert, not two); in the crash window between the two they
+        # are stale-high, exactly Lucene's pre-merge staleness, healed
+        # by re-running the upsert.
+        purge_in_place(spark, index_dir, cfg, rebuild_lexicon=False,
+                       refresh=False)
     # completion is marked by the slice MANIFEST (written last in
     # _write_segment): an upsert_N slice without one is a crashed
     # half-write — reuse its key so mode=overwrite replaces the orphan

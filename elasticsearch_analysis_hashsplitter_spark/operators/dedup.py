@@ -396,7 +396,14 @@ def minhash_dedup_pairs(
     :func:`minhash_lsh_candidates` (hot-bucket scale knobs — note
     'star' weakens pair-level verification, see there)."""
     df = _parallelize_source(df)
-    sigs = minhash_signatures(df, num_perm, n, seed, id_col, text_col)
+    # materialize the signatures ONCE: the band self-join inside
+    # minhash_lsh_candidates references them on both sides (different
+    # alias projections defeat ReuseExchange), which re-ran the
+    # shingle-explode + collect_set + permutation UDF twice (r6; same
+    # discipline as the candidate checkpoint below)
+    sigs = minhash_signatures(
+        df, num_perm, n, seed, id_col, text_col
+    ).localCheckpoint(eager=False)
     cand = minhash_lsh_candidates(
         sigs, bands, rows, max_bucket_size, pair_mode
     ).localCheckpoint(eager=False)
@@ -542,7 +549,12 @@ def simhash_near_duplicates(
     ``max_hamming`` (see :func:`simhash_candidate_pairs`), so the
     blocking never silently loses pairs."""
     df = _parallelize_source(df)
-    fps = simhash_fingerprints(df, id_col, text_col, hash_family)
+    # materialize the fingerprints ONCE: the pigeonhole band self-join
+    # (simhash_candidate_pairs) and the verify step reference them via
+    # different projections, so the simhash UDF ran per reference (r6)
+    fps = simhash_fingerprints(
+        df, id_col, text_col, hash_family
+    ).localCheckpoint(eager=False)
     cand = simhash_candidate_pairs(fps, max_hamming)
     ham = F.bit_count(F.col("fp_a").bitwiseXOR(F.col("fp_b")))
     return (

@@ -1680,57 +1680,17 @@ def _q_serve(spark, sf_dir):
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    """All 88 gates. ORDER IS DELIBERATE (r6, VERDICT r5 item #1): the
+    driver's correctness window covers the FIRST 50 entries, and
+    CORRECTNESS_r01..r05 only ever saw the original first 50 — so the
+    38 gates the driver has never independently verified (ANN/dedup
+    scale tiers, parent/child, scoring combinators, streaming, iceberg,
+    text pipeline) now come FIRST, followed by a 12-gate representative
+    core (term/prefix/wildcard/range/BM25/batch/maintenance), keeping
+    the window at exactly the 50 highest-signal entries. Same keys,
+    same callables, same results — only dict order changed."""
     return {
-        "lexicon_top100": _q_lexicon,
-        "term_query": _q_term,
-        "chunk_term_query": _q_chunk_term,
-        "prefix_query": _q_prefix,
-        "wildcard_prefix_query": _q_wildcard_prefix,
-        "wildcard_mid_query": _q_wildcard_mid,
-        "bm25_topk": _q_bm25,
-        "bm25_topk_or": _q_bm25_or,
-        "bool_must_not": _q_bool_must_not,
-        "bool_pure_not": _q_bool_pure_not,
-        "bm25_topk_excluded": _q_bm25_excluded,
-        "bm25_min_should_match": _q_bm25_msm,
-        "more_like_this": _q_more_like_this,
-        "sort_by_field": _q_sort_by_field,
-        "sort_multi_field": _q_sort_multi_field,
-        "highlight_first": _q_highlight,
-        "scroll_all": _q_scroll_all,
-        "count_query": _q_count,
-        "bm25_topk_filtered": _q_bm25_filtered,
-        "index_stats": _q_index_stats,
-        "bm25_topk_batch": _q_bm25_batch,
-        "bm25_explain": _q_bm25_explain,
-        "search_fetch": _q_search_fetch,
-        "mget": _q_mget,
-        "lang_facet": _q_lang_facet,
-        "global_facet": _q_global_facet,
-        "stats_facet": _q_stats_facet,
-        "histogram_facet": _q_hist_facet,
-        "range_facet": _q_range_facet,
-        "query_facet": _q_query_facet,
-        "terms_stats_facet": _q_terms_stats_facet,
-        "date_histogram_facet": _q_date_histogram_facet,
-        "bm25_topk_page2": _q_bm25_page2,
-        "bm25_topk_deleted": _q_bm25_deleted,
-        "bm25_topk_purged": _q_bm25_purged,
-        "bm25_topk_upserted": _q_bm25_upserted,
-        "update_by_query": _q_update_by_query,
-        "multi_index_search": _q_multi_index,
-        "indices_query": _q_indices_query,
-        "multi_index_batch": _q_multi_index_batch,
-        "scroll_scan": _q_scroll_scan,
-        "percolate_matches": _q_percolate,
-        "hash_prefix_query": _q_hash_prefix,
-        "hash_wildcard_suffix": _q_hash_wildcard_suffix,
-        "hash_range_query": _q_hash_range,
-        "hash_range_open": _q_hash_range_open,
-        "search_wildcard_scored": _q_search_wildcard_scored,
-        "search_range_scored": _q_search_range_scored,
-        "dedup_exact": _q_dedup_exact,
-        "ngram_jaccard_pairs": _q_ngram_jaccard,
+        # --- 38 gates never inside a driver correctness window (r1-r5)
         "ngram_jaccard_capped": _q_ngram_jaccard_capped,
         "minhash_pairs": _q_minhash_pairs,
         "dedup_clusters": _q_dedup_clusters,
@@ -1769,6 +1729,58 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_features": _q_multimodal_features,
         "streaming_term_query": _q_streaming_term,
         "iceberg_scan": _q_iceberg_scan,
+        # --- representative core kept inside the 50-entry window
+        "term_query": _q_term,
+        "chunk_term_query": _q_chunk_term,
+        "prefix_query": _q_prefix,
+        "wildcard_mid_query": _q_wildcard_mid,
+        "bm25_topk": _q_bm25,
+        "bm25_topk_batch": _q_bm25_batch,
+        "hash_prefix_query": _q_hash_prefix,
+        "hash_range_query": _q_hash_range,
+        "bm25_topk_upserted": _q_bm25_upserted,
+        "multi_index_search": _q_multi_index,
+        "percolate_matches": _q_percolate,
+        "scroll_all": _q_scroll_all,
+        # --- remaining driver-verified-in-prior-rounds gates
+        "lexicon_top100": _q_lexicon,
+        "wildcard_prefix_query": _q_wildcard_prefix,
+        "bm25_topk_or": _q_bm25_or,
+        "bool_must_not": _q_bool_must_not,
+        "bool_pure_not": _q_bool_pure_not,
+        "bm25_topk_excluded": _q_bm25_excluded,
+        "bm25_min_should_match": _q_bm25_msm,
+        "more_like_this": _q_more_like_this,
+        "sort_by_field": _q_sort_by_field,
+        "sort_multi_field": _q_sort_multi_field,
+        "highlight_first": _q_highlight,
+        "count_query": _q_count,
+        "bm25_topk_filtered": _q_bm25_filtered,
+        "index_stats": _q_index_stats,
+        "bm25_explain": _q_bm25_explain,
+        "search_fetch": _q_search_fetch,
+        "mget": _q_mget,
+        "lang_facet": _q_lang_facet,
+        "global_facet": _q_global_facet,
+        "stats_facet": _q_stats_facet,
+        "histogram_facet": _q_hist_facet,
+        "range_facet": _q_range_facet,
+        "query_facet": _q_query_facet,
+        "terms_stats_facet": _q_terms_stats_facet,
+        "date_histogram_facet": _q_date_histogram_facet,
+        "bm25_topk_page2": _q_bm25_page2,
+        "bm25_topk_deleted": _q_bm25_deleted,
+        "bm25_topk_purged": _q_bm25_purged,
+        "update_by_query": _q_update_by_query,
+        "indices_query": _q_indices_query,
+        "multi_index_batch": _q_multi_index_batch,
+        "scroll_scan": _q_scroll_scan,
+        "hash_wildcard_suffix": _q_hash_wildcard_suffix,
+        "hash_range_open": _q_hash_range_open,
+        "search_wildcard_scored": _q_search_wildcard_scored,
+        "search_range_scored": _q_search_range_scored,
+        "dedup_exact": _q_dedup_exact,
+        "ngram_jaccard_pairs": _q_ngram_jaccard,
     }
 
 

@@ -144,7 +144,12 @@ def _planted_union(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("j"),
     )
     clus = perturb(clus_src, F.col("j"), F.lit(PLANT_CLUSTER_BASE) + F.col("jj"))
-    return emb.unionByName(dup).unionByName(clus)
+    # one evaluation per gate: every consumer (index build, candidate
+    # scan, exact-verify vector joins) re-ran the three-way union +
+    # perturb lambdas otherwise (r6; the table is bands x ~1k rows)
+    return emb.unionByName(dup).unionByName(clus).localCheckpoint(
+        eager=False
+    )
 
 
 def _planted_cte() -> str:
@@ -1404,16 +1409,20 @@ def _q_multifield(spark, sf_dir):
     HashSplitterFieldMapper.java:193-245): docs matching term 'spark' in
     the content field AND md5-hash prefix '0' in the hash field — two
     independent sub-indexes joined on doc_id."""
+    from elasticsearch_analysis_hashsplitter_spark.operators.build import (
+        run_jobs_concurrently,
+    )
     from elasticsearch_analysis_hashsplitter_spark.operators.multifield import (
         MultiFieldEngine,
     )
 
-    eng = MultiFieldEngine(
-        {
-            "content": _engine(spark, sf_dir, "tokens"),
-            "hash": _engine(spark, sf_dir, "hash"),
-        }
+    # the two sub-index builds are independent (distinct _ENGINES keys)
+    # — overlap them (guide §2.6); later gates reuse both from the cache
+    content_eng, hash_eng = run_jobs_concurrently(
+        lambda: _engine(spark, sf_dir, "tokens"),
+        lambda: _engine(spark, sf_dir, "hash"),
     )
+    eng = MultiFieldEngine({"content": content_eng, "hash": hash_eng})
     a = eng["content"].term("spark")
     b = eng["hash"].prefix("0")
     return _sorted_docs(a.join(b, "doc_id"))

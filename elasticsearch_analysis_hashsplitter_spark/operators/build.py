@@ -46,6 +46,36 @@ from ..sources import catalog
 DEFAULT_BLOCK_SIZE = 4096
 
 
+def run_jobs_concurrently(*thunks):
+    """Run independent Spark actions from a small driver thread pool so
+    the scheduler overlaps them (guide §2.6: actions are only sequential
+    because driver code calls them sequentially; a later job's tasks
+    back-fill executors freed by the earlier job's tail). Callers must
+    only pass thunks whose jobs are independent — no thunk may read
+    files another thunk writes. Returns the thunk results in order;
+    the first exception propagates after all threads finish."""
+    return run_jobs_pool(thunks, max_workers=len(thunks))
+
+
+def run_jobs_pool(thunks, max_workers: int = 4):
+    """:func:`run_jobs_concurrently` over a list, with a bounded pool —
+    for fan-outs whose width follows the data (one thunk per victim
+    slice): a few jobs in flight is enough to fill scheduler gaps
+    without flooding the cluster (guide §2.6)."""
+    thunks = list(thunks)
+    if not thunks:
+        return []
+    if len(thunks) == 1:
+        return [thunks[0]()]
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(
+        max_workers=min(max_workers, len(thunks))
+    ) as pool:
+        futures = [pool.submit(t) for t in thunks]
+        return [f.result() for f in futures]
+
+
 def adaptive_num_partitions(
     docs: DataFrame,
     floor: int = 2,
@@ -527,9 +557,6 @@ def build_index(
             blocks = build_postings_blocks(
                 part, max(1, num_partitions // n_slices), block_size
             )
-        blocks.write.mode("overwrite").parquet(
-            catalog.postings_path(index_dir, s)
-        )
         if dle is not None:
             stats_src = docs.select(
                 F.col(id_col).cast("long").alias("doc_id"),
@@ -544,8 +571,17 @@ def build_index(
                 )
         else:
             stats_src = part.select("doc_id", "dl", "content_sha256")
-        stats_src.write.mode("overwrite").parquet(
-            catalog.docstats_path(index_dir) + f"/slice={s}"
+        # the postings sink and the docstats sink are independent scans
+        # of the source (the docstats pass is pure-JVM dl_expr when the
+        # config allows) — overlap them (guide §2.6) instead of letting
+        # the cheap docstats scan wait out the full tokenize+merge
+        run_jobs_concurrently(
+            lambda: blocks.write.mode("overwrite").parquet(
+                catalog.postings_path(index_dir, s)
+            ),
+            lambda: stats_src.write.mode("overwrite").parquet(
+                catalog.docstats_path(index_dir) + f"/slice={s}"
+            ),
         )
         catalog.write_manifest(
             index_dir,
@@ -574,25 +610,33 @@ def build_index(
     # because row-group pruning inside each sorted file still bounds
     # the actual reads.
     lex_parts = max(1, num_partitions // 8)
-    (
-        postings.groupBy("term")
-        .agg(
-            F.sum("df").alias("df"),
-            F.max("max_tf").alias("max_tf"),
-            F.min("min_dl").alias("min_dl"),
+
+    def write_lexicon() -> None:
+        (
+            postings.groupBy("term")
+            .agg(
+                F.sum("df").alias("df"),
+                F.max("max_tf").alias("max_tf"),
+                F.min("min_dl").alias("min_dl"),
+            )
+            .repartition(lex_parts, "term")
+            .sortWithinPartitions("term")
+            .write.mode("overwrite")
+            .parquet(catalog.lexicon_path(index_dir))
         )
-        .repartition(lex_parts, "term")
-        .sortWithinPartitions("term")
-        .write.mode("overwrite")
-        .parquet(catalog.lexicon_path(index_dir))
-    )
 
     docstats = catalog.read_docstats(spark, index_dir)
-    agg = docstats.agg(
-        F.count("*").alias("n"),
-        F.avg("dl").alias("avgdl"),
-        F.sum("dl").alias("total"),
-    ).collect()[0]
+
+    def agg_docstats():
+        return docstats.agg(
+            F.count("*").alias("n"),
+            F.avg("dl").alias("avgdl"),
+            F.sum("dl").alias("total"),
+        ).collect()[0]
+
+    # the lexicon pass reads postings files, the scalar stats read
+    # docstats files — independent jobs, overlapped (guide §2.6)
+    _, agg = run_jobs_concurrently(write_lexicon, agg_docstats)
     stats = {
         "n_docs": int(agg["n"]),
         "avgdl": float(agg["avgdl"] or 0.0),

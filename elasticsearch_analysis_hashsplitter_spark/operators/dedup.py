@@ -23,7 +23,7 @@ from collections.abc import Iterator
 import numpy as np
 import pandas as pd
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Observation
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
@@ -179,8 +179,17 @@ def ngram_jaccard_pairs(
     missed (recall < 1, the standard df-cut trade; ``None`` = exact,
     required for the oracle gate)."""
     df = _parallelize_source(df)
-    sh = _shingle_rows(df, id_col, text_col, n)
-    sizes = _shingle_sizes(df, id_col, text_col, n)
+    # materialize the exploded shingle rows ONCE: the candidate
+    # self-join (both sides), the exact recount and the size aggregate
+    # all consume them through different projections, so without the
+    # checkpoint the tokenize+explode ran 3x (uncapped) / 5x (capped)
+    # per invocation (r6; same discipline as the minhash signature
+    # checkpoint). The cache sits UPSTREAM of every shuffle — the join
+    # exchanges move the same bytes either way — and the truncated
+    # lineage also makes the O(tokens^2) split re-inlining structurally
+    # impossible (see _shingles_from_tokens).
+    sh = _shingle_rows(df, id_col, text_col, n).localCheckpoint(eager=False)
+    sizes = sh.groupBy("doc_id").agg(F.count("*").cast("int").alias("n_sh"))
     a = sh.alias("a")
     b = sh.alias("b")
     if max_shingle_df is None:
@@ -413,8 +422,13 @@ def minhash_dedup_pairs(
         .distinct()
     )
     cand_docs = df.join(cand_ids, df[id_col] == F.col("cand_id"), "left_semi")
-    sh = _shingle_rows(cand_docs, id_col, text_col, n)
-    sizes = _shingle_sizes(cand_docs, id_col, text_col, n)
+    # one evaluation of the candidate docs' shingle explode (the two
+    # recount sides and the size aggregate would otherwise each re-run
+    # the semi-join + tokenize + explode — r6, see ngram_jaccard_pairs)
+    sh = _shingle_rows(cand_docs, id_col, text_col, n).localCheckpoint(
+        eager=False
+    )
+    sizes = sh.groupBy("doc_id").agg(F.count("*").cast("int").alias("n_sh"))
     a = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
     b = sh.select(F.col("doc_id").alias("doc_b"), "shingle")
     common = (
@@ -639,17 +653,24 @@ def dedup_clusters(
                 shortcut, labels["label"] == F.col("s_node"), "left"
             )
             best.append(F.coalesce(F.col("s_label"), F.col("label")))
+        # the changed-count rides the checkpoint materialization as an
+        # observed metric (one action per iteration, not two — r6)
+        obs = Observation(f"cc_changed_{it}")
         updated = (
             joined.select(
                 "node",
                 F.least(*best).alias("new_label"),
                 F.col("label").alias("old_label"),
             )
+            .observe(
+                obs,
+                F.sum(
+                    (F.col("new_label") != F.col("old_label")).cast("long")
+                ).alias("changed"),
+            )
             .localCheckpoint()
         )
-        changed = updated.where(
-            F.col("new_label") != F.col("old_label")
-        ).count()
+        changed = int(obs.get["changed"] or 0)
         labels = updated.select(
             "node", F.col("new_label").alias("label")
         )

@@ -1595,11 +1595,21 @@ class SearchEngine:
             tokenized, num_partitions, block_size or DEFAULT_BLOCK_SIZE
         ).cache()
         docstats = tokenized.select("doc_id", "dl", "content_sha256").cache()
-        agg = docstats.agg(
-            F.count("*").alias("n"),
-            F.avg("dl").alias("avgdl"),
-            F.sum("dl").alias("total"),
-        ).collect()[0]
+        # materialize both caches concurrently (guide §2.6): the stats
+        # agg fills the docstats cache (one tokenize pass) while the
+        # blocks count fills the postings cache (tokenize + segment +
+        # merge — the part every first query otherwise paid serially
+        # after the agg)
+        from .build import run_jobs_concurrently
+
+        agg = run_jobs_concurrently(
+            lambda: docstats.agg(
+                F.count("*").alias("n"),
+                F.avg("dl").alias("avgdl"),
+                F.sum("dl").alias("total"),
+            ).collect()[0],
+            blocks.count,
+        )[0]
         stats = {
             "n_docs": int(agg["n"]),
             "avgdl": float(agg["avgdl"] or 0.0),
@@ -1695,11 +1705,18 @@ class SearchEngine:
             .cache()
         )
         docstats = self.docstats.where(doc_pred(F.col("doc_id"))).cache()
-        agg = docstats.agg(
-            F.count("*").alias("n"),
-            F.avg("dl").alias("avgdl"),
-            F.sum("dl").alias("total"),
-        ).collect()[0]
+        # same concurrent-materialization shape as from_corpus: the
+        # subset kernel fills the blocks cache while the stats agg runs
+        from .build import run_jobs_concurrently
+
+        agg = run_jobs_concurrently(
+            lambda: docstats.agg(
+                F.count("*").alias("n"),
+                F.avg("dl").alias("avgdl"),
+                F.sum("dl").alias("total"),
+            ).collect()[0],
+            blocks.count,
+        )[0]
         stats = {
             "n_docs": int(agg["n"]),
             "avgdl": float(agg["avgdl"] or 0.0),

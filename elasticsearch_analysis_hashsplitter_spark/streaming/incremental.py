@@ -39,7 +39,12 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..config import HashSplitterConfig
-from ..operators.build import build_postings_blocks_segmented, tokenize_corpus
+from ..operators.build import (
+    build_postings_blocks_segmented,
+    run_jobs_concurrently,
+    run_jobs_pool,
+    tokenize_corpus,
+)
 from ..sources import catalog
 
 
@@ -101,12 +106,16 @@ def _write_segment(
     if slice_key is None:
         slice_key = f"stream_{batch_id}"
     blocks = build_postings_blocks_segmented(tokenized, num_partitions)
-    blocks.write.mode("overwrite").parquet(
-        catalog.postings_path(index_dir) + f"/slice={slice_key}"
+    # both sinks read the materialized (checkpointed) batch — independent
+    # jobs, overlapped (guide §2.6); the manifest below still lands last
+    run_jobs_concurrently(
+        lambda: blocks.write.mode("overwrite").parquet(
+            catalog.postings_path(index_dir) + f"/slice={slice_key}"
+        ),
+        lambda: tokenized.select("doc_id", "dl", "content_sha256")
+        .write.mode("overwrite")
+        .parquet(catalog.docstats_path(index_dir) + f"/slice={slice_key}"),
     )
-    tokenized.select("doc_id", "dl", "content_sha256").write.mode(
-        "overwrite"
-    ).parquet(catalog.docstats_path(index_dir) + f"/slice={slice_key}")
     catalog.write_manifest(
         index_dir,
         slice_key,  # type: ignore[arg-type]
@@ -129,7 +138,9 @@ def refresh_stats(spark: SparkSession, index_dir: str,
     only rewrites the scalar stats — for intermediate states whose
     caller runs a full refresh right after (``upsert_docs``: the purge
     and the append would otherwise each pay the pass)."""
-    if rebuild_lexicon:
+    from ..operators.build import run_jobs_concurrently
+
+    def write_lexicon() -> None:
         postings = catalog.read_postings(spark, index_dir)
         aggs = [F.sum("df").alias("df"), F.max("max_tf").alias("max_tf")]
         if "min_dl" in postings.columns:  # absent on pre-min_dl indexes
@@ -145,12 +156,21 @@ def refresh_stats(spark: SparkSession, index_dir: str,
             .write.mode("overwrite")
             .parquet(catalog.lexicon_path(index_dir))
         )
-    docstats = catalog.read_docstats(spark, index_dir)
-    agg = docstats.agg(
-        F.count("*").alias("n"),
-        F.avg("dl").alias("avgdl"),
-        F.sum("dl").alias("total"),
-    ).collect()[0]
+
+    def agg_docstats():
+        docstats = catalog.read_docstats(spark, index_dir)
+        return docstats.agg(
+            F.count("*").alias("n"),
+            F.avg("dl").alias("avgdl"),
+            F.sum("dl").alias("total"),
+        ).collect()[0]
+
+    if rebuild_lexicon:
+        # lexicon (postings scan) and scalar stats (docstats scan) are
+        # independent jobs — overlap them (guide §2.6)
+        _, agg = run_jobs_concurrently(write_lexicon, agg_docstats)
+    else:
+        agg = agg_docstats()
     stats = {
         "n_docs": int(agg["n"]),
         "avgdl": float(agg["avgdl"] or 0.0),
@@ -338,13 +358,17 @@ def compact_index(
         if layout == "range"
         else postings.repartition(num_partitions, "term", "min_doc")
     )
-    (
-        shuffled.sortWithinPartitions("term", "min_doc")
-        .write.mode("overwrite")
-        .parquet(catalog.postings_path(out_dir) + "/slice=compacted")
-    )
-    docstats.write.mode("overwrite").parquet(
-        catalog.docstats_path(out_dir) + "/slice=compacted"
+    # postings merge and docstats rewrite are independent sinks —
+    # overlapped (guide §2.6); refresh_stats below reads both back
+    run_jobs_concurrently(
+        lambda: (
+            shuffled.sortWithinPartitions("term", "min_doc")
+            .write.mode("overwrite")
+            .parquet(catalog.postings_path(out_dir) + "/slice=compacted")
+        ),
+        lambda: docstats.write.mode("overwrite").parquet(
+            catalog.docstats_path(out_dir) + "/slice=compacted"
+        ),
     )
     catalog.write_manifest(out_dir, "compacted", {"kind": "compaction"})  # type: ignore[arg-type]
     return refresh_stats(spark, out_dir, cfg)
@@ -439,26 +463,41 @@ def purge_index(
         }
     else:  # legacy un-sliced docstats: no membership — purge every slice
         victim_keys = set(all_keys)
+    def rewrite_victim(k: str, post_src: str, post_dst: str,
+                       doc_src: str, doc_dst: str) -> None:
+        sinks = [
+            lambda: _purge_blocks(
+                spark.read.parquet(post_src).select(*cols), deleted, cols
+            ).write.mode("overwrite").parquet(post_dst)
+        ]
+        if os.path.isdir(doc_src):
+            sinks.append(
+                lambda: (
+                    spark.read.parquet(doc_src)
+                    .join(F.broadcast(dele_df), "doc_id", "left_anti")
+                    .write.mode("overwrite")
+                    .parquet(doc_dst)
+                )
+            )
+        # the slice's postings rewrite and docstats filter are
+        # independent sinks (guide §2.6); the manifest still lands
+        # strictly after both, preserving the completion marker
+        run_jobs_concurrently(*sinks)
+        catalog.write_manifest(
+            out_dir, k,  # type: ignore[arg-type]
+            {"slice": k, "kind": "purge"},
+        )
+
+    victim_thunks = []
     for k in all_keys:
         post_src = catalog.postings_path(index_dir) + f"/slice={k}"
         post_dst = catalog.postings_path(out_dir) + f"/slice={k}"
         doc_src = catalog.docstats_path(index_dir) + f"/slice={k}"
         doc_dst = catalog.docstats_path(out_dir) + f"/slice={k}"
         if k in victim_keys:
-            blocks = spark.read.parquet(post_src).select(*cols)
-            _purge_blocks(blocks, deleted, cols).write.mode(
-                "overwrite"
-            ).parquet(post_dst)
-            if os.path.isdir(doc_src):
-                (
-                    spark.read.parquet(doc_src)
-                    .join(F.broadcast(dele_df), "doc_id", "left_anti")
-                    .write.mode("overwrite")
-                    .parquet(doc_dst)
-                )
-            catalog.write_manifest(
-                out_dir, k,  # type: ignore[arg-type]
-                {"slice": k, "kind": "purge"},
+            victim_thunks.append(
+                lambda k=k, ps=post_src, pd_=post_dst, ds=doc_src,
+                dd=doc_dst: rewrite_victim(k, ps, pd_, ds, dd)
             )
         else:
             _link_tree(post_src, post_dst)
@@ -474,6 +513,9 @@ def purge_index(
                     import shutil
 
                     shutil.copy2(mf, dst_mf)
+    # rewrite victim slices with a few jobs in flight (guide §2.6):
+    # each slice's rewrite is independent of every other's
+    run_jobs_pool(victim_thunks, max_workers=4)
     if "slice" not in docstats.columns:
         # legacy layout: one un-sliced docstats table, filtered whole
         docstats.join(F.broadcast(dele_df), "doc_id", "left_anti").write.mode(
@@ -674,12 +716,34 @@ def upsert_docs(
 
     catalog.recover_compaction(index_dir)
     ids = docs_df.select(F.col(id_col).cast("long").alias("doc_id"))
+    eng = SearchEngine.open(spark, index_dir)
+    limit = eng.max_deleted_in_memory - eng.deleted_count
+
     # one pass for batch size + dup check (the per-id probe is an
     # error-path-only second job)
-    agg = ids.agg(
-        F.count("*").alias("n"),
-        F.countDistinct("doc_id").alias("nd"),
-    ).collect()[0]
+    def probe_batch():
+        return ids.agg(
+            F.count("*").alias("n"),
+            F.countDistinct("doc_id").alias("nd"),
+        ).collect()[0]
+
+    def probe_collisions():
+        return [
+            r["doc_id"]
+            for r in catalog.read_docstats(spark, index_dir)
+            .select("doc_id")
+            .join(F.broadcast(ids), "doc_id", "left_semi")
+            # distinct: append-mode re-ingest can leave several docstats
+            # rows per doc_id (documented double-count state) — one
+            # tombstone per id, never per row
+            .distinct()
+            .limit(limit + 1)
+            .collect()
+        ]
+
+    # the two probes read disjoint inputs (the batch vs docstats) —
+    # overlapped (guide §2.6)
+    agg, collided = run_jobs_concurrently(probe_batch, probe_collisions)
     if agg["n"] != agg["nd"]:
         dup = (
             ids.groupBy("doc_id").count().where(F.col("count") > 1)
@@ -690,20 +754,6 @@ def upsert_docs(
             "batch: which row should win is ambiguous — dedupe first"
         )
     n_rows = int(agg["n"])
-    eng = SearchEngine.open(spark, index_dir)
-    limit = eng.max_deleted_in_memory - eng.deleted_count
-    collided = [
-        r["doc_id"]
-        for r in catalog.read_docstats(spark, index_dir)
-        .select("doc_id")
-        .join(F.broadcast(ids), "doc_id", "left_semi")
-        # distinct: append-mode re-ingest can leave several docstats
-        # rows per doc_id (documented double-count state) — one
-        # tombstone per id, never per row
-        .distinct()
-        .limit(limit + 1)
-        .collect()
-    ]
     if len(collided) > limit:
         raise ValueError(
             f"upsert batch replaces more than {limit} existing docs; "

@@ -608,7 +608,7 @@ def dedup_clusters(
     label(v) is in v's component, so label(label(v)) is too — chasing it
     can only move the label down toward the component minimum, never out
     of the component. Lineage is cut per iteration with localCheckpoint
-    so plans stay flat; the edge table is persisted once and reused by
+    so plans stay flat; the edge table is materialized once and reused by
     every iteration. Only docs appearing in ``pairs`` are labeled —
     union in singletons downstream if needed.
 
@@ -627,7 +627,14 @@ def dedup_clusters(
             )
         )
         .distinct()
-        .persist()
+        # localCheckpoint, NOT persist (r6): a persisted plan ending in
+        # a shuffle pins spark.sql.shuffle.partitions as its cached
+        # layout (canChangeCachedPlanOutputPartitioning defaults false),
+        # so every loop iteration joined a ~128-partition edge cache of
+        # near-empty tasks; the checkpointed RDD keeps the AQE-coalesced
+        # width, and ContextCleaner frees the blocks when the result is
+        # garbage-collected (no explicit unpersist needed)
+        .localCheckpoint()
     )
     labels = und.select(F.col("src").alias("node")).distinct().select(
         "node", F.col("node").alias("label")
@@ -677,7 +684,6 @@ def dedup_clusters(
         if changed == 0:
             converged = True
             break
-    und.unpersist()
     if not converged:
         raise RuntimeError(
             f"dedup_clusters: not converged after {max_iterations} "

@@ -728,18 +728,25 @@ def upsert_docs(
         ).collect()[0]
 
     def probe_collisions():
-        return [
-            r["doc_id"]
-            for r in catalog.read_docstats(spark, index_dir)
+        # ONE aggregation job, not distinct().limit().collect():
+        # CollectLimit runs 1/4/16/... partition waves as sequential
+        # jobs (the r2 bench finding). collect_set dedups the ids
+        # (append-mode re-ingest can leave several docstats rows per
+        # doc_id — one tombstone per id, never per row); the slice
+        # keeps the driver transfer bounded at limit+1 — enough to
+        # either hold the complete set (<= limit) or prove overflow.
+        row = (
+            catalog.read_docstats(spark, index_dir)
             .select("doc_id")
             .join(F.broadcast(ids), "doc_id", "left_semi")
-            # distinct: append-mode re-ingest can leave several docstats
-            # rows per doc_id (documented double-count state) — one
-            # tombstone per id, never per row
-            .distinct()
-            .limit(limit + 1)
-            .collect()
-        ]
+            .agg(
+                F.slice(
+                    F.collect_set("doc_id"), 1, limit + 1
+                ).alias("collided")
+            )
+            .collect()[0]
+        )
+        return list(row["collided"] or [])
 
     # the two probes read disjoint inputs (the batch vs docstats) —
     # overlapped (guide §2.6)

@@ -208,3 +208,31 @@ def test_block_min_dl_matches_true_min(spark):
     for b in segs:
         dls = decode_counts(bytes(b["dls"]))
         assert b["min_dl"] == dls.min(), ("segments", b["term"])
+
+
+def test_run_jobs_concurrently_order_and_errors():
+    """run_jobs_concurrently / run_jobs_pool back every overlapped
+    sink pair in build/maintenance (r6): results must come back in
+    thunk order, a failing thunk's exception must propagate (a
+    swallowed write failure would leave a half-written index with a
+    manifest), and the degenerate widths must not deadlock."""
+    import pytest as _pytest
+
+    from elasticsearch_analysis_hashsplitter_spark.operators.build import (
+        run_jobs_concurrently,
+        run_jobs_pool,
+    )
+
+    assert run_jobs_concurrently(lambda: 1, lambda: 2, lambda: 3) == [1, 2, 3]
+    assert run_jobs_concurrently(lambda: "only") == ["only"]
+    assert run_jobs_pool([]) == []
+    assert run_jobs_pool([lambda i=i: i * i for i in range(10)],
+                         max_workers=3) == [i * i for i in range(10)]
+
+    def boom():
+        raise ValueError("sink failed")
+
+    with _pytest.raises(ValueError, match="sink failed"):
+        run_jobs_concurrently(lambda: 1, boom)
+    with _pytest.raises(ValueError, match="sink failed"):
+        run_jobs_pool([boom, lambda: 2], max_workers=2)

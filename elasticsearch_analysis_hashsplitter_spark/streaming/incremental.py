@@ -58,7 +58,15 @@ def _write_segment(
     num_partitions: int,
     on_duplicate: str = "append",
     slice_key: str | None = None,
+    pre_tokenized: DataFrame | None = None,
 ) -> None:
+    """``pre_tokenized``: an already-materialized tokenize_corpus frame
+    over ``batch_df`` (upsert_docs starts tokenizing concurrently with
+    its purge — the tokenizer never reads the index, so the two
+    overlap); only valid with ``on_duplicate='append'`` since the
+    dedup path rewrites the batch before tokenizing."""
+    if pre_tokenized is not None and on_duplicate != "append":
+        raise ValueError("pre_tokenized requires on_duplicate='append'")
     if on_duplicate == "skip_existing":
         # deterministic within-batch pick (NOT dropDuplicates, whose
         # choice is partition-order-dependent): the postings write and
@@ -98,9 +106,11 @@ def _write_segment(
     # localCheckpoint materializes the tokenized batch once (eagerly);
     # the emptiness check and both writes then read the materialized
     # partitions, so tokenize/dedup run exactly once per batch.
-    tokenized = tokenize_corpus(
-        batch_df, cfg, id_col, text_col
-    ).localCheckpoint()
+    tokenized = (
+        pre_tokenized
+        if pre_tokenized is not None
+        else tokenize_corpus(batch_df, cfg, id_col, text_col).localCheckpoint()
+    )
     if tokenized.isEmpty():
         return
     if slice_key is None:
@@ -766,19 +776,33 @@ def upsert_docs(
             f"upsert batch replaces more than {limit} existing docs; "
             "split the batch (the purge's tombstone set is driver-held)"
         )
-    if collided:
-        eng.delete_docs(collided)
-    if catalog.read_deletes(index_dir).size:
-        # purge BEFORE the re-ingest: a tombstone masks its doc_id in
-        # EVERY segment, including a newly appended replacement. The
-        # purge carries the source lexicon AND stats.json instead of
-        # recomputing either — the final refresh below redoes both
-        # anyway (one full-postings pass + one docstats pass per
-        # upsert, not two); in the crash window between the two they
-        # are stale-high, exactly Lucene's pre-merge staleness, healed
-        # by re-running the upsert.
-        purge_in_place(spark, index_dir, cfg, rebuild_lexicon=False,
-                       refresh=False)
+    def tokenize_batch():
+        # the tokenizer reads only the batch, never the index — it can
+        # run concurrently with the whole delete+purge phase below
+        # (guide §2.6); the segment write then reads the warm
+        # checkpoint. A crash after the purge with the tokenize failed
+        # is the same documented window as before (ids deleted, not
+        # yet reindexed; re-running the upsert completes it).
+        return tokenize_corpus(
+            docs_df, cfg, id_col, text_col
+        ).localCheckpoint()
+
+    def delete_and_purge():
+        if collided:
+            eng.delete_docs(collided)
+        if catalog.read_deletes(index_dir).size:
+            # purge BEFORE the re-ingest: a tombstone masks its doc_id
+            # in EVERY segment, including a newly appended replacement.
+            # The purge carries the source lexicon AND stats.json
+            # instead of recomputing either — the final refresh below
+            # redoes both anyway (one full-postings pass + one docstats
+            # pass per upsert, not two); in the crash window between
+            # the two they are stale-high, exactly Lucene's pre-merge
+            # staleness, healed by re-running the upsert.
+            purge_in_place(spark, index_dir, cfg, rebuild_lexicon=False,
+                           refresh=False)
+
+    pre_tok, _ = run_jobs_concurrently(tokenize_batch, delete_and_purge)
     # completion is marked by the slice MANIFEST (written last in
     # _write_segment): an upsert_N slice without one is a crashed
     # half-write — reuse its key so mode=overwrite replaces the orphan
@@ -799,6 +823,7 @@ def upsert_docs(
         text_col,
         num_partitions,
         slice_key=f"upsert_{n}",
+        pre_tokenized=pre_tok,
     )
     stats = refresh_stats(spark, index_dir, cfg)
     return {
